@@ -1,0 +1,203 @@
+"""HF checkpoint -> GGUF converter.
+
+Analog of reference convert_hf_to_gguf.py + gguf-py writer (tensor-name
+mapping per gguf-py/gguf/tensor_mapping.py). Llama q/k weights are permuted
+for NORM-style rope exactly like the reference converter so GGUF files are
+interchangeable between the two frameworks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterable
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys, TokenType
+from ..gguf.writer import GGUFWriter
+from ..quant.quantize import quantize
+
+_FTYPE_MAP = {
+    "f32": GGMLType.F32,
+    "f16": GGMLType.F16,
+    "bf16": GGMLType.BF16,
+    "q8_0": GGMLType.Q8_0,
+    "q4_0": GGMLType.Q4_0,
+    "q4_k": GGMLType.Q4_K,
+    "q5_k": GGMLType.Q5_K,
+    "q6_k": GGMLType.Q6_K,
+}
+
+_FTYPE_ID = {"f32": 0, "f16": 1, "bf16": 32, "q8_0": 7, "q4_0": 2, "q4_k": 15, "q5_k": 17, "q6_k": 18}
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Reorder q/k projection rows from HF half-split rope layout to the
+    interleaved layout used by ggml NORM rope (reference convert_hf_to_gguf
+    LlamaModel.permute)."""
+    out_dim = w.shape[0]
+    head_dim = out_dim // n_head
+    return (
+        w.reshape(n_head, 2, head_dim // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+def _emit(writer: GGUFWriter, name: str, arr: np.ndarray, ftype: str):
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    qt = _FTYPE_MAP[ftype]
+    # 1-D tensors and small/odd tensors stay f32 (reference quantizer policy)
+    if arr.ndim == 1 or arr.shape[-1] % 256 != 0 or "norm" in name or name.endswith(".bias"):
+        writer.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+        return
+    if qt == GGMLType.F32:
+        data = arr.tobytes()
+    elif qt == GGMLType.F16:
+        data = arr.astype(np.float16).tobytes()
+    elif qt == GGMLType.BF16:
+        data = quantize(arr, GGMLType.BF16).tobytes()
+    else:
+        data = quantize(arr, qt).tobytes()
+    writer.add_tensor(name, data, tuple(reversed(arr.shape)), qt)
+
+
+def _add_vocab_from_hf_tokenizer(w: GGUFWriter, tokenizer) -> None:
+    """Extract a GGUF BPE vocab from a HF fast tokenizer."""
+    K = Keys.Tokenizer
+    tj = json.loads(tokenizer._tokenizer.to_str())
+    model = tj["model"]
+    vocab = model["vocab"]
+    id_to_tok = sorted(vocab.items(), key=lambda kv: kv[1])
+    tokens = [t for t, _ in id_to_tok]
+    merges = model.get("merges", [])
+    merges = [" ".join(m) if isinstance(m, (list, tuple)) else m for m in merges]
+    added = {t["content"]: t for t in tj.get("added_tokens", [])}
+    types = []
+    for t in tokens:
+        if t in added:
+            types.append(int(TokenType.CONTROL if added[t].get("special") else TokenType.USER_DEFINED))
+        else:
+            types.append(int(TokenType.NORMAL))
+    w.add(K.MODEL, "gpt2")
+    w.add(K.PRE, "llama-bpe")
+    w.add(K.TOKENS, tokens)
+    w.add(K.MERGES, merges)
+    w.add(K.TOKEN_TYPE, np.asarray(types, dtype=np.int32))
+    if tokenizer.bos_token_id is not None:
+        w.add(K.BOS_ID, np.uint32(tokenizer.bos_token_id))
+    if tokenizer.eos_token_id is not None:
+        w.add(K.EOS_ID, np.uint32(tokenizer.eos_token_id))
+    w.add(K.ADD_BOS, True)
+    w.add(K.ADD_EOS, False)
+    if getattr(tokenizer, "chat_template", None):
+        w.add(K.CHAT_TEMPLATE, tokenizer.chat_template)
+
+
+def convert_hf_model(
+    model,  # transformers PreTrainedModel (llama/mistral/qwen2/3/mixtral/gemma)
+    out_path: str,
+    ftype: str = "f16",
+    tokenizer=None,
+    vocab_override: dict[str, Any] | None = None,
+) -> str:
+    cfg = model.config
+    mtype = cfg.model_type
+    arch = {
+        "llama": "llama",
+        "mistral": "llama",
+        "qwen2": "qwen2",
+        "qwen3": "qwen3",
+        "mixtral": "llama",  # reference stores mixtral under llama arch w/ experts
+        "gemma": "gemma",
+        "gemma2": "gemma2",
+        "gemma3_text": "gemma3",
+    }.get(mtype)
+    if arch is None:
+        raise NotImplementedError(f"convert: model_type {mtype}")
+
+    n_head = cfg.num_attention_heads
+    n_kv = getattr(cfg, "num_key_value_heads", n_head)
+    n_embd = cfg.hidden_size
+    head_dim = getattr(cfg, "head_dim", None) or n_embd // n_head
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "converted")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = f"{arch}."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv))
+    w.add(P + "attention.key_length", np.uint32(head_dim))
+    w.add(P + "attention.value_length", np.uint32(head_dim))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(getattr(cfg, "rms_norm_eps", 1e-5)))
+    w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+    w.add(P + "rope.dimension_count", np.uint32(head_dim))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if mtype == "mixtral":
+        w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    permute = arch in ("llama",)  # NORM-rope archs need the q/k permute
+
+    def get(name):
+        return sd.get(name)
+
+    emb = get("model.embed_tokens.weight")
+    _emit(w, "token_embd.weight", emb, ftype)
+    _emit(w, "output_norm.weight", get("model.norm.weight"), ftype)
+    lm_head = get("lm_head.weight")
+    if lm_head is not None and not getattr(cfg, "tie_word_embeddings", False):
+        _emit(w, "output.weight", lm_head, ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        b = f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", get(p + "input_layernorm.weight"), ftype)
+        q = get(p + "self_attn.q_proj.weight")
+        k = get(p + "self_attn.k_proj.weight")
+        if permute:
+            q = permute_rope(q, n_head)
+            k = permute_rope(k, n_kv)
+        _emit(w, b + "attn_q.weight", q, ftype)
+        _emit(w, b + "attn_k.weight", k, ftype)
+        _emit(w, b + "attn_v.weight", get(p + "self_attn.v_proj.weight"), ftype)
+        _emit(w, b + "attn_output.weight", get(p + "self_attn.o_proj.weight"), ftype)
+        for hf_b, gg_b in (("q_proj", "attn_q"), ("k_proj", "attn_k"), ("v_proj", "attn_v")):
+            bias = get(p + f"self_attn.{hf_b}.bias")
+            if bias is not None:
+                if permute and gg_b in ("attn_q", "attn_k"):
+                    bias = permute_rope(bias, n_head if gg_b == "attn_q" else n_kv)
+                _emit(w, b + f"{gg_b}.bias", bias, ftype)
+        qn = get(p + "self_attn.q_norm.weight")
+        if qn is not None:
+            _emit(w, b + "attn_q_norm.weight", qn, ftype)
+            _emit(w, b + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"), ftype)
+        _emit(w, b + "ffn_norm.weight", get(p + "post_attention_layernorm.weight"), ftype)
+        if mtype == "mixtral":
+            moe = p + "block_sparse_moe."
+            _emit(w, b + "ffn_gate_inp.weight", get(moe + "gate.weight"), ftype)
+            gates = np.stack([get(moe + f"experts.{e}.w1.weight") for e in range(cfg.num_local_experts)])
+            downs = np.stack([get(moe + f"experts.{e}.w2.weight") for e in range(cfg.num_local_experts)])
+            ups = np.stack([get(moe + f"experts.{e}.w3.weight") for e in range(cfg.num_local_experts)])
+            _emit(w, b + "ffn_gate_exps.weight", gates, ftype)
+            _emit(w, b + "ffn_down_exps.weight", downs, ftype)
+            _emit(w, b + "ffn_up_exps.weight", ups, ftype)
+        else:
+            _emit(w, b + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"), ftype)
+            _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
+            _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+
+    w.write(out_path)
+    return out_path

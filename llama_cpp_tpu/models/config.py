@@ -1,0 +1,152 @@
+"""Model hyperparameters parsed from GGUF metadata.
+
+Analog of reference src/llama-hparams.h + per-arch load_arch_hparams
+(e.g. src/models/llama.cpp:3-33). One dataclass covers the decoder families;
+arch-specific defaults are applied by the registry (models/registry.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from ..gguf.constants import Keys
+from ..ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+
+
+@dataclass
+class ModelConfig:
+    arch: str
+    name: str = ""
+    vocab_size: int = 0
+    n_embd: int = 0
+    n_layers: int = 0
+    n_heads: int = 0
+    n_kv_heads: int = 0
+    head_dim_k: int = 0
+    head_dim_v: int = 0
+    n_ff: int = 0
+    n_ctx_train: int = 0
+
+    rms_eps: float = 1e-5
+    norm_eps: float = 1e-5
+    use_rms_norm: bool = True
+
+    rope_type: int = ROPE_TYPE_NORM
+    rope_dims: int = 0
+    rope_freq_base: float = 10000.0
+    rope_freq_scale: float = 1.0
+    rope_ext_factor: float = 0.0
+    rope_attn_factor: float = 1.0
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    rope_orig_ctx: int = 0
+
+    act: str = "silu"
+    glu: bool = True  # gated FFN (SwiGLU/GeGLU)
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    logit_scale: float = 1.0
+    attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim_k)
+    embd_scale: float = 1.0  # gemma: sqrt(n_embd)
+
+    qk_norm: bool = False  # qwen3/gemma3 per-head rmsnorm on q/k
+    attn_bias: bool = False
+    post_norms: bool = False  # gemma: post-attention/post-ffn norms
+
+    sliding_window: int = 0
+    swa_pattern: int = 0  # every Nth layer is full-attention (gemma3: 6)
+
+    n_expert: int = 0
+    n_expert_used: int = 0
+    expert_gating_softmax: bool = True  # else sigmoid (deepseek3 style)
+    expert_weights_norm: bool = False
+    expert_weights_scale: float = 1.0
+    n_ff_exp: int = 0
+    n_expert_shared: int = 0
+    moe_every: int = 1  # layers where MoE applies (1 = all)
+
+    tie_embeddings: bool = False
+    compute_dtype: Any = None  # jnp dtype for activations (set by loader)
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @property
+    def head_dim(self) -> int:
+        return self.head_dim_k
+
+    @property
+    def gqa_groups(self) -> int:
+        return self.n_heads // max(self.n_kv_heads, 1)
+
+    def is_swa_layer(self, il: int) -> bool:
+        if self.sliding_window <= 0:
+            return False
+        if self.swa_pattern <= 0:
+            return True
+        return (il + 1) % self.swa_pattern != 0
+
+    @classmethod
+    def from_gguf(cls, md: dict[str, Any]) -> "ModelConfig":
+        arch = md.get(Keys.General.ARCHITECTURE, "llama")
+        a = {"arch": arch}
+
+        def g(tmpl: str, default=None):
+            v = md.get(tmpl.format(arch=arch), default)
+            try:
+                import numpy as np
+
+                if isinstance(v, np.generic):
+                    return v.item()
+            except Exception:
+                pass
+            return v
+
+        K = Keys.LLM
+        n_embd = int(g(K.EMBEDDING_LENGTH, 0))
+        n_heads = int(g(K.ATTN_HEAD_COUNT, 0))
+        n_kv = int(g(K.ATTN_HEAD_COUNT_KV, n_heads))
+        head_k = int(g(K.ATTN_KEY_LENGTH, n_embd // max(n_heads, 1)))
+        head_v = int(g(K.ATTN_VALUE_LENGTH, head_k))
+        tokens = md.get(Keys.Tokenizer.TOKENS, [])
+        vocab = int(g(K.VOCAB_SIZE, len(tokens)))
+        cfg = cls(
+            arch=arch,
+            name=str(md.get(Keys.General.NAME, "")),
+            vocab_size=vocab,
+            n_embd=n_embd,
+            n_layers=int(g(K.BLOCK_COUNT, 0)),
+            n_heads=n_heads,
+            n_kv_heads=n_kv,
+            head_dim_k=head_k,
+            head_dim_v=head_v,
+            n_ff=int(g(K.FEED_FORWARD_LENGTH, 0)),
+            n_ctx_train=int(g(K.CONTEXT_LENGTH, 0)),
+            rms_eps=float(g(K.ATTN_LAYERNORM_RMS_EPS, 1e-5)),
+            norm_eps=float(g(K.ATTN_LAYERNORM_EPS, 1e-5)),
+            rope_dims=int(g(K.ROPE_DIMENSION_COUNT, head_k)),
+            rope_freq_base=float(g(K.ROPE_FREQ_BASE, 10000.0)),
+            sliding_window=int(g(K.ATTN_SLIDING_WINDOW, 0)),
+            n_expert=int(g(K.EXPERT_COUNT, 0)),
+            n_expert_used=int(g(K.EXPERT_USED_COUNT, 0)),
+            n_ff_exp=int(g(K.EXPERT_FFN_LENGTH, 0)),
+            n_expert_shared=int(g(K.EXPERT_SHARED_COUNT, 0)),
+            logit_scale=float(g(K.LOGIT_SCALE, 1.0)),
+            attn_logit_softcap=float(g(K.ATTN_LOGIT_SOFTCAP, 0.0)),
+            final_logit_softcap=float(g(K.FINAL_LOGIT_SOFTCAP, 0.0)),
+        )
+        scaling = g(K.ROPE_SCALING_TYPE)
+        factor = g(K.ROPE_SCALING_FACTOR)
+        if scaling == "linear" and factor:
+            cfg.rope_freq_scale = 1.0 / float(factor)
+        elif scaling == "yarn" and factor:
+            cfg.rope_freq_scale = 1.0 / float(factor)
+            cfg.rope_ext_factor = 1.0
+            cfg.rope_orig_ctx = int(g(K.ROPE_SCALING_ORIG_CTX, cfg.n_ctx_train))
+            cfg.rope_attn_factor = float(g(K.ROPE_SCALING_ATTN_FACTOR, 1.0))
+            cfg.rope_beta_fast = float(g(K.ROPE_SCALING_BETA_FAST, 32.0))
+            cfg.rope_beta_slow = float(g(K.ROPE_SCALING_BETA_SLOW, 1.0))
+        return cfg
+
+    def with_(self, **kw) -> "ModelConfig":
+        return replace(self, **kw)

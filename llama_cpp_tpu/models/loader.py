@@ -1,0 +1,157 @@
+"""Model loader: GGUF file -> (ModelConfig, weight pytree, Tokenizer).
+
+Analog of reference llama_model_loader + llama_model::load_tensors
+(src/llama-model-loader.cpp; tensor creation src/models/llama.cpp:35-94).
+Weights mmap from the GGUF blob, repack to canonical planes (quant/repack.py)
+and land on device via jax.device_put with optional shardings.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFFile, read_gguf
+from ..ops.qtensor import Weight, load_weight
+from ..tokenizer import Tokenizer
+from .config import ModelConfig
+from .registry import apply_arch
+
+log = logging.getLogger(__name__)
+
+# layer-tensor suffix -> weight-dict key
+LAYER_TENSORS = {
+    "attn_norm.weight": "attn_norm",
+    "attn_norm.bias": "attn_norm_bias",
+    "attn_q.weight": "attn_q",
+    "attn_k.weight": "attn_k",
+    "attn_v.weight": "attn_v",
+    "attn_qkv.weight": "attn_qkv",
+    "attn_output.weight": "attn_output",
+    "attn_q.bias": "attn_q_bias",
+    "attn_k.bias": "attn_k_bias",
+    "attn_v.bias": "attn_v_bias",
+    "attn_output.bias": "attn_output_bias",
+    "attn_q_norm.weight": "attn_q_norm",
+    "attn_k_norm.weight": "attn_k_norm",
+    "attn_post_norm.weight": "attn_post_norm",
+    "post_attention_norm.weight": "attn_post_norm",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_bias",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+    "ffn_gate.bias": "ffn_gate_bias",
+    "ffn_up.bias": "ffn_up_bias",
+    "ffn_down.bias": "ffn_down_bias",
+    "ffn_post_norm.weight": "ffn_post_norm",
+    "post_ffw_norm.weight": "ffn_post_norm",
+    "ffn_gate_inp.weight": "ffn_gate_inp",
+    "ffn_gate_exps.weight": "ffn_gate_exps",
+    "ffn_up_exps.weight": "ffn_up_exps",
+    "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_up_shexp.weight": "ffn_up_shexp",
+    "ffn_down_shexp.weight": "ffn_down_shexp",
+    "exp_probs_b.bias": "exp_probs_b",
+}
+
+GLOBAL_TENSORS = {
+    "token_embd.weight": "token_embd",
+    "output_norm.weight": "output_norm",
+    "output_norm.bias": "output_norm_bias",
+    "output.weight": "output",
+    "output.bias": "output_bias",
+    "rope_freqs.weight": "rope_factors",
+}
+
+# 1-D tensors stay dense fp32; everything else follows its storage type
+_DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
+               "attn_post_norm", "ffn_norm", "ffn_norm_bias", "ffn_post_norm",
+               "output_norm", "output_norm_bias", "rope_factors",
+               "attn_q_bias", "attn_k_bias", "attn_v_bias", "attn_output_bias",
+               "ffn_gate_bias", "ffn_up_bias", "ffn_down_bias", "exp_probs_b",
+               "output_bias"}
+
+
+class Model:
+    def __init__(self, cfg: ModelConfig, params: dict[str, Any], tokenizer: Tokenizer | None, gguf: GGUFFile):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.gguf = gguf
+
+    @property
+    def arch(self) -> str:
+        return self.cfg.arch
+
+
+def load_model(
+    path: str,
+    prefer_quant: bool = True,
+    dense_dtype=jnp.bfloat16,
+    progress: Callable[[float], None] | None = None,
+    device_put: Callable[[str, Any], Any] | None = None,
+) -> Model:
+    """Load a GGUF model. `device_put(name, host_weight)` lets the parallel
+    layer inject shardings per tensor; default is plain device placement."""
+    f = read_gguf(path)
+    cfg = ModelConfig.from_gguf(f.metadata)
+    cfg = apply_arch(cfg, f.metadata)
+    cfg.compute_dtype = dense_dtype
+
+    tokenizer = None
+    try:
+        tokenizer = Tokenizer.from_gguf(f.metadata)
+    except (ValueError, KeyError) as e:
+        log.warning("no tokenizer loaded: %s", e)
+
+    layers: list[dict[str, Weight]] = [dict() for _ in range(cfg.n_layers)]
+    params: dict[str, Any] = {"layers": layers}
+
+    n_done = 0
+    total = len(f.tensors)
+    for name, info in f.tensors.items():
+        key = None
+        target: dict | None = None
+        if name in GLOBAL_TENSORS:
+            key = GLOBAL_TENSORS[name]
+            target = params
+        elif name.startswith("blk."):
+            parts = name.split(".", 2)
+            il = int(parts[1])
+            suffix = parts[2]
+            key = LAYER_TENSORS.get(suffix)
+            if key is not None and il < cfg.n_layers:
+                target = layers[il]
+        if key is None or target is None:
+            log.debug("skipping unmapped tensor %s", name)
+            continue
+        dense = key in _DENSE_KEYS or len(info.shape) == 1
+        w = load_weight(
+            np.asarray(info.data),
+            info.dtype,
+            info.shape,
+            prefer_quant=prefer_quant and not dense,
+            dense_dtype=jnp.float32 if dense else dense_dtype,
+        )
+        if device_put is not None:
+            w = device_put(name, w)
+        target[key] = w
+        n_done += 1
+        if progress:
+            progress(n_done / total)
+
+    # fuse per-head norm weights shape: gguf stores [head_dim]
+    missing = [
+        f"layer {i} missing {k}"
+        for i, lw in enumerate(layers)
+        for k in ("attn_norm", "attn_output", "ffn_norm")
+        if k not in lw
+    ]
+    if missing:
+        raise ValueError(f"model load incomplete: {missing[:4]}")
+    return Model(cfg, params, tokenizer, f)

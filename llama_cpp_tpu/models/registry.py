@@ -1,0 +1,159 @@
+"""Architecture registry: per-arch config tweaks over the generic decoder.
+
+Analog of reference src/llama-arch.h LLM_ARCH_* enum + per-arch classes in
+src/models/*.cpp. Each entry adjusts ModelConfig flags; the forward pass is
+the shared graph in transformer.py (new archs with exotic blocks register a
+custom forward).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ..ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+from .config import ModelConfig
+
+ArchTweak = Callable[[ModelConfig, dict[str, Any]], ModelConfig]
+
+_REGISTRY: dict[str, ArchTweak] = {}
+
+
+def register(name: str):
+    def deco(fn: ArchTweak):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def apply_arch(cfg: ModelConfig, md: dict[str, Any]) -> ModelConfig:
+    fn = _REGISTRY.get(cfg.arch)
+    if fn is None:
+        raise NotImplementedError(
+            f"architecture {cfg.arch!r} not implemented (have: {sorted(_REGISTRY)})"
+        )
+    return fn(cfg, md)
+
+
+def supported_archs() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+
+
+@register("llama")
+def _llama(cfg: ModelConfig, md) -> ModelConfig:
+    # GGUF llama q/k weights are permuted for NORM-style rope
+    # (reference src/models/llama.cpp:99-247)
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("llama4")
+def _llama4(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, moe_every=int(md.get("llama4.interleave_moe_layer_step", 1)))
+
+
+@register("mistral")
+def _mistral(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("qwen2")
+def _qwen2(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, attn_bias=True)
+
+
+@register("qwen3")
+def _qwen3(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
+
+
+@register("qwen2moe")
+def _qwen2moe(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, attn_bias=True, expert_weights_norm=False)
+
+
+@register("qwen3moe")
+def _qwen3moe(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True, expert_weights_norm=True)
+
+
+@register("gemma")
+def _gemma(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        embd_scale=float(cfg.n_embd) ** 0.5,
+        tie_embeddings=True,
+    )
+
+
+@register("gemma2")
+def _gemma2(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        embd_scale=float(cfg.n_embd) ** 0.5,
+        post_norms=True,
+        tie_embeddings=True,
+        swa_pattern=2,
+    )
+
+
+@register("gemma3")
+def _gemma3(cfg: ModelConfig, md) -> ModelConfig:
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        embd_scale=float(cfg.n_embd) ** 0.5,
+        post_norms=True,
+        qk_norm=True,
+        tie_embeddings=True,
+        swa_pattern=6,
+        attn_scale=1.0 / (float(cfg.head_dim_k) ** 0.5),
+    )
+    c.extra["rope_freq_base_swa"] = 10000.0
+    return c
+
+
+@register("phi3")
+def _phi3(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("stablelm")
+def _stablelm(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False)
+
+
+@register("starcoder2")
+def _starcoder2(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, act="gelu", glu=False, attn_bias=True)
+
+
+@register("smollm3")
+def _smollm3(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("granite")
+def _granite(cfg: ModelConfig, md) -> ModelConfig:
+    a = cfg.arch
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM,
+        embd_scale=float(md.get(f"{a}.embedding_scale", 1.0)),
+        attn_scale=float(md.get(f"{a}.attention.scale", 0.0)),
+        extra={"residual_scale": float(md.get(f"{a}.residual_scale", 1.0))},
+    )
+
+
+@register("deepseek2")
+def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
+    # MLA handled by dedicated weights; routed like generic MoE otherwise
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        expert_gating_softmax=bool(md.get("deepseek2.expert_gating_func", 1) == 1),
+        expert_weights_norm=bool(md.get("deepseek2.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get("deepseek2.expert_weights_scale", 1.0)),
+    )

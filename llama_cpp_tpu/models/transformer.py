@@ -1,0 +1,242 @@
+"""Generic pre-norm decoder transformer forward pass (pure function of a
+weight pytree), covering the llama/mistral/qwen/gemma/mixtral families via
+ModelConfig flags.
+
+Analog of reference llm_graph_context building blocks (src/llama-graph.h:
+build_attn 1143, build_ffn/build_moe_ffn 1048-1086) and the llama graph
+(src/models/llama.cpp:99-247) — re-expressed as a traced JAX program; XLA
+does the fusion/scheduling that ggml's sched performs at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.basic import ACTIVATIONS, rms_norm, softcap
+from ..ops.qtensor import QuantTensor, Weight, embed_lookup, matmul
+from ..ops.rope import RopeParams, apply_rope
+from ..runtime.kv_cache import KVCache
+from .config import ModelConfig
+
+# Weight pytree layout (names follow the GGUF canonical tensor names,
+# reference src/llama-arch.cpp LLM_TENSOR_* table):
+# {
+#   "token_embd": W, "output_norm": w, "output": W (optional; tied if absent),
+#   "rope_factors": optional per-model rope factor vector,
+#   "layers": [ {
+#       "attn_norm": w, "attn_q": W, "attn_k": W, "attn_v": W, "attn_output": W,
+#       "attn_q_bias"/"attn_k_bias"/"attn_v_bias": optional,
+#       "attn_q_norm"/"attn_k_norm": optional per-head norms,
+#       "attn_post_norm": optional, "ffn_norm": w,
+#       "ffn_gate": W, "ffn_up": W, "ffn_down": W,   (dense FFN)
+#       "ffn_gate_inp": W, "ffn_gate_exps": W3, "ffn_up_exps": W3,
+#       "ffn_down_exps": W3,                          (MoE)
+#       "ffn_post_norm": optional,
+#   } ... ]
+# }
+
+
+class AttnInputs(NamedTuple):
+    """Per-step attention metadata (static shapes; mask derived from pos)."""
+
+    seq_idx: jnp.ndarray  # [N] int32 cache row per token
+    slots: jnp.ndarray  # [N] int32 cache slot per token
+    positions: jnp.ndarray  # [N] int32 rope/causal position
+
+
+def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
+    # gemma3-style: SWA layers use a different (local) freq base
+    base = cfg.rope_freq_base
+    scale = cfg.rope_freq_scale
+    if cfg.is_swa_layer(il) and cfg.extra.get("rope_freq_base_swa"):
+        base = cfg.extra["rope_freq_base_swa"]
+        scale = cfg.extra.get("rope_freq_scale_swa", 1.0)
+    return RopeParams(
+        rope_type=cfg.rope_type,
+        n_dims=cfg.rope_dims,
+        freq_base=base,
+        freq_scale=scale,
+        ext_factor=cfg.rope_ext_factor,
+        attn_factor=cfg.rope_attn_factor,
+        beta_fast=cfg.rope_beta_fast,
+        beta_slow=cfg.rope_beta_slow,
+        orig_ctx=cfg.rope_orig_ctx,
+    )
+
+
+def attention_block(
+    cfg: ModelConfig,
+    lw: dict[str, Weight],
+    x: jnp.ndarray,  # [N, n_embd] flattened tokens
+    inputs: AttnInputs,
+    kv: KVCache,
+    il: int,
+) -> tuple[jnp.ndarray, KVCache]:
+    N = x.shape[0]
+    H, Hkv = cfg.n_heads, cfg.n_kv_heads
+    Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
+
+    q = matmul(x, lw["attn_q"])
+    k = matmul(x, lw["attn_k"])
+    v = matmul(x, lw["attn_v"])
+    if "attn_q_bias" in lw:
+        q = q + lw["attn_q_bias"]
+    if "attn_k_bias" in lw:
+        k = k + lw["attn_k_bias"]
+    if "attn_v_bias" in lw:
+        v = v + lw["attn_v_bias"]
+
+    q = q.reshape(N, H, Dk)
+    k = k.reshape(N, Hkv, Dk)
+    v = v.reshape(N, Hkv, Dv)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
+        k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
+
+    rp = _rope_params(cfg, il)
+    # apply_rope expects [..., seq, heads, dim]
+    q = apply_rope(q[None], inputs.positions[None], rp)[0]
+    k = apply_rope(k[None], inputs.positions[None], rp)[0]
+
+    kv = kv.write(il, inputs.seq_idx, inputs.slots, k, v, inputs.positions)
+    k_all, v_all = kv.read(il)  # [S_seqs, slots, Hkv, D]
+
+    scale = cfg.attn_scale or (1.0 / jnp.sqrt(jnp.float32(Dk)))
+
+    # scores: every token attends over its own sequence's slots
+    k_seq = k_all[inputs.seq_idx]  # [N, slots, Hkv, Dk]
+    v_seq = v_all[inputs.seq_idx]  # [N, slots, Hkv, Dv]
+    groups = H // Hkv
+    qg = q.reshape(N, Hkv, groups, Dk).astype(jnp.float32)
+    scores = jnp.einsum(
+        "nhgd,nshd->nhgs", qg, k_seq.astype(jnp.float32)
+    ) * scale  # [N, Hkv, groups, slots]
+    if cfg.attn_logit_softcap:
+        scores = softcap(scores, cfg.attn_logit_softcap)
+
+    slot_pos = kv.pos[inputs.seq_idx]  # [N, slots]
+    valid = slot_pos >= 0
+    causal = slot_pos <= inputs.positions[:, None]
+    mask = valid & causal
+    if cfg.sliding_window > 0 and cfg.is_swa_layer(il):
+        mask = mask & (slot_pos > inputs.positions[:, None] - cfg.sliding_window)
+    scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
+    out = jnp.einsum("nhgs,nshd->nhgd", probs, v_seq.astype(jnp.float32))
+    out = out.reshape(N, H * Dv).astype(x.dtype)
+    out = matmul(out, lw["attn_output"])
+    if "attn_output_bias" in lw:
+        out = out + lw["attn_output_bias"]
+    return out, kv
+
+
+def ffn_block(cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray) -> jnp.ndarray:
+    act = ACTIVATIONS[cfg.act]
+    if cfg.glu:
+        gate = matmul(x, lw["ffn_gate"])
+        up = matmul(x, lw["ffn_up"])
+        h = act(gate) * up
+    else:
+        h = act(matmul(x, lw["ffn_up"]))
+    return matmul(h, lw["ffn_down"])
+
+
+def moe_block(
+    cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray
+) -> jnp.ndarray:
+    """Mixture-of-experts FFN (build_moe_ffn analog, src/llama-graph.h:1065).
+
+    v1 dispatch: dense einsum over all experts (correct for any top-k);
+    ragged expert dispatch lands with the Pallas kernels.
+    """
+    N = x.shape[0]
+    n_exp, k = cfg.n_expert, cfg.n_expert_used
+    router = matmul(x, lw["ffn_gate_inp"], dtype=jnp.float32)  # [N, n_exp]
+    if cfg.expert_gating_softmax:
+        probs = jax.nn.softmax(router, axis=-1)
+    else:
+        probs = jax.nn.sigmoid(router)
+    topw, topi = jax.lax.top_k(probs, k)  # [N, k]
+    if cfg.expert_weights_norm:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    topw = topw * cfg.expert_weights_scale
+
+    gate_w = lw["ffn_gate_exps"]
+    up_w = lw["ffn_up_exps"]
+    down_w = lw["ffn_down_exps"]
+    act = ACTIVATIONS[cfg.act]
+
+    def expert_apply(e_gate, e_up, e_down):
+        # e_*: [n_ff_exp, n_embd] ; x: [N, n_embd]
+        h = act(matmul(x, e_gate)) * matmul(x, e_up)
+        return matmul(h, e_down)  # [N, n_embd]
+
+    def dequant_e(w: Weight, e):
+        if isinstance(w, QuantTensor):
+            return QuantTensor(
+                q=w.q[e], scales=w.scales[e],
+                mins=None if w.mins is None else w.mins[e],
+                group=w.group, ggml_type=w.ggml_type,
+            )
+        return w[e]
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(n_exp):  # static loop; XLA unrolls — fine for small n_exp
+        contrib = expert_apply(
+            dequant_e(gate_w, e), dequant_e(up_w, e), dequant_e(down_w, e)
+        ).astype(jnp.float32)
+        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [N]
+        out = out + contrib * w_e[:, None]
+
+    if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
+        h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
+        out = out + matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def forward(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [N] int32 flattened
+    inputs: AttnInputs,
+    kv: KVCache,
+) -> tuple[jnp.ndarray, KVCache]:
+    """-> (logits [N, vocab], updated KV)."""
+    cdtype = cfg.compute_dtype or jnp.bfloat16
+    x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)
+    if cfg.embd_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
+
+    for il, lw in enumerate(params["layers"]):
+        h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
+        attn, kv = attention_block(cfg, lw, h, inputs, kv, il)
+        if cfg.post_norms and "attn_post_norm" in lw:
+            attn = rms_norm(attn, lw["attn_post_norm"], cfg.rms_eps)
+        x = x + attn
+
+        h = rms_norm(x, lw["ffn_norm"], cfg.rms_eps)
+        if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
+            ff = moe_block(cfg, lw, h)
+            if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
+                ff = ff + ffn_block(cfg, lw, h)
+        else:
+            ff = ffn_block(cfg, lw, h)
+        if cfg.post_norms and "ffn_post_norm" in lw:
+            ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
+        x = x + ff
+
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["token_embd"]
+    logits = matmul(x, out_w, dtype=jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap:
+        logits = softcap(logits, cfg.final_logit_softcap)
+    return logits, kv

@@ -1,0 +1,139 @@
+"""KV cache as a JAX pytree.
+
+Design (SURVEY.md section 7 design stance): fixed-shape slot arrays with an
+explicit per-slot position tensor. Writes are scatter ops (the XLA analog of
+ggml's GGML_OP_SET_ROWS non-contiguous KV writes, src/llama-kv-cache.h:180) and
+attention masks are derived from `pos` (slot -> position, -1 = empty), so
+sequence ops (rm/cp/shift) are pure tensor updates and the decode step keeps a
+single static shape for XLA. Optional int8 quantized storage mirrors
+llama.cpp's type_k/type_v q8_0 KV (include/llama.h:379).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    """Per-model KV storage: [n_layers, n_seqs, n_slots, n_kv_heads, head_dim]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    pos: jnp.ndarray  # [n_seqs, n_slots] int32, -1 = empty
+    k_scale: jnp.ndarray | None = None  # [L, S, slots, H] for int8 KV
+    v_scale: jnp.ndarray | None = None
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.pos, self.k_scale, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        n_layers: int,
+        n_seqs: int,
+        n_slots: int,
+        n_kv_heads: int,
+        head_dim_k: int,
+        head_dim_v: int | None = None,
+        dtype=jnp.bfloat16,
+        quantized: bool = False,
+    ) -> "KVCache":
+        head_dim_v = head_dim_v or head_dim_k
+        kd = jnp.int8 if quantized else dtype
+        shape_k = (n_layers, n_seqs, n_slots, n_kv_heads, head_dim_k)
+        shape_v = (n_layers, n_seqs, n_slots, n_kv_heads, head_dim_v)
+        return cls(
+            k=jnp.zeros(shape_k, dtype=kd),
+            v=jnp.zeros(shape_v, dtype=kd),
+            pos=jnp.full((n_seqs, n_slots), -1, dtype=jnp.int32),
+            k_scale=jnp.zeros(shape_k[:4], jnp.float32) if quantized else None,
+            v_scale=jnp.zeros(shape_v[:4], jnp.float32) if quantized else None,
+        )
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+    # -- write ----------------------------------------------------------
+    def write(
+        self,
+        layer: int,
+        seq_idx: jnp.ndarray,  # [B*T] int32
+        slots: jnp.ndarray,  # [B*T] int32
+        k_new: jnp.ndarray,  # [B*T, H, Dk]
+        v_new: jnp.ndarray,  # [B*T, H, Dv]
+        positions: jnp.ndarray,  # [B*T] int32
+    ) -> "KVCache":
+        if self.quantized:
+            k_q, k_s = _quant_rows(k_new)
+            v_q, v_s = _quant_rows(v_new)
+            k = self.k.at[layer, seq_idx, slots].set(k_q)
+            v = self.v.at[layer, seq_idx, slots].set(v_q)
+            k_scale = self.k_scale.at[layer, seq_idx, slots].set(k_s)
+            v_scale = self.v_scale.at[layer, seq_idx, slots].set(v_s)
+            new = replace(self, k=k, v=v, k_scale=k_scale, v_scale=v_scale)
+        else:
+            k = self.k.at[layer, seq_idx, slots].set(k_new.astype(self.k.dtype))
+            v = self.v.at[layer, seq_idx, slots].set(v_new.astype(self.v.dtype))
+            new = replace(self, k=k, v=v)
+        if layer == 0:
+            new = replace(new, pos=self.pos.at[seq_idx, slots].set(positions))
+        return new
+
+    # -- read -----------------------------------------------------------
+    def read(self, layer: int, dtype=jnp.bfloat16):
+        """-> (k, v) [n_seqs, n_slots, H, D] dequantized."""
+        if self.quantized:
+            k = self.k[layer].astype(dtype) * self.k_scale[layer][..., None].astype(dtype)
+            v = self.v[layer].astype(dtype) * self.v_scale[layer][..., None].astype(dtype)
+            return k, v
+        return self.k[layer], self.v[layer]
+
+    # -- sequence ops (analog of llama_memory seq_rm/cp/add) -------------
+    def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30) -> "KVCache":
+        mask = (self.pos[seq] >= p0) & (self.pos[seq] < p1)
+        return replace(self, pos=self.pos.at[seq].set(jnp.where(mask, -1, self.pos[seq])))
+
+    def seq_cp(self, dst: int, src: int) -> "KVCache":
+        return replace(
+            self,
+            k=self.k.at[:, dst].set(self.k[:, src]),
+            v=self.v.at[:, dst].set(self.v[:, src]),
+            pos=self.pos.at[dst].set(self.pos[src]),
+            k_scale=None if self.k_scale is None else self.k_scale.at[:, dst].set(self.k_scale[:, src]),
+            v_scale=None if self.v_scale is None else self.v_scale.at[:, dst].set(self.v_scale[:, src]),
+        )
+
+    def seq_add(self, seq: int, p0: int, p1: int, delta: int) -> "KVCache":
+        """Shift positions (context-shift / self-extend support). The RoPE
+        re-rotation is applied lazily at attention time via pos deltas in the
+        reference; here pos shifts feed the mask and rope shift is handled by
+        the runtime re-rotating K rows (runtime/context.py)."""
+        p = self.pos[seq]
+        mask = (p >= p0) & (p < p1)
+        return replace(self, pos=self.pos.at[seq].set(jnp.where(mask, p + delta, p)))
+
+    def seq_len(self, seq: int) -> jnp.ndarray:
+        return jnp.sum(self.pos[seq] >= 0)
+
+
+def _quant_rows(x: jnp.ndarray):
+    """Per-head-row int8 quantization (q8_0-style, group = head_dim)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)

@@ -1,0 +1,158 @@
+"""End-to-end graph parity: tiny random-weight HF models -> GGUF (our
+converter) -> our JAX forward must match the HF torch forward.
+
+This is the synthetic-model fixture strategy of the reference
+(tests/gguf-model-data.cpp generates fake models in memory) with transformers
+as the numerical oracle for the llama graph (RoPE permute, GQA, SwiGLU,
+RMSNorm, tied heads).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from llama_cpp_tpu.convert.hf_to_gguf import convert_hf_model
+from llama_cpp_tpu.models.loader import load_model
+from llama_cpp_tpu.models.transformer import AttnInputs, forward
+from llama_cpp_tpu.runtime.kv_cache import KVCache
+
+
+def tiny_llama(vocab=199, layers=2, hidden=64, heads=4, kv_heads=2, inter=96):
+    cfg = transformers.LlamaConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        intermediate_size=inter,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+def run_ours(path, tokens, n_slots=32, prefer_quant=False):
+    m = load_model(path, prefer_quant=prefer_quant, dense_dtype=jnp.float32)
+    N = len(tokens)
+    kv = KVCache.create(
+        m.cfg.n_layers, 1, n_slots, m.cfg.n_kv_heads, m.cfg.head_dim_k,
+        m.cfg.head_dim_v, dtype=jnp.float32,
+    )
+    inputs = AttnInputs(
+        seq_idx=jnp.zeros(N, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32),
+        positions=jnp.arange(N, dtype=jnp.int32),
+    )
+    logits, kv = forward(m.params, m.cfg, jnp.asarray(tokens, jnp.int32), inputs, kv)
+    return m, np.asarray(logits), kv
+
+
+def test_llama_logits_match_hf(tmp_path):
+    hf = tiny_llama()
+    path = str(tmp_path / "tiny.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+
+    tokens = [3, 17, 42, 7, 150, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.arch == "llama"
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_decode_matches_prefill(tmp_path):
+    hf = tiny_llama(layers=2)
+    path = str(tmp_path / "tiny.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [3, 17, 42, 7]
+
+    m, prefill_logits, _ = run_ours(path, tokens)
+
+    # token-by-token decode through the KV cache must agree with prefill
+    m2 = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    kv = KVCache.create(2, 1, 32, m2.cfg.n_kv_heads, m2.cfg.head_dim_k,
+                        m2.cfg.head_dim_v, dtype=jnp.float32)
+    outs = []
+    for i, t in enumerate(tokens):
+        inp = AttnInputs(
+            seq_idx=jnp.zeros(1, jnp.int32),
+            slots=jnp.array([i], jnp.int32),
+            positions=jnp.array([i], jnp.int32),
+        )
+        logits, kv = forward(m2.params, m2.cfg, jnp.array([t], jnp.int32), inp, kv)
+        outs.append(np.asarray(logits)[0])
+    np.testing.assert_allclose(np.stack(outs), prefill_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_gqa_and_tied(tmp_path):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=6, num_key_value_heads=3,
+        max_position_embeddings=64, tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    path = str(tmp_path / "tied.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [5, 9, 11]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    _, ours, _ = run_ours(path, tokens)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen3_qk_norm(tmp_path):
+    cfg = transformers.Qwen3Config(
+        vocab_size=151, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    hf = transformers.Qwen3ForCausalLM(cfg).eval()
+    path = str(tmp_path / "qwen3.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [1, 50, 99, 3]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    _, ours, _ = run_ours(path, tokens)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_mixtral_moe(tmp_path):
+    cfg = transformers.MixtralConfig(
+        vocab_size=97, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf = transformers.MixtralForCausalLM(cfg).eval()
+    path = str(tmp_path / "mixtral.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    _, ours, _ = run_ours(path, tokens)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_quantized_model_close(tmp_path):
+    """Q8_0 storage must track the f32 logits closely (PPL-delta analog)."""
+    hf = tiny_llama()
+    p32 = str(tmp_path / "f32.gguf")
+    p8 = str(tmp_path / "q8.gguf")
+    convert_hf_model(hf, p32, ftype="f32")
+    convert_hf_model(hf, p8, ftype="q8_0")
+    tokens = [3, 17, 42, 7]
+    _, ref, _ = run_ours(p32, tokens)
+    _, ours, _ = run_ours(p8, tokens, prefer_quant=True)
+    # logits in similar scale; q8 error small
+    assert np.mean(np.abs(ours - ref)) / (np.mean(np.abs(ref)) + 1e-9) < 0.03

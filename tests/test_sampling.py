@@ -1,0 +1,125 @@
+"""Sampler chain tests (analog of reference tests/test-sampling.cpp)."""
+
+import numpy as np
+
+from llama_cpp_tpu.sampling.samplers import (
+    Dry,
+    MinP,
+    Penalties,
+    SamplerChain,
+    SamplerState,
+    SamplingParams,
+    TopK,
+    TopNSigma,
+    TopP,
+    Typical,
+    _softmax,
+)
+
+
+def test_greedy():
+    p = SamplingParams(temp=0.0)
+    chain = SamplerChain.from_params(p)
+    logits = np.array([0.1, 2.0, -1.0, 1.9], dtype=np.float32)
+    assert chain.sample(logits) == 1
+
+
+def test_top_k():
+    st = SamplerState()
+    logits = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+    out = TopK(2).apply(st, logits.copy())
+    assert np.isinf(out[:2]).all() and (out[:2] < 0).all()
+    assert (out[2:] == logits[2:]).all()
+
+
+def test_top_p_keeps_mass():
+    st = SamplerState()
+    logits = np.log(np.array([0.5, 0.3, 0.15, 0.05], dtype=np.float32))
+    out = TopP(0.79).apply(st, logits.copy())
+    # 0.5 + 0.3 = 0.8 >= 0.79 -> keep the first two
+    assert np.isfinite(out[0]) and np.isfinite(out[1])
+    assert np.isinf(out[2]) and np.isinf(out[3])
+
+
+def test_min_p():
+    st = SamplerState()
+    logits = np.log(np.array([0.6, 0.3, 0.05, 0.05], dtype=np.float32))
+    out = MinP(0.2).apply(st, logits.copy())
+    # keep tokens with p >= 0.2*0.6 = 0.12
+    assert np.isfinite(out[0]) and np.isfinite(out[1])
+    assert np.isinf(out[2]) and np.isinf(out[3])
+
+
+def test_repeat_penalty():
+    st = SamplerState(prev=[2, 2, 3])
+    logits = np.array([1.0, 1.0, 1.0, -1.0], dtype=np.float32)
+    out = Penalties(64, 2.0, 0.0, 0.0).apply(st, logits.copy())
+    assert out[2] == 0.5  # positive logit divided
+    assert out[3] == -2.0  # negative logit multiplied
+    assert out[0] == 1.0
+
+
+def test_freq_presence():
+    st = SamplerState(prev=[1, 1, 1, 2])
+    logits = np.zeros(4, dtype=np.float32)
+    out = Penalties(64, 1.0, 0.5, 0.25).apply(st, logits.copy())
+    assert np.isclose(out[1], -0.5 * 3 - 0.25)
+    assert np.isclose(out[2], -0.5 - 0.25)
+    assert out[0] == 0.0
+
+
+def test_dry_penalizes_repetition():
+    st = SamplerState(prev=[5, 6, 7, 8, 5, 6, 7])
+    logits = np.zeros(10, dtype=np.float32)
+    out = Dry(1.0, 1.75, 2, -1).apply(st, logits.copy())
+    # context ends with 5,6,7 which previously continued with 8
+    assert out[8] < 0
+    assert out[9] == 0
+
+
+def test_top_n_sigma():
+    st = SamplerState()
+    logits = np.array([10.0, 9.5, 0.0, -5.0], dtype=np.float32)
+    out = TopNSigma(1.0).apply(st, logits.copy())
+    assert np.isfinite(out[0]) and np.isfinite(out[1])
+    assert np.isinf(out[3])
+
+
+def test_typical_keeps_probable():
+    st = SamplerState()
+    logits = np.log(np.array([0.97, 0.01, 0.01, 0.01], dtype=np.float32))
+    out = Typical(0.5).apply(st, logits.copy())
+    assert np.isfinite(out[0])
+
+
+def test_dist_sampling_statistics():
+    p = SamplingParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0, seed=42)
+    chain = SamplerChain.from_params(p)
+    logits = np.log(np.array([0.7, 0.2, 0.1], dtype=np.float32))
+    counts = np.zeros(3)
+    for _ in range(500):
+        t = chain.sample(logits.copy())
+        counts[t] += 1
+        chain.state.prev.clear()
+    freq = counts / counts.sum()
+    assert abs(freq[0] - 0.7) < 0.08
+
+
+def test_chain_determinism():
+    p = SamplingParams(temp=0.7, seed=7)
+    c1 = SamplerChain.from_params(p)
+    c2 = SamplerChain.from_params(p)
+    logits = np.random.default_rng(0).standard_normal(100).astype(np.float32)
+    s1 = [c1.sample(logits.copy()) for _ in range(10)]
+    s2 = [c2.sample(logits.copy()) for _ in range(10)]
+    assert s1 == s2
+
+
+def test_mirostat_runs():
+    p = SamplingParams(temp=0.8, mirostat=2, seed=1)
+    chain = SamplerChain.from_params(p)
+    logits = np.random.default_rng(1).standard_normal(50).astype(np.float32)
+    for _ in range(5):
+        t = chain.sample(logits.copy())
+        assert 0 <= t < 50
+    assert chain.state.mu != 0.0
