@@ -45,8 +45,9 @@ def supported_archs() -> list[str]:
 @register("llama")
 def _llama(cfg: ModelConfig, md) -> ModelConfig:
     # GGUF llama q/k weights are permuted for NORM-style rope
-    # (reference src/models/llama.cpp:99-247)
-    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+    # (reference src/models/llama.cpp:99-247); MoE (mixtral) normalizes the
+    # top-k router weights (build_moe_ffn norm_w=true, src/models/llama.cpp:196)
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, expert_weights_norm=True)
 
 
 @register("llama4")

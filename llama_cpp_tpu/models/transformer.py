@@ -205,8 +205,9 @@ def forward(
     tokens: jnp.ndarray,  # [N] int32 flattened
     inputs: AttnInputs,
     kv: KVCache,
+    output_rows: jnp.ndarray | None = None,  # [M] rows to compute logits for
 ) -> tuple[jnp.ndarray, KVCache]:
-    """-> (logits [N, vocab], updated KV)."""
+    """-> (logits [N or M, vocab], updated KV)."""
     cdtype = cfg.compute_dtype or jnp.bfloat16
     x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)
     if cfg.embd_scale != 1.0:
@@ -230,6 +231,8 @@ def forward(
             ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
         x = x + ff
 
+    if output_rows is not None:
+        x = x[output_rows]
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     out_w = params.get("output")
     if out_w is None:

@@ -1,0 +1,116 @@
+"""Device mesh + sharding rules.
+
+This single module replaces the reference's entire distribution stratum
+(SURVEY.md section 2.3): layer-split, meta-backend tensor-parallel with NCCL/
+butterfly allreduce (ggml/src/ggml-backend-meta.cpp, ggml-cuda allreduce), and
+the RPC multi-host fabric — with one jax.sharding.Mesh over ICI/DCN. Weights
+and KV get NamedShardings; XLA inserts the all-gather/reduce-scatter/
+all-reduce collectives the reference hand-builds.
+
+Axes:
+  dp — data/batch (sequences; continuous-batching rows)
+  tp — tensor parallel (attention heads / ffn hidden / vocab)
+(pp is expressed as layer-stage sharding over dp×tp submeshes in a later
+round; ep maps experts over tp.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.qtensor import QuantTensor
+
+
+def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if tp is None:
+        tp = len(devices) // dp
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# Weight sharding rules — the analog of llama_meta_device_get_split_state
+# (reference src/llama-model.cpp:668-709): per-tensor-role split axis.
+# Specs are for the [out, in] (row-major numpy) weight layout.
+# ---------------------------------------------------------------------------
+
+_ROW_SHARD = {  # shard output dim (column-parallel in Megatron terms)
+    "attn_q", "attn_k", "attn_v", "ffn_gate", "ffn_up", "output",
+    "ffn_gate_shexp", "ffn_up_shexp",
+}
+_COL_SHARD = {  # shard input dim (row-parallel: outputs partial, XLA all-reduces)
+    "attn_output", "ffn_down", "ffn_down_shexp",
+}
+_EXPERT_SHARD = {"ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}  # experts over tp
+_VOCAB_SHARD = {"token_embd"}
+
+
+def weight_pspec(key: str, ndim: int) -> P:
+    if key in _ROW_SHARD:
+        return P("tp", None) if ndim == 2 else P("tp")
+    if key in _COL_SHARD:
+        return P(None, "tp") if ndim == 2 else P(None)
+    if key in _EXPERT_SHARD:
+        return P("tp", None, None)
+    if key in _VOCAB_SHARD:
+        return P("tp", None) if ndim == 2 else P(None)
+    return P()  # replicated (norms, biases, small tensors)
+
+
+def _shard_leaf(mesh: Mesh, spec: P, x):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _qt_specs(key: str, qt: QuantTensor) -> tuple[P, P]:
+    wspec = weight_pspec(key, qt.q.ndim)
+    # scales/mins share the leading dims; the grouped axis follows the last dim
+    return wspec, wspec
+
+
+def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
+    """Apply NamedShardings to a loaded weight pytree."""
+
+    def place(key: str, w):
+        if isinstance(w, QuantTensor):
+            wspec, sspec = _qt_specs(key, w)
+            return QuantTensor(
+                q=_shard_leaf(mesh, wspec, w.q),
+                scales=_shard_leaf(mesh, sspec, w.scales),
+                mins=None if w.mins is None else _shard_leaf(mesh, sspec, w.mins),
+                group=w.group,
+                ggml_type=w.ggml_type,
+            )
+        spec = weight_pspec(key, getattr(w, "ndim", 0))
+        return _shard_leaf(mesh, spec, w)
+
+    out = {k: (v if k == "layers" else place(k, v)) for k, v in params.items()}
+    out["layers"] = [
+        {k: place(k, v) for k, v in lw.items()} for lw in params["layers"]
+    ]
+    return out
+
+
+def kv_pspec() -> P:
+    # [n_layers, n_seqs, n_slots, n_kv_heads, head_dim]: heads over tp, seqs over dp
+    return P(None, "dp", None, "tp", None)
+
+
+def shard_kv(kv, mesh: Mesh):
+    from ..runtime.kv_cache import KVCache
+
+    spec = NamedSharding(mesh, kv_pspec())
+    pos_spec = NamedSharding(mesh, P("dp", None))
+    return KVCache(
+        k=jax.device_put(kv.k, spec),
+        v=jax.device_put(kv.v, spec),
+        pos=jax.device_put(kv.pos, pos_spec),
+        k_scale=None if kv.k_scale is None else jax.device_put(kv.k_scale, NamedSharding(mesh, P(None, "dp", None, "tp"))),
+        v_scale=None if kv.v_scale is None else jax.device_put(kv.v_scale, NamedSharding(mesh, P(None, "dp", None, "tp"))),
+    )

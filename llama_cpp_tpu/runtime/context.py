@@ -1,0 +1,234 @@
+"""Inference context: the llama_context analog.
+
+Owns the KV cache, jitted step functions (keyed by static shape buckets — the
+TPU answer to the reference's graph-reuse `can_reuse`, src/llama-context.cpp:
+1335), the batch bucketing policy, and the generation loop. Multi-sequence
+slots map onto KV cache rows; a reserved trash slot absorbs padding writes so
+every decode step has one static shape.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.loader import Model
+from ..models.transformer import AttnInputs, forward
+from ..sampling.samplers import SamplerChain, SamplingParams
+from .kv_cache import KVCache
+
+
+def _bucket(n: int, buckets: Iterable[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return max(buckets)
+
+
+@dataclass
+class PerfCounters:
+    """llama_perf_context analog (include/llama.h:1545-1570)."""
+
+    t_load_ms: float = 0.0
+    t_prefill_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    n_prefill: int = 0
+    n_decode: int = 0
+    n_reused_graphs: int = 0
+
+    def summary(self) -> dict:
+        return {
+            "prefill_tok_per_s": self.n_prefill / (self.t_prefill_ms / 1e3 + 1e-9),
+            "decode_tok_per_s": self.n_decode / (self.t_decode_ms / 1e3 + 1e-9),
+            **self.__dict__,
+        }
+
+
+class Context:
+    def __init__(
+        self,
+        model: Model,
+        n_ctx: int = 2048,
+        n_seqs: int = 1,
+        n_ubatch: int = 512,
+        kv_dtype=jnp.bfloat16,
+        quantized_kv: bool = False,
+    ):
+        self.model = model
+        self.cfg = model.cfg
+        self.n_ctx = n_ctx
+        self.n_seqs = n_seqs
+        self.n_ubatch = n_ubatch
+        # +1 trash slot absorbs padding writes (pos stays -1 there)
+        self.kv = KVCache.create(
+            self.cfg.n_layers,
+            n_seqs,
+            n_ctx + 1,
+            self.cfg.n_kv_heads,
+            self.cfg.head_dim_k,
+            self.cfg.head_dim_v,
+            dtype=kv_dtype,
+            quantized=quantized_kv,
+        )
+        self.trash_slot = n_ctx
+        self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths
+        self.perf = PerfCounters()
+        self.prefill_buckets = [b for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048) if b <= max(n_ubatch, 8)]
+        if not self.prefill_buckets:
+            self.prefill_buckets = [n_ubatch]
+        self._steps: dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, n_tokens: int) -> Callable:
+        fn = self._steps.get(n_tokens)
+        if fn is not None:
+            self.perf.n_reused_graphs += 1
+            return fn
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step(params, tokens, kv, seq_idx, slots, positions, output_rows):
+            inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
+            return forward(params, cfg, tokens, inputs, kv, output_rows)
+
+        self._steps[n_tokens] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def decode(
+        self,
+        tokens: np.ndarray,  # [N] int32
+        seq_idx: np.ndarray,  # [N]
+        positions: np.ndarray,  # [N]
+        output_rows: np.ndarray,  # [M] indices into N
+    ) -> np.ndarray:
+        """Low-level ubatch decode -> logits [M, vocab]. Slots = positions
+        (identity layout; context-shift remaps later)."""
+        n = len(tokens)
+        bucket = _bucket(n, self.prefill_buckets)
+        pad = bucket - n
+
+        def padded(a, fill):
+            a = np.asarray(a)
+            return np.concatenate([a, np.full(pad, fill, a.dtype)]) if pad else a
+
+        toks = padded(tokens, 0).astype(np.int32)
+        sidx = padded(seq_idx, 0).astype(np.int32)
+        pos = padded(positions, -1).astype(np.int32)
+        slots = np.where(pos >= 0, np.minimum(pos, self.n_ctx - 1), self.trash_slot).astype(np.int32)
+        # fixed-size output gather (pad by repeating row 0)
+        m = len(output_rows)
+        out_rows = np.asarray(output_rows, dtype=np.int32)
+        step = self._step_fn(bucket)
+        logits, self.kv = step(
+            self.model.params,
+            jnp.asarray(toks),
+            self.kv,
+            jnp.asarray(sidx),
+            jnp.asarray(slots),
+            jnp.asarray(pos),
+            jnp.asarray(out_rows),
+        )
+        return np.asarray(logits[:m])
+
+    # ------------------------------------------------------------------
+    def prefill(self, prompt: list[int], seq: int = 0) -> np.ndarray:
+        """Feed a prompt; returns last-token logits [vocab]."""
+        t0 = time.perf_counter()
+        pos0 = int(self.seq_len[seq])
+        logits = None
+        for off in range(0, len(prompt), self.n_ubatch):
+            chunk = prompt[off : off + self.n_ubatch]
+            positions = np.arange(pos0 + off, pos0 + off + len(chunk))
+            logits = self.decode(
+                np.asarray(chunk),
+                np.full(len(chunk), seq),
+                positions,
+                np.asarray([len(chunk) - 1]),
+            )
+        self.seq_len[seq] = pos0 + len(prompt)
+        self.perf.n_prefill += len(prompt)
+        self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1e3
+        return logits[0]
+
+    def decode_one(self, token: int, seq: int = 0) -> np.ndarray:
+        t0 = time.perf_counter()
+        pos = int(self.seq_len[seq])
+        logits = self.decode(
+            np.asarray([token]), np.asarray([seq]), np.asarray([pos]), np.asarray([0])
+        )
+        self.seq_len[seq] = pos + 1
+        self.perf.n_decode += 1
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        return logits[0]
+
+    def decode_step_multi(self, tokens: np.ndarray, seqs: np.ndarray) -> np.ndarray:
+        """One decode step for several sequences at once (continuous batching).
+        tokens[i] appended to seqs[i]; returns logits [len(seqs), vocab]."""
+        t0 = time.perf_counter()
+        pos = self.seq_len[seqs]
+        logits = self.decode(tokens, seqs, pos, np.arange(len(seqs)))
+        self.seq_len[seqs] += 1
+        self.perf.n_decode += len(seqs)
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        return logits
+
+    # -- sequence management (llama_memory seq API analog) ---------------
+    def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30):
+        self.kv = self.kv.seq_rm(seq, p0, p1)
+        if p0 == 0:
+            self.seq_len[seq] = 0
+        else:
+            self.seq_len[seq] = min(self.seq_len[seq], p0)
+
+    def seq_cp(self, dst: int, src: int):
+        self.kv = self.kv.seq_cp(dst, src)
+        self.seq_len[dst] = self.seq_len[src]
+
+    def reset(self):
+        self.kv = KVCache.create(
+            self.cfg.n_layers,
+            self.n_seqs,
+            self.n_ctx + 1,
+            self.cfg.n_kv_heads,
+            self.cfg.head_dim_k,
+            self.cfg.head_dim_v,
+            dtype=self.kv.k.dtype if not self.kv.quantized else jnp.bfloat16,
+            quantized=self.kv.quantized,
+        )
+        self.seq_len[:] = 0
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt: list[int],
+        max_new_tokens: int = 128,
+        sampler: SamplerChain | None = None,
+        seq: int = 0,
+        stop_fn: Callable[[int], bool] | None = None,
+        stream: Callable[[int], None] | None = None,
+    ) -> list[int]:
+        if sampler is None:
+            sampler = SamplerChain.from_params(SamplingParams(temp=0.0))
+        vocab = self.model.tokenizer.vocab if self.model.tokenizer else None
+        logits = self.prefill(prompt, seq=seq)
+        out: list[int] = []
+        for _ in range(max_new_tokens):
+            token = sampler.sample(logits)
+            out.append(token)
+            if stream:
+                stream(token)
+            if stop_fn and stop_fn(token):
+                break
+            if vocab is not None and vocab.is_eog(token):
+                break
+            if self.seq_len[seq] >= self.n_ctx:
+                break
+            logits = self.decode_one(token, seq=seq)
+        return out

@@ -1,0 +1,124 @@
+"""Synthetic model fixtures (analog of reference tests/gguf-model-data.cpp:
+generate fake models in memory — no downloads)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .gguf.constants import GGMLType, Keys, TokenType
+from .gguf.writer import GGUFWriter
+from .quant.quantize import quantize
+
+
+def tiny_spm_vocab(n_tokens: int = 256) -> dict:
+    """Minimal SPM-style vocab: specials + byte tokens + a few words."""
+    K = Keys.Tokenizer
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [int(TokenType.UNKNOWN), int(TokenType.CONTROL), int(TokenType.CONTROL)]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(int(TokenType.BYTE))
+        scores.append(0.0)
+    words = ["▁the", "▁a", "▁of", "▁to", "▁and", "▁in", "he", "at", "on", "re",
+             "▁is", "▁was", "th", "er", "an", "▁that", "ing", "▁it", "es", "en"]
+    # include single chars + prefixes so SPM bigram merging can reach the words
+    pieces: dict[str, float] = {}
+    for ch in "▁abcdefghijklmnopqrstuvwxyz":
+        pieces[ch] = -30.0
+    for i, wrd in enumerate(words):
+        for plen in range(2, len(wrd)):
+            pieces.setdefault(wrd[:plen], -20.0 - plen)
+        pieces[wrd] = -float(i)
+    for wrd, score in pieces.items():
+        tokens.append(wrd)
+        types.append(int(TokenType.NORMAL))
+        scores.append(score)
+    pad = n_tokens - len(tokens)
+    for i in range(max(pad, 0)):
+        tokens.append(f"▁w{i}")
+        types.append(int(TokenType.NORMAL))
+        scores.append(-100.0 - i)
+    return {
+        K.MODEL: "llama",
+        K.TOKENS: tokens[:max(n_tokens, len(tokens))],
+        K.SCORES: np.asarray(scores[:max(n_tokens, len(scores))], dtype=np.float32),
+        K.TOKEN_TYPE: np.asarray(types[:max(n_tokens, len(types))], dtype=np.int32),
+        K.BOS_ID: np.uint32(1),
+        K.EOS_ID: np.uint32(2),
+        K.UNK_ID: np.uint32(0),
+        K.ADD_BOS: True,
+        K.ADD_SPACE_PREFIX: True,
+    }
+
+
+def make_tiny_llama_gguf(
+    path: str,
+    vocab_size: int = 300,
+    n_layers: int = 2,
+    n_embd: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    n_ff: int = 128,
+    ftype: str = "f32",
+    seed: int = 0,
+    n_ctx: int = 256,
+) -> str:
+    """Random-weight llama-arch GGUF with a working SPM vocab."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "llama")
+    w.add(Keys.General.NAME, "tiny-synthetic")
+    w.add("llama.block_count", np.uint32(n_layers))
+    w.add("llama.context_length", np.uint32(n_ctx))
+    w.add("llama.embedding_length", np.uint32(n_embd))
+    w.add("llama.feed_forward_length", np.uint32(n_ff))
+    w.add("llama.attention.head_count", np.uint32(n_heads))
+    w.add("llama.attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", 10000.0)
+    w.add("llama.rope.dimension_count", np.uint32(head_dim))
+    w.add("llama.vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    # make vocab arrays consistent with vocab_size
+    vocab[Keys.Tokenizer.TOKENS] = vocab[Keys.Tokenizer.TOKENS][:vocab_size]
+    vocab[Keys.Tokenizer.SCORES] = vocab[Keys.Tokenizer.SCORES][:vocab_size]
+    vocab[Keys.Tokenizer.TOKEN_TYPE] = vocab[Keys.Tokenizer.TOKEN_TYPE][:vocab_size]
+    w.add_all(vocab)
+
+    ft = {"f32": GGMLType.F32, "f16": GGMLType.F16, "q8_0": GGMLType.Q8_0,
+          "q4_k": GGMLType.Q4_K, "q4_0": GGMLType.Q4_0}[ftype]
+
+    def emit(name, arr, force_f32=False):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        t = GGMLType.F32 if (force_f32 or arr.ndim == 1 or arr.shape[-1] % 256 != 0) else ft
+        if t == GGMLType.F32:
+            data = arr.tobytes()
+        elif t == GGMLType.F16:
+            data = arr.astype(np.float16).tobytes()
+        else:
+            data = quantize(arr, t).tobytes()
+        w.add_tensor(name, data, tuple(reversed(arr.shape)), t)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.02))
+    emit("output_norm.weight", np.ones(n_embd))
+    emit("output.weight", rand(vocab_size, n_embd))
+    kv_dim = n_kv_heads * head_dim
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", np.ones(n_embd))
+        emit(b + "attn_q.weight", rand(n_embd, n_embd))
+        emit(b + "attn_k.weight", rand(kv_dim, n_embd))
+        emit(b + "attn_v.weight", rand(kv_dim, n_embd))
+        emit(b + "attn_output.weight", rand(n_embd, n_embd))
+        emit(b + "ffn_norm.weight", np.ones(n_embd))
+        emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write(path)
+    return path

@@ -5,13 +5,20 @@ test-backend-ops CPU-as-oracle strategy, SURVEY.md section 4)."""
 import os
 import sys
 
-# must happen before jax import anywhere in the test process
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unit tests are the CPU oracle harness; the real chip is for bench.py only.
+# jax may already be imported (pytest plugins) with JAX_PLATFORMS=axon baked
+# into its config default, so override via jax.config — effective until the
+# first backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,3 +41,10 @@ def gguf_py():
     import gguf  # type: ignore
 
     return gguf
+
+
+def pytest_sessionstart(session):
+    import jax
+
+    print(f"\n[conftest] jax backend: {jax.default_backend()}, "
+          f"devices: {len(jax.devices())}, platforms env: {os.environ.get('JAX_PLATFORMS')}")

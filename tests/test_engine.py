@@ -1,0 +1,124 @@
+"""Runtime context tests on the synthetic tiny model: generation determinism,
+KV consistency, multi-sequence isolation, seq ops."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llama_cpp_tpu.models.loader import load_model
+from llama_cpp_tpu.runtime.context import Context
+from llama_cpp_tpu.sampling.samplers import SamplerChain, SamplingParams
+from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_tiny_llama_gguf(path, vocab_size=300, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128)
+    return load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+
+
+def test_tokenizer_roundtrip(tiny_model):
+    tok = tiny_model.tokenizer
+    ids = tok.encode("the cat", add_special=True)
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids[1:]) == "the cat"
+
+
+def test_greedy_generation_deterministic(tiny_model):
+    ctx1 = Context(tiny_model, n_ctx=64)
+    ctx2 = Context(tiny_model, n_ctx=64)
+    prompt = tiny_model.tokenizer.encode("the")
+    out1 = ctx1.generate(prompt, max_new_tokens=8)
+    out2 = ctx2.generate(prompt, max_new_tokens=8)
+    assert out1 == out2
+    assert len(out1) >= 1
+
+
+def test_prefill_equals_stepwise(tiny_model):
+    prompt = [1, 5, 9, 30, 42]
+    ctx1 = Context(tiny_model, n_ctx=32)
+    l1 = ctx1.prefill(prompt)
+    ctx2 = Context(tiny_model, n_ctx=32)
+    for t in prompt[:-1]:
+        ctx2.decode_one(t)
+    l2 = ctx2.decode_one(prompt[-1])
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_seq_isolation(tiny_model):
+    """Decoding seq 1 must not change seq 0's continuation."""
+    ctx = Context(tiny_model, n_ctx=32, n_seqs=2)
+    l0 = ctx.prefill([1, 5, 9], seq=0)
+    ctx.prefill([2, 7], seq=1)
+    ctx.decode_one(11, seq=1)
+    ctx_ref = Context(tiny_model, n_ctx=32, n_seqs=2)
+    l0_ref = ctx_ref.prefill([1, 5, 9], seq=0)
+    np.testing.assert_allclose(l0, l0_ref, rtol=1e-5)
+    # continuation after other-seq activity matches a fresh context
+    cont = ctx.decode_one(4, seq=0)
+    cont_ref = ctx_ref.decode_one(4, seq=0)
+    np.testing.assert_allclose(cont, cont_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_seq_rm_resets(tiny_model):
+    ctx = Context(tiny_model, n_ctx=32)
+    l1 = ctx.prefill([1, 5, 9])
+    ctx.seq_rm(0)
+    assert ctx.seq_len[0] == 0
+    l2 = ctx.prefill([1, 5, 9])
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_seq_cp(tiny_model):
+    ctx = Context(tiny_model, n_ctx=32, n_seqs=2)
+    ctx.prefill([1, 5, 9], seq=0)
+    ctx.seq_cp(1, 0)
+    a = ctx.decode_one(4, seq=0)
+    b = ctx.decode_one(4, seq=1)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_batched_decode_matches_single(tiny_model):
+    ctx = Context(tiny_model, n_ctx=32, n_seqs=2)
+    ctx.prefill([1, 5], seq=0)
+    ctx.prefill([2, 7, 9], seq=1)
+    both = ctx.decode_step_multi(np.array([11, 13]), np.array([0, 1]))
+
+    ref = Context(tiny_model, n_ctx=32, n_seqs=2)
+    ref.prefill([1, 5], seq=0)
+    ref.prefill([2, 7, 9], seq=1)
+    r0 = ref.decode_one(11, seq=0)
+    r1 = ref.decode_one(13, seq=1)
+    np.testing.assert_allclose(both[0], r0, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(both[1], r1, rtol=1e-4, atol=1e-4)
+
+
+def test_sampled_generation_with_seed(tiny_model):
+    ctx = Context(tiny_model, n_ctx=64)
+    prompt = [1, 5]
+    p = SamplingParams(temp=0.9, seed=123)
+    out1 = ctx.generate(prompt, 6, SamplerChain.from_params(p))
+    ctx.seq_rm(0)
+    out2 = ctx.generate(prompt, 6, SamplerChain.from_params(p))
+    assert out1 == out2
+
+
+def test_quantized_kv_close(tiny_model):
+    ctx_f = Context(tiny_model, n_ctx=32, kv_dtype=jnp.float32)
+    ctx_q = Context(tiny_model, n_ctx=32, quantized_kv=True)
+    prompt = [1, 5, 9, 30]
+    lf = ctx_f.prefill(prompt)
+    lq = ctx_q.prefill(prompt)
+    # int8 KV must stay close in logit space
+    assert np.mean(np.abs(lf - lq)) / (np.abs(lf).mean() + 1e-9) < 0.05
+
+
+def test_perf_counters(tiny_model):
+    ctx = Context(tiny_model, n_ctx=32)
+    ctx.generate([1, 5, 9], max_new_tokens=4)
+    s = ctx.perf.summary()
+    assert s["n_prefill"] == 3
+    assert s["n_decode"] >= 1
