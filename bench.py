@@ -43,21 +43,16 @@ def main():
     ctx = Context(model, n_ctx=1024, n_seqs=1)
 
     prompt = list(np.random.default_rng(0).integers(10, 30000, 128))
-    ctx.prefill(prompt)
 
-    # warmup decode (compile)
-    tok = 5
-    for _ in range(3):
-        logits = ctx.decode_one(tok)
-        tok = int(np.argmax(logits))
+    # warmup: compile prefill + the on-device scan chunk
+    ctx.generate_ondevice(prompt, max_new_tokens=33, chunk=32)
+    ctx.seq_rm(0)
 
     n_decode = 64
-    t0 = time.perf_counter()
-    for _ in range(n_decode):
-        logits = ctx.decode_one(tok)
-        tok = int(np.argmax(logits))
-    dt = time.perf_counter() - t0
-    tps = n_decode / dt
+    ctx.perf.t_decode_ms = 0.0
+    ctx.perf.n_decode = 0
+    out = ctx.generate_ondevice(prompt, max_new_tokens=n_decode + 1, chunk=32)
+    tps = ctx.perf.n_decode / (ctx.perf.t_decode_ms / 1e3)
 
     print(
         json.dumps(

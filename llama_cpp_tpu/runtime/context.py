@@ -205,6 +205,109 @@ class Context:
         self.seq_len[:] = 0
 
     # ------------------------------------------------------------------
+    # On-device decode loop: K tokens per dispatch via lax.scan with
+    # sampling fused into the step (the reference is moving the same
+    # direction with backend sampling, include/llama.h:1285; on TPU this
+    # removes the per-token host round trip entirely).
+    # ------------------------------------------------------------------
+    def _gen_chunk_fn(self, chunk: int, greedy: bool, temp: float, top_k: int):
+        key3 = (chunk, greedy, round(temp, 4), top_k)
+        fn = self._steps.get(key3)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        n_ctx = self.n_ctx
+
+        def sample(logits, rng):
+            if greedy:
+                return jnp.argmax(logits).astype(jnp.int32)
+            scaled = logits.astype(jnp.float32) / max(temp, 1e-6)
+            if top_k > 0:
+                vals, _ = jax.lax.top_k(scaled, top_k)
+                kth = vals[-1]
+                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            return jax.random.categorical(rng, scaled).astype(jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def gen_chunk(params, kv, first_token, pos0, seq, rng):
+            def body(carry, _):
+                kv, tok, pos, rng = carry
+                slot = jnp.minimum(pos, n_ctx - 1)
+                inputs = AttnInputs(
+                    seq_idx=seq[None], slots=slot[None], positions=pos[None]
+                )
+                logits, kv = forward(params, cfg, tok[None], inputs, kv)
+                rng, sub = jax.random.split(rng)
+                nxt = sample(logits[0], sub)
+                return (kv, nxt, pos + 1, rng), nxt
+
+            (kv, _, _, _), toks = jax.lax.scan(
+                body, (kv, first_token, pos0, rng), None, length=chunk
+            )
+            return kv, toks
+
+        self._steps[key3] = gen_chunk
+        return gen_chunk
+
+    def generate_ondevice(
+        self,
+        prompt: list[int],
+        max_new_tokens: int = 128,
+        temp: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
+        seq: int = 0,
+        chunk: int = 32,
+        stream: Callable[[int], None] | None = None,
+    ) -> list[int]:
+        """Greedy/simple-sampled generation with the decode loop on device.
+        EOG is checked on the host once per chunk."""
+        import jax.random as jrandom
+
+        logits = self.prefill(prompt, seq=seq)
+        first = int(np.argmax(logits)) if temp <= 0 else None
+        if first is None:
+            chain = SamplerChain.from_params(SamplingParams(temp=temp, top_k=top_k, seed=seed))
+            first = chain.sample(logits)
+        out = [first]
+        if stream:
+            stream(first)
+        vocab = self.model.tokenizer.vocab if self.model.tokenizer else None
+        if vocab is not None and vocab.is_eog(first):
+            return out
+        rng = jrandom.PRNGKey(seed)
+        t0 = time.perf_counter()
+        while len(out) < max_new_tokens:
+            n = min(chunk, max_new_tokens - len(out))
+            if int(self.seq_len[seq]) + n + 1 >= self.n_ctx:
+                break
+            fn = self._gen_chunk_fn(n, temp <= 0, temp, top_k)
+            rng, sub = jrandom.split(rng)
+            self.kv, toks = fn(
+                self.model.params,
+                self.kv,
+                jnp.int32(out[-1]),
+                jnp.int32(self.seq_len[seq]),
+                jnp.int32(seq),
+                sub,
+            )
+            toks = np.asarray(toks)
+            self.seq_len[seq] += n
+            self.perf.n_decode += n
+            stop = False
+            for t in toks:
+                out.append(int(t))
+                if stream:
+                    stream(int(t))
+                if vocab is not None and vocab.is_eog(int(t)):
+                    stop = True
+                    break
+            if stop:
+                break
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
+        return out
+
+    # ------------------------------------------------------------------
     def generate(
         self,
         prompt: list[int],

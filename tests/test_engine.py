@@ -122,3 +122,12 @@ def test_perf_counters(tiny_model):
     s = ctx.perf.summary()
     assert s["n_prefill"] == 3
     assert s["n_decode"] >= 1
+
+
+def test_ondevice_generation_matches_host(tiny_model):
+    ctx1 = Context(tiny_model, n_ctx=64)
+    prompt = [1, 5, 9]
+    host = ctx1.generate(prompt, max_new_tokens=10)
+    ctx2 = Context(tiny_model, n_ctx=64)
+    dev = ctx2.generate_ondevice(prompt, max_new_tokens=10, chunk=4)
+    assert host == dev
