@@ -131,12 +131,16 @@ def load_model(
             log.debug("skipping unmapped tensor %s", name)
             continue
         dense = key in _DENSE_KEYS or len(info.shape) == 1
+        # matmul weights store transposed planes (TPU kernel layout);
+        # the embedding table stays row-major for gather
+        transpose = not dense and key != "token_embd" and len(info.shape) >= 2
         w = load_weight(
             np.asarray(info.data),
             info.dtype,
             info.shape,
             prefer_quant=prefer_quant and not dense,
             dense_dtype=jnp.float32 if dense else dense_dtype,
+            transpose=transpose,
         )
         if device_put is not None:
             w = device_put(name, w)

@@ -181,7 +181,7 @@ def moe_block(
             return QuantTensor(
                 q=w.q[e], scales=w.scales[e],
                 mins=None if w.mins is None else w.mins[e],
-                group=w.group, ggml_type=w.ggml_type,
+                group=w.group, ggml_type=w.ggml_type, transposed=w.transposed,
             )
         return w[e]
 

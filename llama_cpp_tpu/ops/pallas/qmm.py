@@ -1,0 +1,161 @@
+"""Fused dequantize-and-GEMM Pallas kernel over canonical block-scaled planes.
+
+TPU replacement for the reference's quantized GEMM/GEMV kernel family (CUDA
+mmq.cu / mmvq.cu, CPU repack GEMM): int8 weight planes stream HBM->VMEM,
+dequantize on the VPU inside the kernel, and feed the MXU — HBM traffic stays
+at quantized size with no bf16 weight materialization round-trip.
+
+Layout: weights are stored TRANSPOSED, q [K, O] with scales [K//g, O], so the
+per-group scale expansion is a sublane broadcast + free leading-dim reshape
+(lane-dim element-repeat is not a native TPU op). The min/offset term of
+affine formats (Q4_1/Q4_K/...) reduces to (x @ B) @ mins with B the constant
+0/1 group-summing matrix, built from iota on the fly — both terms run on the
+MXU. One kernel serves all 27 ggml formats thanks to load-time
+canonicalization (quant/repack.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _expand_scales(sc: jnp.ndarray, group: int) -> jnp.ndarray:
+    """[K//g, O] -> [K, O]: broadcast each scale row across its g sublanes."""
+    kg, o = sc.shape
+    return jnp.broadcast_to(sc[:, None, :], (kg, group, o)).reshape(kg * group, o)
+
+
+def _group_sum_matrix(k: int, group: int) -> jnp.ndarray:
+    """Constant [K, K//g] 0/1 matrix: (x @ B)[n, G] = sum of x group G."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k // group), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k // group), 1)
+    return (row // group == col).astype(jnp.float32)
+
+
+def _qmm_kernel(x_ref, q_ref, sc_ref, out_ref, *, group: int):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    w = q_ref[:, :].astype(jnp.float32) * _expand_scales(sc_ref[:, :], group)
+    out_ref[:, :] += jnp.dot(
+        x_ref[:, :].astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _qmm_min_kernel(x_ref, q_ref, sc_ref, mn_ref, out_ref, *, group: int):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    w = q_ref[:, :].astype(jnp.float32) * _expand_scales(sc_ref[:, :], group)
+    x = x_ref[:, :]
+    out_ref[:, :] += jnp.dot(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    xf = x.astype(jnp.float32)
+    xg = jnp.dot(xf, _group_sum_matrix(xf.shape[1], group),
+                 preferred_element_type=jnp.float32)  # [N, K/g]
+    out_ref[:, :] += jnp.dot(xg, mn_ref[:, :], preferred_element_type=jnp.float32)
+
+
+def _pick_tile(dim: int, targets) -> int:
+    for t in targets:
+        if dim % t == 0:
+            return t
+    return dim
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "interpret", "tile_n", "tile_o", "tile_k")
+)
+def qmm_planes(
+    x: jnp.ndarray,  # [N, K] (N multiple of 8)
+    qT: jnp.ndarray,  # [K, O] int8
+    scalesT: jnp.ndarray,  # [K//group, O] f32
+    minsT: jnp.ndarray | None = None,
+    *,
+    group: int,
+    interpret: bool = False,
+    tile_n: int = 0,
+    tile_o: int = 0,
+    tile_k: int = 0,
+) -> jnp.ndarray:
+    N, K = x.shape
+    O = qT.shape[1]
+    tn = tile_n or _pick_tile(N, (256, 128, 64, 32, 16, 8))
+    to = tile_o or _pick_tile(O, (512, 256, 128))
+    tk = tile_k or _pick_tile(K, (2048, 1024, 512, 256))
+    grid = (N // tn, O // to, K // tk)
+    kern = _qmm_min_kernel if minsT is not None else _qmm_kernel
+    in_specs = [
+        pl.BlockSpec((tn, tk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((tk, to), lambda i, j, k: (k, j)),
+        pl.BlockSpec((tk // group, to), lambda i, j, k: (k, j)),
+    ]
+    args = [x, qT, scalesT]
+    if minsT is not None:
+        in_specs.append(pl.BlockSpec((tk // group, to), lambda i, j, k: (k, j)))
+        args.append(minsT)
+    return pl.pallas_call(
+        functools.partial(kern, group=group),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, to), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * O * K,
+            bytes_accessed=N * K * 2 + O * K + O * (K // group) * 4 + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def qmm(x: jnp.ndarray, qt, interpret: bool = False) -> jnp.ndarray:
+    """y = x @ W^T for a transposed-plane QuantTensor. Pads N to sublanes."""
+    assert qt.transposed and qt.q.ndim == 2
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K)
+    N = x2.shape[0]
+    Np = max(_round_up(N, 8), 8)
+    if Np != N:
+        x2 = jnp.pad(x2, ((0, Np - N), (0, 0)))
+    out = qmm_planes(
+        x2,
+        qt.q,
+        qt.scales.astype(jnp.float32),
+        None if qt.mins is None else qt.mins.astype(jnp.float32),
+        group=qt.group,
+        interpret=interpret,
+    )
+    return out[:N].reshape(*lead, qt.q.shape[1])
+
+
+def pallas_qmm_dispatch(x, qt):
+    """matmul() hook: fused kernel when the layout/shape is tileable."""
+    if not qt.transposed or qt.q.ndim != 2:
+        return None
+    K, O = qt.q.shape
+    if K % 256 != 0 or O % 128 != 0 or (K // qt.group) % 8 != 0:
+        return None
+    return qmm(x, qt)

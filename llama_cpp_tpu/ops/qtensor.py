@@ -27,22 +27,30 @@ from ..quant.dequant import dequantize_tensor
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantTensor:
-    """Block-scaled planes for a 2-D (or stacked 3-D expert) weight."""
+    """Block-scaled planes for a 2-D (or stacked 3-D expert) weight.
 
-    q: jnp.ndarray  # int8 [..., out, in]
-    scales: jnp.ndarray  # f32/bf16 [..., out, in//g]
-    mins: jnp.ndarray | None  # like scales, or None
+    Non-transposed: q [..., out, in], scales [..., out, in//g].
+    Transposed (matmul weights; the TPU-friendly layout — scale groups run
+    along sublanes so in-kernel expansion is a free broadcast+reshape):
+    q [..., in, out], scales [..., in//g, out].
+    """
+
+    q: jnp.ndarray
+    scales: jnp.ndarray
+    mins: jnp.ndarray | None
     group: int  # static: elements per scale group
     ggml_type: int  # static: original storage dtype (for introspection)
+    transposed: bool = False  # static
 
     def tree_flatten(self):
         children = (self.q, self.scales, self.mins)
-        return children, (self.group, self.ggml_type)
+        return children, (self.group, self.ggml_type, self.transposed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scales, mins = children
-        return cls(q=q, scales=scales, mins=mins, group=aux[0], ggml_type=aux[1])
+        return cls(q=q, scales=scales, mins=mins, group=aux[0], ggml_type=aux[1],
+                   transposed=aux[2])
 
     @property
     def shape(self):
@@ -50,15 +58,24 @@ class QuantTensor:
 
     @property
     def out_features(self):
-        return self.q.shape[-2]
+        return self.q.shape[-1] if self.transposed else self.q.shape[-2]
 
     @property
     def in_features(self):
-        return self.q.shape[-1]
+        return self.q.shape[-2] if self.transposed else self.q.shape[-1]
 
     def dequant(self, dtype=jnp.bfloat16) -> jnp.ndarray:
-        *lead, out, k = self.q.shape
+        """Dequantize to storage orientation: [out, in], or [in, out] when
+        transposed (use with dot(x, w) directly)."""
         g = self.group
+        if self.transposed:
+            *lead, k, out = self.q.shape
+            qf = self.q.astype(jnp.float32).reshape(*lead, k // g, g, out)
+            w = qf * self.scales.astype(jnp.float32)[..., None, :]
+            if self.mins is not None:
+                w = w + self.mins.astype(jnp.float32)[..., None, :]
+            return w.reshape(*lead, k, out).astype(dtype)
+        *lead, out, k = self.q.shape
         qf = self.q.astype(jnp.float32).reshape(*lead, out, k // g, g)
         w = qf * self.scales.astype(jnp.float32)[..., None]
         if self.mins is not None:
@@ -66,7 +83,8 @@ class QuantTensor:
         return w.reshape(*lead, out, k).astype(dtype)
 
     def take_rows(self, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-        """Gather + dequantize rows (embedding lookup)."""
+        """Gather + dequantize rows (embedding lookup; row-major only)."""
+        assert not self.transposed, "take_rows requires row-major planes"
         g = self.group
         q = jnp.take(self.q, ids, axis=0).astype(jnp.float32)  # [..., k]
         sc = jnp.take(self.scales, ids, axis=0).astype(jnp.float32)
@@ -87,18 +105,31 @@ def load_weight(
     shape: tuple[int, ...],
     prefer_quant: bool = True,
     dense_dtype=jnp.bfloat16,
+    transpose: bool = False,
 ) -> Weight:
-    """Host-side: GGUF raw bytes -> device weight (planes or dense)."""
+    """Host-side: GGUF raw bytes -> device weight (planes or dense).
+
+    transpose=True stores planes in the TPU matmul layout (load-time repack,
+    the analog of ggml-cpu repack.cpp interleaving)."""
     n = int(np.prod(shape))
     if prefer_quant and ggml_dtype in PLANE_TYPES and shape[-1] % 256 == 0:
         q, sc, mn, g = extract_planes(raw, ggml_dtype, n)
+        q = q.reshape(shape)
+        sc = sc.reshape(*shape[:-1], shape[-1] // g)
+        mn = None if mn is None else mn.reshape(*shape[:-1], shape[-1] // g)
+        if transpose:
+            q = np.ascontiguousarray(np.swapaxes(q, -1, -2))
+            sc = np.ascontiguousarray(np.swapaxes(sc, -1, -2))
+            mn = None if mn is None else np.ascontiguousarray(np.swapaxes(mn, -1, -2))
         return QuantTensor(
-            q=jnp.asarray(q.reshape(shape)),
-            scales=jnp.asarray(sc.reshape(*shape[:-1], shape[-1] // g)),
-            mins=None if mn is None else jnp.asarray(mn.reshape(*shape[:-1], shape[-1] // g)),
+            q=jnp.asarray(q),
+            scales=jnp.asarray(sc),
+            mins=None if mn is None else jnp.asarray(mn),
             group=g,
             ggml_type=int(ggml_dtype),
+            transposed=transpose,
         )
+    # dense fallback always stays [out, in] (matmul uses w.T)
     w = dequantize_tensor(raw, ggml_dtype, shape)
     return jnp.asarray(w).astype(dense_dtype)
 
@@ -107,7 +138,7 @@ def load_weight(
 # matmul dispatch
 # ---------------------------------------------------------------------------
 
-_USE_PALLAS = False  # flipped on by ops/pallas when kernels are registered
+_USE_PALLAS: bool | None = None  # resolved lazily (TPU backend only)
 _PALLAS_QMM = None
 
 
@@ -117,16 +148,35 @@ def set_pallas_qmm(fn):
     _USE_PALLAS = fn is not None
 
 
+def _resolve_pallas() -> bool:
+    global _USE_PALLAS, _PALLAS_QMM
+    if _USE_PALLAS is None:
+        try:
+            if jax.default_backend() == "tpu":
+                from .pallas.qmm import pallas_qmm_dispatch
+
+                _PALLAS_QMM = pallas_qmm_dispatch
+                _USE_PALLAS = True
+            else:
+                _USE_PALLAS = False
+        except Exception:  # pragma: no cover - kernel import failure
+            _USE_PALLAS = False
+    return _USE_PALLAS
+
+
 def matmul(x: jnp.ndarray, w: Weight, dtype=None) -> jnp.ndarray:
     """y = x @ W.T with W in [out, in] layout (ggml mul_mat convention)."""
     out_dtype = dtype or x.dtype
     if isinstance(w, QuantTensor):
-        if _USE_PALLAS and _PALLAS_QMM is not None:
+        if _resolve_pallas() and _PALLAS_QMM is not None:
             y = _PALLAS_QMM(x, w)
-            return y.astype(out_dtype)
+            if y is not None:
+                return y.astype(out_dtype)
         wd = w.dequant(jnp.bfloat16)
+        if not w.transposed:
+            wd = wd.T
         return jnp.dot(
-            x.astype(jnp.bfloat16), wd.T, preferred_element_type=jnp.float32
+            x.astype(jnp.bfloat16), wd, preferred_element_type=jnp.float32
         ).astype(out_dtype)
     return jnp.dot(
         x.astype(w.dtype) if w.dtype == jnp.bfloat16 else x,

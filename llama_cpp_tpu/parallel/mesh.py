@@ -70,7 +70,12 @@ def _shard_leaf(mesh: Mesh, spec: P, x):
 
 def _qt_specs(key: str, qt: QuantTensor) -> tuple[P, P]:
     wspec = weight_pspec(key, qt.q.ndim)
-    # scales/mins share the leading dims; the grouped axis follows the last dim
+    if qt.transposed and qt.q.ndim >= 2:
+        # transposed planes swap the sharded dim: [in, out] layout
+        parts = list(wspec)
+        parts += [None] * (qt.q.ndim - len(parts))
+        parts[-1], parts[-2] = parts[-2], parts[-1]
+        wspec = P(*parts)
     return wspec, wspec
 
 

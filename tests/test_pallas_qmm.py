@@ -1,0 +1,60 @@
+"""Pallas fused dequant-GEMM conformance vs the XLA dequant reference
+(the analog of reference tests/test-backend-ops.cpp per-op NMSE checks),
+run in interpreter mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llama_cpp_tpu.gguf import GGMLType
+from llama_cpp_tpu.ops.qtensor import QuantTensor, load_weight
+from llama_cpp_tpu.ops.pallas.qmm import qmm
+from llama_cpp_tpu.quant import quantize
+
+
+def make_qt(qtype, O, K, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((O, K)) * 0.1).astype(np.float32)
+    raw = quantize(w, qtype)
+    qt = load_weight(raw, qtype, (O, K), prefer_quant=True, transpose=True)
+    assert isinstance(qt, QuantTensor) and qt.transposed
+    return qt
+
+
+@pytest.mark.parametrize(
+    "qtype,O,K,N",
+    [
+        (GGMLType.Q8_0, 256, 256, 8),
+        (GGMLType.Q8_0, 512, 512, 16),
+        (GGMLType.Q4_0, 256, 512, 8),
+        (GGMLType.Q4_K, 256, 256, 8),  # has mins
+        (GGMLType.Q6_K, 256, 512, 32),  # group 16
+        (GGMLType.Q4_1, 128, 256, 8),  # mins, group 32
+    ],
+    ids=lambda v: str(v),
+)
+def test_qmm_matches_dequant_path(qtype, O, K, N):
+    qt = make_qt(qtype, O, K)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((rng.standard_normal((N, K)) * 0.5).astype(np.float32))
+
+    ref = jnp.dot(
+        x.astype(jnp.bfloat16), qt.dequant(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    got = qmm(x.astype(jnp.bfloat16), qt, interpret=True)
+    nmse = float(jnp.mean((got - ref) ** 2) / (jnp.mean(ref**2) + 1e-12))
+    assert nmse < 1e-4, nmse
+
+
+def test_qmm_pads_odd_rows():
+    qt = make_qt(GGMLType.Q8_0, 256, 256)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray((rng.standard_normal((3, 256))).astype(np.float32))
+    ref = jnp.dot(x.astype(jnp.bfloat16), qt.dequant(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    got = qmm(x.astype(jnp.bfloat16), qt, interpret=True)
+    assert got.shape == (3, 256)
+    nmse = float(jnp.mean((got - ref) ** 2) / (jnp.mean(ref**2) + 1e-12))
+    assert nmse < 1e-4
