@@ -206,8 +206,9 @@ def forward(
     inputs: AttnInputs,
     kv: KVCache,
     output_rows: jnp.ndarray | None = None,  # [M] rows to compute logits for
+    return_hidden: bool = False,  # pooling/embeddings path (llama_encode analog)
 ) -> tuple[jnp.ndarray, KVCache]:
-    """-> (logits [N or M, vocab], updated KV)."""
+    """-> (logits [N or M, vocab] or hidden [., n_embd], updated KV)."""
     cdtype = cfg.compute_dtype or jnp.bfloat16
     x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)
     if cfg.embd_scale != 1.0:
@@ -234,6 +235,8 @@ def forward(
     if output_rows is not None:
         x = x[output_rows]
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    if return_hidden:
+        return x, kv
     out_w = params.get("output")
     if out_w is None:
         out_w = params["token_embd"]

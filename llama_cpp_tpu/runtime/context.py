@@ -179,6 +179,45 @@ class Context:
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
         return logits
 
+    def embed(self, prompt: list[int], seq: int = 0, pooling: str = "mean") -> np.ndarray:
+        """Sequence embedding via final hidden states (llama_encode +
+        pooling analog; reference pooling types none/mean/cls/last)."""
+        cfg = self.cfg
+        key = ("embed", len(prompt))
+        fn = self._steps.get(key)
+        if fn is None:
+            n = len(prompt)
+
+            @jax.jit
+            def fn(params, tokens, kv, seq_idx, slots, positions):
+                inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
+                return forward(params, cfg, tokens, inputs, kv, return_hidden=True)
+
+            self._steps[key] = fn
+        n = len(prompt)
+        # throwaway KV: embedding passes never touch the serving cache
+        kv = KVCache.create(
+            self.cfg.n_layers, 1, n, self.cfg.n_kv_heads,
+            self.cfg.head_dim_k, self.cfg.head_dim_v, dtype=self.kv.k.dtype
+            if not self.kv.quantized else jnp.bfloat16,
+        )
+        hidden, _ = fn(
+            self.model.params,
+            jnp.asarray(prompt, jnp.int32),
+            kv,
+            jnp.zeros(n, jnp.int32),
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+        h = np.asarray(hidden, dtype=np.float32)
+        if pooling == "mean":
+            return h.mean(axis=0)
+        if pooling == "last":
+            return h[-1]
+        if pooling == "cls":
+            return h[0]
+        return h
+
     # -- sequence management (llama_memory seq API analog) ---------------
     def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30):
         self.kv = self.kv.seq_rm(seq, p0, p1)

@@ -1,0 +1,465 @@
+"""HTTP server: OpenAI + Anthropic compatible API over the continuous-batching
+scheduler.
+
+Endpoint parity with reference llama-server (tools/server/server.cpp:226-291):
+/v1/chat/completions, /v1/completions, /v1/embeddings, /v1/models, Anthropic
+/v1/messages, /tokenize, /detokenize, /health, /props, /metrics (Prometheus),
+/slots. SSE streaming for chat/completions/messages.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any
+
+from aiohttp import web
+
+from ..sampling.samplers import SamplingParams
+from .chat import apply_chat_template
+from .scheduler import GenTask, Scheduler
+
+
+def _sampling_from_request(body: dict[str, Any]) -> SamplingParams:
+    p = SamplingParams()
+    p.temp = float(body.get("temperature", 0.8))
+    p.top_p = float(body.get("top_p", p.top_p))
+    p.top_k = int(body.get("top_k", p.top_k))
+    p.min_p = float(body.get("min_p", p.min_p))
+    p.typical_p = float(body.get("typical_p", p.typical_p))
+    p.penalty_repeat = float(body.get("repeat_penalty", p.penalty_repeat))
+    p.penalty_freq = float(body.get("frequency_penalty", 0.0))
+    p.penalty_present = float(body.get("presence_penalty", 0.0))
+    p.penalty_last_n = int(body.get("repeat_last_n", p.penalty_last_n))
+    p.dry_multiplier = float(body.get("dry_multiplier", 0.0))
+    p.xtc_probability = float(body.get("xtc_probability", 0.0))
+    p.mirostat = int(body.get("mirostat", 0))
+    if "seed" in body and body["seed"] is not None:
+        p.seed = int(body["seed"]) & 0xFFFFFFFF
+    if body.get("logit_bias"):
+        p.logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
+    return p
+
+
+class ServerApp:
+    def __init__(self, scheduler: Scheduler, model_name: str = "model"):
+        self.sched = scheduler
+        self.model_name = model_name
+        self.ctx = scheduler.ctx
+        self.tok = scheduler.ctx.model.tokenizer
+        self.t_start = time.time()
+        self.app = web.Application()
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/props", self.props)
+        r.add_get("/metrics", self.metrics)
+        r.add_get("/v1/models", self.models)
+        r.add_get("/slots", self.slots)
+        r.add_post("/tokenize", self.tokenize)
+        r.add_post("/detokenize", self.detokenize)
+        r.add_post("/completion", self.completions)
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/v1/messages", self.anthropic_messages)
+        r.add_post("/infill", self.infill)
+
+    # -- helpers ---------------------------------------------------------
+    async def _run_task(self, task: GenTask, stream_q: asyncio.Queue | None = None):
+        loop = asyncio.get_running_loop()
+        done: asyncio.Future = loop.create_future()
+
+        def on_done(result):
+            loop.call_soon_threadsafe(
+                lambda: done.set_result(result) if not done.done() else None
+            )
+
+        task.done_cb = on_done
+        if stream_q is not None:
+            def on_delta(d):
+                loop.call_soon_threadsafe(stream_q.put_nowait, d)
+
+            task.stream_cb = on_delta
+        self.sched.submit(task)
+        return done
+
+    def _prompt_from_chat(self, body: dict) -> str:
+        template = body.get("chat_template") or (
+            self.tok.vocab.chat_template if self.tok else None
+        )
+        bos = self.tok.piece(self.tok.bos_id) if self.tok and self.tok.bos_id >= 0 else ""
+        eos = self.tok.piece(self.tok.eos_id) if self.tok and self.tok.eos_id >= 0 else ""
+        return apply_chat_template(
+            body.get("messages", []), template, bos, eos, True, body.get("tools")
+        )
+
+    def _make_task(self, body: dict, prompt: str | list[int]) -> GenTask:
+        if isinstance(prompt, str):
+            ids = self.tok.encode(prompt, add_special=True, parse_special=True)
+        else:
+            ids = list(prompt)
+        max_ctx = self.ctx.n_ctx
+        if len(ids) >= max_ctx - 1:
+            ids = ids[-(max_ctx - 64) :]
+        stop = body.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
+        grammar = body.get("grammar", "")
+        if body.get("response_format", {}).get("type") == "json_object" and not grammar:
+            from ..sampling.json_schema import JSON_GBNF
+
+            grammar = JSON_GBNF
+        if body.get("response_format", {}).get("type") == "json_schema" and not grammar:
+            from ..sampling.json_schema import schema_to_gbnf
+
+            schema = body["response_format"].get("json_schema", {}).get("schema", {})
+            grammar = schema_to_gbnf(schema)
+        return GenTask(
+            prompt_ids=ids,
+            params=_sampling_from_request(body),
+            max_tokens=int(
+                body.get("max_tokens")
+                or body.get("max_completion_tokens")
+                or body.get("n_predict")
+                or 256
+            ),
+            stop_strings=list(stop),
+            grammar=grammar,
+        )
+
+    # -- endpoints -------------------------------------------------------
+    async def health(self, req):
+        return web.json_response({"status": "ok"})
+
+    async def props(self, req):
+        cfg = self.ctx.cfg
+        return web.json_response(
+            {
+                "model": self.model_name,
+                "n_ctx": self.ctx.n_ctx,
+                "n_slots": self.sched.n_slots,
+                "arch": cfg.arch,
+                "n_params_layers": cfg.n_layers,
+                "vocab_size": cfg.vocab_size,
+                "chat_template": (self.tok.vocab.chat_template if self.tok else None)
+                or "",
+            }
+        )
+
+    async def metrics(self, req):
+        m = self.sched.metrics
+        lines = [
+            "# TYPE llamacpp_tpu_requests_total counter",
+            f"llamacpp_tpu_requests_total {m['requests_total']}",
+            "# TYPE llamacpp_tpu_tokens_predicted_total counter",
+            f"llamacpp_tpu_tokens_predicted_total {m['tokens_predicted_total']}",
+            "# TYPE llamacpp_tpu_tokens_prompt_total counter",
+            f"llamacpp_tpu_tokens_prompt_total {m['tokens_prompt_total']}",
+            "# TYPE llamacpp_tpu_busy_slots gauge",
+            f"llamacpp_tpu_busy_slots {m['busy_slots']}",
+            "# TYPE llamacpp_tpu_uptime_seconds gauge",
+            f"llamacpp_tpu_uptime_seconds {time.time() - self.t_start:.1f}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
+
+    async def models(self, req):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "created": int(self.t_start),
+                        "owned_by": "llama_cpp_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def slots(self, req):
+        out = []
+        for s in self.sched.slots:
+            out.append(
+                {
+                    "id": s.idx,
+                    "state": s.state.name,
+                    "n_generated": len(s.generated),
+                    "task_id": s.task.task_id if s.task else None,
+                }
+            )
+        return web.json_response(out)
+
+    async def tokenize(self, req):
+        body = await req.json()
+        ids = self.tok.encode(
+            body.get("content", ""),
+            add_special=bool(body.get("add_special", False)),
+            parse_special=bool(body.get("with_pieces", True)),
+        )
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(self, req):
+        body = await req.json()
+        return web.json_response({"content": self.tok.decode(body.get("tokens", []))})
+
+    async def embeddings(self, req):
+        body = await req.json()
+        inputs = body.get("input", "")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        data = []
+        for i, text in enumerate(inputs):
+            ids = self.tok.encode(text, add_special=True)
+            # run on the scheduler thread (single Context owner)
+            vec = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda ids=ids: self.sched.run_sync(
+                    lambda: self.ctx.embed(ids[: self.ctx.n_ctx - 1])
+                ),
+            )
+            import numpy as np
+
+            v = vec / (np.linalg.norm(vec) + 1e-12)
+            data.append(
+                {"object": "embedding", "index": i, "embedding": [float(x) for x in v]}
+            )
+        return web.json_response(
+            {"object": "list", "data": data, "model": self.model_name,
+             "usage": {"prompt_tokens": 0, "total_tokens": 0}}
+        )
+
+    async def completions(self, req):
+        body = await req.json()
+        prompt = body.get("prompt", "")
+        task = self._make_task(body, prompt)
+        rid = f"cmpl-{uuid.uuid4().hex[:20]}"
+        if body.get("stream"):
+            return await self._stream_openai(req, task, rid, chat=False)
+        done = await self._run_task(task)
+        result = await done
+        return web.json_response(
+            {
+                "id": rid,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "text": result["text"],
+                        "index": 0,
+                        "logprobs": None,
+                        "finish_reason": result["finish_reason"],
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": result["n_prompt"],
+                    "completion_tokens": result["n_generated"],
+                    "total_tokens": result["n_prompt"] + result["n_generated"],
+                },
+            }
+        )
+
+    async def chat_completions(self, req):
+        body = await req.json()
+        prompt = self._prompt_from_chat(body)
+        task = self._make_task(body, prompt)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
+        if body.get("stream"):
+            return await self._stream_openai(req, task, rid, chat=True)
+        done = await self._run_task(task)
+        result = await done
+        return web.json_response(
+            {
+                "id": rid,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": result["text"]},
+                        "finish_reason": result["finish_reason"],
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": result["n_prompt"],
+                    "completion_tokens": result["n_generated"],
+                    "total_tokens": result["n_prompt"] + result["n_generated"],
+                },
+            }
+        )
+
+    async def _stream_openai(self, req, task: GenTask, rid: str, chat: bool):
+        q: asyncio.Queue = asyncio.Queue()
+        done = await self._run_task(task, stream_q=q)
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(req)
+
+        def sse(obj) -> bytes:
+            return f"data: {json.dumps(obj)}\n\n".encode()
+
+        obj_type = "chat.completion.chunk" if chat else "text_completion"
+        if chat:
+            await resp.write(
+                sse(
+                    {
+                        "id": rid,
+                        "object": obj_type,
+                        "created": int(time.time()),
+                        "model": self.model_name,
+                        "choices": [
+                            {"index": 0, "delta": {"role": "assistant"}, "finish_reason": None}
+                        ],
+                    }
+                )
+            )
+        while True:
+            get = asyncio.ensure_future(q.get())
+            fin = asyncio.ensure_future(asyncio.wait_for(asyncio.shield(done), None))
+            dp, pending = await asyncio.wait(
+                {get, fin}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if get in dp:
+                d = get.result()
+                delta = (
+                    {"content": d["delta"]} if chat else None
+                )
+                choice = (
+                    {"index": 0, "delta": delta, "finish_reason": None}
+                    if chat
+                    else {"index": 0, "text": d["delta"], "finish_reason": None}
+                )
+                await resp.write(
+                    sse(
+                        {
+                            "id": rid,
+                            "object": obj_type,
+                            "created": int(time.time()),
+                            "model": self.model_name,
+                            "choices": [choice],
+                        }
+                    )
+                )
+                if fin in dp:
+                    # drain remaining deltas before finishing
+                    while not q.empty():
+                        d = q.get_nowait()
+                        choice = (
+                            {"index": 0, "delta": {"content": d["delta"]}, "finish_reason": None}
+                            if chat
+                            else {"index": 0, "text": d["delta"], "finish_reason": None}
+                        )
+                        await resp.write(sse({"id": rid, "object": obj_type,
+                                              "created": int(time.time()),
+                                              "model": self.model_name,
+                                              "choices": [choice]}))
+                    break
+                for p in pending:
+                    p.cancel()
+            else:
+                for p in pending:
+                    p.cancel()
+                break
+        result = await done
+        final_choice = (
+            {"index": 0, "delta": {}, "finish_reason": result["finish_reason"]}
+            if chat
+            else {"index": 0, "text": "", "finish_reason": result["finish_reason"]}
+        )
+        await resp.write(
+            sse(
+                {
+                    "id": rid,
+                    "object": obj_type,
+                    "created": int(time.time()),
+                    "model": self.model_name,
+                    "choices": [final_choice],
+                    "usage": {
+                        "prompt_tokens": result["n_prompt"],
+                        "completion_tokens": result["n_generated"],
+                        "total_tokens": result["n_prompt"] + result["n_generated"],
+                    },
+                }
+            )
+        )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # -- Anthropic /v1/messages -----------------------------------------
+    async def anthropic_messages(self, req):
+        body = await req.json()
+        messages = list(body.get("messages", []))
+        if body.get("system"):
+            messages.insert(0, {"role": "system", "content": body["system"]})
+        template = self.tok.vocab.chat_template if self.tok else None
+        prompt = apply_chat_template(messages, template, "", "", True)
+        task = self._make_task(
+            {
+                "temperature": body.get("temperature", 1.0),
+                "top_p": body.get("top_p", 0.95),
+                "top_k": body.get("top_k", 40),
+                "max_tokens": body.get("max_tokens", 256),
+                "stop": body.get("stop_sequences", []),
+            },
+            prompt,
+        )
+        rid = f"msg_{uuid.uuid4().hex[:24]}"
+        done = await self._run_task(task)
+        result = await done
+        stop_reason = {
+            "stop": "end_turn",
+            "length": "max_tokens",
+            "cancelled": "end_turn",
+        }.get(result["finish_reason"], "end_turn")
+        return web.json_response(
+            {
+                "id": rid,
+                "type": "message",
+                "role": "assistant",
+                "model": self.model_name,
+                "content": [{"type": "text", "text": result["text"]}],
+                "stop_reason": stop_reason,
+                "stop_sequence": None,
+                "usage": {
+                    "input_tokens": result["n_prompt"],
+                    "output_tokens": result["n_generated"],
+                },
+            }
+        )
+
+    async def infill(self, req):
+        body = await req.json()
+        prefix = body.get("input_prefix", "")
+        suffix = body.get("input_suffix", "")
+        # FIM token layout depends on model; use common llama-style markers
+        prompt = f"<|fim_prefix|>{prefix}<|fim_suffix|>{suffix}<|fim_middle|>"
+        task = self._make_task(body, prompt)
+        done = await self._run_task(task)
+        result = await done
+        return web.json_response(
+            {"content": result["text"], "stop": result["finish_reason"] == "stop"}
+        )
+
+
+def run_server(model_path: str, host="0.0.0.0", port=8080, **ctx_kw):
+    import jax.numpy as jnp  # noqa: F401
+
+    from ..models.loader import load_model
+    from ..runtime.context import Context
+
+    model = load_model(model_path)
+    n_seqs = ctx_kw.pop("n_seqs", 4)
+    ctx = Context(model, n_seqs=n_seqs, **ctx_kw)
+    sched = Scheduler(ctx)
+    sched.start()
+    app = ServerApp(sched, model_name=model.cfg.name or "model")
+    web.run_app(app.app, host=host, port=port)

@@ -1,0 +1,310 @@
+"""Continuous-batching scheduler: slots + task queue + step loop.
+
+Parity with reference llama-server internals (tools/server/server-context.cpp):
+slot states IDLE->PROCESSING_PROMPT->GENERATING (:58-65), the update_slots
+step loop (:2802-2910) doing prompt chunking + one batched decode per token
+step + per-slot sampling/stop handling, and the deferred task queue
+(server-queue.h:13-60). Runs in a dedicated thread; results stream out via
+thread-safe callbacks.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from ..runtime.context import Context
+from ..sampling.grammar import GrammarSampler
+from ..sampling.samplers import SamplerChain, SamplingParams
+
+log = logging.getLogger("server")
+
+
+class SlotState(enum.Enum):
+    IDLE = 0
+    PROMPT = 1
+    GENERATING = 2
+
+
+@dataclass
+class GenTask:
+    prompt_ids: list[int]
+    params: SamplingParams
+    max_tokens: int = 128
+    stop_strings: list[str] = field(default_factory=list)
+    ignore_eos: bool = False
+    grammar: str = ""
+    stream_cb: Callable[[dict], None] | None = None  # called per token (any thread)
+    done_cb: Callable[[dict], None] | None = None
+    task_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
+    n_probs: int = 0
+    cancelled: bool = False
+
+
+@dataclass
+class Slot:
+    idx: int
+    state: SlotState = SlotState.IDLE
+    task: GenTask | None = None
+    sampler: SamplerChain | None = None
+    grammar: GrammarSampler | None = None
+    prompt_pos: int = 0
+    generated: list[int] = field(default_factory=list)
+    text: str = ""
+    sent_text_len: int = 0
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+
+    def reset(self):
+        self.state = SlotState.IDLE
+        self.task = None
+        self.sampler = None
+        self.grammar = None
+        self.prompt_pos = 0
+        self.generated = []
+        self.text = ""
+        self.sent_text_len = 0
+
+
+class Scheduler:
+    """One inference thread owning the Context; HTTP threads post GenTasks."""
+
+    def __init__(self, ctx: Context, n_slots: int | None = None):
+        self.ctx = ctx
+        self.n_slots = n_slots or ctx.n_seqs
+        assert self.n_slots <= ctx.n_seqs
+        self.slots = [Slot(i) for i in range(self.n_slots)]
+        self.tasks: queue.Queue[GenTask] = queue.Queue()
+        self.calls: queue.Queue = queue.Queue()  # sync calls into the sched thread
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.metrics = {
+            "requests_total": 0,
+            "tokens_predicted_total": 0,
+            "tokens_prompt_total": 0,
+            "busy_slots": 0,
+        }
+
+    # ------------------------------------------------------------------
+    def submit(self, task: GenTask) -> str:
+        self.tasks.put(task)
+        self.metrics["requests_total"] += 1
+        return task.task_id
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="sched")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    def _launch(self, slot: Slot, task: GenTask):
+        tok = self.ctx.model.tokenizer
+        slot.task = task
+        slot.state = SlotState.PROMPT
+        slot.prompt_pos = 0
+        slot.generated = []
+        slot.text = ""
+        slot.sent_text_len = 0
+        slot.t_start = time.perf_counter()
+        slot.sampler = SamplerChain.from_params(
+            task.params, tok.vocab if tok else None
+        )
+        slot.grammar = None
+        if task.grammar and tok is not None:
+            try:
+                slot.grammar = GrammarSampler(task.grammar, tok)
+            except Exception as e:
+                log.warning("grammar rejected: %s", e)
+        # sampler sees the prompt for penalties context
+        for t in task.prompt_ids[-task.params.n_prev :]:
+            slot.sampler.state.prev.append(t)
+        self.ctx.seq_rm(slot.idx)
+
+    def _finish(self, slot: Slot, reason: str):
+        task = slot.task
+        n_gen = len(slot.generated)
+        dt = time.perf_counter() - slot.t_start
+        if task and task.done_cb:
+            task.done_cb(
+                {
+                    "task_id": task.task_id,
+                    "text": slot.text,
+                    "tokens": list(slot.generated),
+                    "finish_reason": reason,
+                    "n_prompt": len(task.prompt_ids),
+                    "n_generated": n_gen,
+                    "t_total_s": dt,
+                }
+            )
+        self.metrics["tokens_predicted_total"] += n_gen
+        slot.reset()
+
+    # ------------------------------------------------------------------
+    def run_sync(self, fn: Callable[[], Any], timeout: float = 120.0):
+        """Execute fn on the scheduler thread (the Context is single-owner,
+        like the reference's single inference thread) and return its result."""
+        ev = threading.Event()
+        box: dict[str, Any] = {}
+
+        def wrapped():
+            try:
+                box["result"] = fn()
+            except Exception as e:  # pragma: no cover
+                box["error"] = e
+            ev.set()
+
+        self.calls.put(wrapped)
+        if not ev.wait(timeout):
+            raise TimeoutError("scheduler call timed out")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            while not self.calls.empty():
+                try:
+                    self.calls.get_nowait()()
+                except queue.Empty:
+                    break
+            did_work = self._step()
+            if not did_work:
+                try:
+                    task = self.tasks.get(timeout=0.05)
+                    self._admit(task)
+                except queue.Empty:
+                    pass
+
+    def _admit(self, task: GenTask):
+        for slot in self.slots:
+            if slot.state == SlotState.IDLE:
+                self._launch(slot, task)
+                return
+        # no free slot: requeue at the back (deferred task)
+        self.tasks.put(task)
+        time.sleep(0.005)
+
+    def _step(self) -> bool:
+        """One update_slots iteration. Returns True if any work happened."""
+        # admit queued tasks into free slots first
+        while not self.tasks.empty():
+            free = [s for s in self.slots if s.state == SlotState.IDLE]
+            if not free:
+                break
+            try:
+                self._admit(self.tasks.get_nowait())
+            except queue.Empty:
+                break
+
+        self.metrics["busy_slots"] = sum(
+            1 for s in self.slots if s.state != SlotState.IDLE
+        )
+
+        # 1) prompt processing: chunk one slot's prompt per iteration
+        for slot in self.slots:
+            if slot.state != SlotState.PROMPT:
+                continue
+            task = slot.task
+            if task.cancelled:
+                self._finish(slot, "cancelled")
+                continue
+            remaining = task.prompt_ids[slot.prompt_pos :]
+            chunk = remaining[: self.ctx.n_ubatch]
+            is_last = len(chunk) == len(remaining)
+            logits = self._prefill_chunk(slot.idx, chunk, slot.prompt_pos)
+            slot.prompt_pos += len(chunk)
+            self.metrics["tokens_prompt_total"] += len(chunk)
+            if is_last:
+                slot.state = SlotState.GENERATING
+                self._emit_token(slot, logits)
+            return True
+
+        # 2) one batched decode step across all generating slots
+        gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not gen:
+            return False
+        for s in list(gen):
+            if s.task.cancelled:
+                self._finish(s, "cancelled")
+                gen.remove(s)
+        if not gen:
+            return True
+        toks = np.asarray([s.generated[-1] for s in gen])
+        seqs = np.asarray([s.idx for s in gen])
+        logits = self.ctx.decode_step_multi(toks, seqs)
+        for i, slot in enumerate(gen):
+            self._emit_token(slot, logits[i])
+        return True
+
+    def _prefill_chunk(self, seq: int, chunk: list[int], pos0: int):
+        positions = np.arange(pos0, pos0 + len(chunk))
+        logits = self.ctx.decode(
+            np.asarray(chunk),
+            np.full(len(chunk), seq),
+            positions,
+            np.asarray([len(chunk) - 1]),
+        )
+        self.ctx.seq_len[seq] = pos0 + len(chunk)
+        return logits[0]
+
+    def _emit_token(self, slot: Slot, logits: np.ndarray):
+        task = slot.task
+        tok = self.ctx.model.tokenizer
+        lg = np.array(logits, dtype=np.float32)
+        if slot.grammar is not None:
+            lg = slot.grammar.filter_logits(lg)
+        token = slot.sampler.sample(lg)
+        if slot.grammar is not None:
+            slot.grammar.accept(token)
+        slot.generated.append(token)
+        if not slot.t_first_token:
+            slot.t_first_token = time.perf_counter() - slot.t_start
+
+        piece = tok.piece(token) if tok else str(token)
+        is_eog = tok.is_eog(token) if tok else False
+        if is_eog and not task.ignore_eos:
+            self._finish(slot, "stop")
+            return
+        slot.text += piece
+
+        # stop strings (reference process_token stop handling)
+        for ss in task.stop_strings:
+            idx = slot.text.find(ss, max(0, len(slot.text) - len(ss) - len(piece)))
+            if idx >= 0:
+                slot.text = slot.text[:idx]
+                self._delta(slot)
+                self._finish(slot, "stop")
+                return
+
+        self._delta(slot)
+        if len(slot.generated) >= task.max_tokens:
+            self._finish(slot, "length")
+            return
+        if int(self.ctx.seq_len[slot.idx]) + 1 >= self.ctx.n_ctx:
+            self._finish(slot, "length")
+
+    def _delta(self, slot: Slot):
+        task = slot.task
+        if task.stream_cb is None:
+            return
+        # hold back a possible partial stop-string suffix
+        hold = max((len(s) - 1 for s in task.stop_strings), default=0)
+        emit_to = len(slot.text) - hold
+        if emit_to > slot.sent_text_len:
+            delta = slot.text[slot.sent_text_len : emit_to]
+            slot.sent_text_len = emit_to
+            task.stream_cb(
+                {"task_id": task.task_id, "delta": delta, "token": slot.generated[-1]}
+            )

@@ -1,0 +1,199 @@
+"""Server integration tests on the tiny synthetic model (analog of reference
+tools/server/tests/unit/*.py which launch llama-server against tiny models)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from aiohttp.test_utils import TestClient, TestServer
+
+from llama_cpp_tpu.models.loader import load_model
+from llama_cpp_tpu.runtime.context import Context
+from llama_cpp_tpu.server.app import ServerApp
+from llama_cpp_tpu.server.scheduler import GenTask, Scheduler
+from llama_cpp_tpu.sampling.samplers import SamplingParams
+from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+    make_tiny_llama_gguf(path, vocab_size=300, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128)
+    model = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(model, n_ctx=128, n_seqs=2, n_ubatch=32)
+    sched = Scheduler(ctx)
+    sched.start()
+
+    class Factory:
+        def __init__(self):
+            self.sched = sched
+
+        def new_app(self):
+            # aiohttp freezes an Application once served; build per test
+            return ServerApp(sched, model_name="tiny").app
+
+    yield Factory()
+    sched.stop()
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_scheduler_direct(served):
+    """Submit a task directly and wait for the callback."""
+    import threading
+
+    ev = threading.Event()
+    out = {}
+
+    def done(result):
+        out.update(result)
+        ev.set()
+
+    task = GenTask(
+        prompt_ids=[1, 5, 9], params=SamplingParams(temp=0.0), max_tokens=4,
+        done_cb=done,
+    )
+    served.sched.submit(task)
+    assert ev.wait(timeout=60), "generation timed out"
+    assert out["n_generated"] >= 1
+    assert out["finish_reason"] in ("stop", "length")
+
+
+def test_concurrent_tasks_continuous_batching(served):
+    import threading
+
+    results = []
+    evs = []
+    for i in range(3):
+        ev = threading.Event()
+        evs.append(ev)
+
+        def done(result, ev=ev):
+            results.append(result)
+            ev.set()
+
+        served.sched.submit(
+            GenTask(prompt_ids=[1, 5 + i, 9], params=SamplingParams(temp=0.0),
+                    max_tokens=4, done_cb=done)
+        )
+    for ev in evs:
+        assert ev.wait(timeout=120)
+    assert len(results) == 3
+    # identical prompts would be checked for equality; distinct prompts finish
+    for r in results:
+        assert r["n_generated"] >= 1
+
+
+def test_http_endpoints(served):
+    async def go():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        try:
+            r = await client.get("/health")
+            assert r.status == 200
+
+            r = await client.get("/v1/models")
+            data = await r.json()
+            assert data["data"][0]["id"] == "tiny"
+
+            r = await client.post("/tokenize", json={"content": "the cat"})
+            toks = (await r.json())["tokens"]
+            assert len(toks) >= 2
+
+            r = await client.post("/detokenize", json={"tokens": toks})
+            assert (await r.json())["content"].strip() != ""
+
+            r = await client.post(
+                "/v1/completions",
+                json={"prompt": "the", "max_tokens": 4, "temperature": 0.0},
+            )
+            data = await r.json()
+            assert data["object"] == "text_completion"
+            assert data["usage"]["completion_tokens"] >= 1
+
+            r = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 4,
+                    "temperature": 0.0,
+                },
+            )
+            data = await r.json()
+            assert data["choices"][0]["message"]["role"] == "assistant"
+
+            r = await client.post(
+                "/v1/messages",
+                json={
+                    "model": "tiny",
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 4,
+                },
+            )
+            data = await r.json()
+            assert data["type"] == "message"
+            assert data["content"][0]["type"] == "text"
+
+            r = await client.get("/metrics")
+            text = await r.text()
+            assert "llamacpp_tpu_requests_total" in text
+
+            r = await client.get("/props")
+            assert (await r.json())["n_ctx"] == 128
+        finally:
+            await client.close()
+
+    _run(go())
+
+
+def test_streaming_sse(served):
+    async def go():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "the"}],
+                    "max_tokens": 4,
+                    "temperature": 0.0,
+                    "stream": True,
+                },
+            )
+            assert r.status == 200
+            body = await r.text()
+            events = [
+                json.loads(line[6:])
+                for line in body.splitlines()
+                if line.startswith("data: ") and line != "data: [DONE]"
+            ]
+            assert any(
+                e["choices"][0].get("finish_reason") for e in events
+            )
+            assert body.strip().endswith("data: [DONE]")
+        finally:
+            await client.close()
+
+    _run(go())
+
+
+def test_embeddings_endpoint(served):
+    async def go():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/embeddings", json={"input": "the cat"})
+            data = await r.json()
+            vec = np.asarray(data["data"][0]["embedding"])
+            assert vec.shape[0] == 64
+            assert abs(np.linalg.norm(vec) - 1.0) < 1e-3
+        finally:
+            await client.close()
+
+    _run(go())
