@@ -40,11 +40,16 @@ from .config import ModelConfig
 
 
 class AttnInputs(NamedTuple):
-    """Per-step attention metadata (static shapes; mask derived from pos)."""
+    """Per-step attention metadata (static shapes; mask derived from pos).
 
-    seq_idx: jnp.ndarray  # [N] int32 cache row per token
-    slots: jnp.ndarray  # [N] int32 cache slot per token
-    positions: jnp.ndarray  # [N] int32 rope/causal position
+    Batched layout [B, T]: each batch row maps to one KV-cache sequence row
+    (the split_equal ubatch shape of the reference, src/llama-batch.h:108).
+    Padding tokens carry position -1 and route to the cache's trash slot.
+    """
+
+    seq_idx: jnp.ndarray  # [B] int32 cache row per batch row
+    slots: jnp.ndarray  # [B, T] int32 cache slot per token
+    positions: jnp.ndarray  # [B, T] int32 rope/causal position (-1 = pad)
 
 
 def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
@@ -70,12 +75,12 @@ def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
 def attention_block(
     cfg: ModelConfig,
     lw: dict[str, Weight],
-    x: jnp.ndarray,  # [N, n_embd] flattened tokens
+    x: jnp.ndarray,  # [B, T, n_embd]
     inputs: AttnInputs,
     kv: KVCache,
     il: int,
 ) -> tuple[jnp.ndarray, KVCache]:
-    N = x.shape[0]
+    B, T = x.shape[:2]
     H, Hkv = cfg.n_heads, cfg.n_kv_heads
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
 
@@ -89,46 +94,55 @@ def attention_block(
     if "attn_v_bias" in lw:
         v = v + lw["attn_v_bias"]
 
-    q = q.reshape(N, H, Dk)
-    k = k.reshape(N, Hkv, Dk)
-    v = v.reshape(N, Hkv, Dv)
+    q = q.reshape(B, T, H, Dk)
+    k = k.reshape(B, T, Hkv, Dk)
+    v = v.reshape(B, T, Hkv, Dv)
 
     if cfg.qk_norm:
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
         k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
     rp = _rope_params(cfg, il)
-    # apply_rope expects [..., seq, heads, dim]
-    q = apply_rope(q[None], inputs.positions[None], rp)[0]
-    k = apply_rope(k[None], inputs.positions[None], rp)[0]
+    q = apply_rope(q, inputs.positions, rp)
+    k = apply_rope(k, inputs.positions, rp)
 
-    kv = kv.write(il, inputs.seq_idx, inputs.slots, k, v, inputs.positions)
-    k_all, v_all = kv.read(il)  # [S_seqs, slots, Hkv, D]
+    # scatter-write new K/V (SET_ROWS analog): flatten [B,T] token grid
+    seq_flat = jnp.repeat(inputs.seq_idx, T)
+    kv = kv.write(
+        il,
+        seq_flat,
+        inputs.slots.reshape(-1),
+        k.reshape(B * T, Hkv, Dk),
+        v.reshape(B * T, Hkv, Dv),
+        inputs.positions.reshape(-1),
+    )
+    k_all, v_all = kv.read(il)  # [n_seqs, slots, Hkv, D]
+    k_seq = k_all[inputs.seq_idx]  # [B, slots, Hkv, Dk]
+    v_seq = v_all[inputs.seq_idx]
 
     scale = cfg.attn_scale or (1.0 / jnp.sqrt(jnp.float32(Dk)))
 
-    # scores: every token attends over its own sequence's slots
-    k_seq = k_all[inputs.seq_idx]  # [N, slots, Hkv, Dk]
-    v_seq = v_all[inputs.seq_idx]  # [N, slots, Hkv, Dv]
+    slot_pos = kv.pos[inputs.seq_idx]  # [B, slots]
+    valid = slot_pos >= 0
+    causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]
+    mask = valid[:, None, :] & causal
+    if cfg.sliding_window > 0 and cfg.is_swa_layer(il):
+        mask = mask & (
+            slot_pos[:, None, :] > inputs.positions[:, :, None] - cfg.sliding_window
+        )
+
     groups = H // Hkv
-    qg = q.reshape(N, Hkv, groups, Dk).astype(jnp.float32)
-    scores = jnp.einsum(
-        "nhgd,nshd->nhgs", qg, k_seq.astype(jnp.float32)
-    ) * scale  # [N, Hkv, groups, slots]
+    qg = q.reshape(B, T, Hkv, groups, Dk).astype(jnp.float32)
+    scores = (
+        jnp.einsum("btkgd,bskd->bkgts", qg, k_seq.astype(jnp.float32)) * scale
+    )  # [B, Hkv, groups, T, S]
     if cfg.attn_logit_softcap:
         scores = softcap(scores, cfg.attn_logit_softcap)
-
-    slot_pos = kv.pos[inputs.seq_idx]  # [N, slots]
-    valid = slot_pos >= 0
-    causal = slot_pos <= inputs.positions[:, None]
-    mask = valid & causal
-    if cfg.sliding_window > 0 and cfg.is_swa_layer(il):
-        mask = mask & (slot_pos > inputs.positions[:, None] - cfg.sliding_window)
-    scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
-    out = jnp.einsum("nhgs,nshd->nhgd", probs, v_seq.astype(jnp.float32))
-    out = out.reshape(N, H * Dv).astype(x.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, v_seq.astype(jnp.float32))
+    out = out.reshape(B, T, H * Dv).astype(x.dtype)
     out = matmul(out, lw["attn_output"])
     if "attn_output_bias" in lw:
         out = out + lw["attn_output_bias"]
@@ -190,8 +204,8 @@ def moe_block(
         contrib = expert_apply(
             dequant_e(gate_w, e), dequant_e(up_w, e), dequant_e(down_w, e)
         ).astype(jnp.float32)
-        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [N]
-        out = out + contrib * w_e[:, None]
+        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [B, T]
+        out = out + contrib * w_e[..., None]
 
     if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
         h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
@@ -202,15 +216,15 @@ def moe_block(
 def forward(
     params: dict[str, Any],
     cfg: ModelConfig,
-    tokens: jnp.ndarray,  # [N] int32 flattened
+    tokens: jnp.ndarray,  # [B, T] int32
     inputs: AttnInputs,
     kv: KVCache,
-    output_rows: jnp.ndarray | None = None,  # [M] rows to compute logits for
+    output_rows: jnp.ndarray | None = None,  # [M] flat row ids into B*T
     return_hidden: bool = False,  # pooling/embeddings path (llama_encode analog)
 ) -> tuple[jnp.ndarray, KVCache]:
-    """-> (logits [N or M, vocab] or hidden [., n_embd], updated KV)."""
+    """-> (logits [B*T or M, vocab] or hidden [., n_embd], updated KV)."""
     cdtype = cfg.compute_dtype or jnp.bfloat16
-    x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)
+    x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)  # [B, T, E]
     if cfg.embd_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
 
@@ -232,6 +246,8 @@ def forward(
             ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
         x = x + ff
 
+    B, T, E = x.shape
+    x = x.reshape(B * T, E)
     if output_rows is not None:
         x = x[output_rows]
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)

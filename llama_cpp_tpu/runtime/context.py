@@ -85,8 +85,8 @@ class Context:
         self._steps: dict[int, Callable] = {}
 
     # ------------------------------------------------------------------
-    def _step_fn(self, n_tokens: int) -> Callable:
-        fn = self._steps.get(n_tokens)
+    def _step_fn(self, shape: tuple[int, int]) -> Callable:
+        fn = self._steps.get(shape)
         if fn is not None:
             self.perf.n_reused_graphs += 1
             return fn
@@ -97,35 +97,42 @@ class Context:
             inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
             return forward(params, cfg, tokens, inputs, kv, output_rows)
 
-        self._steps[n_tokens] = step
+        self._steps[shape] = step
         return step
 
     # ------------------------------------------------------------------
     def decode(
         self,
-        tokens: np.ndarray,  # [N] int32
-        seq_idx: np.ndarray,  # [N]
-        positions: np.ndarray,  # [N]
-        output_rows: np.ndarray,  # [M] indices into N
+        tokens: np.ndarray,  # [B, T] or flat [N] (interpreted as [1, N])
+        seq_idx: np.ndarray,  # [B]
+        positions: np.ndarray,  # [B, T]
+        output_rows: np.ndarray,  # [M] flat indices into B*T
     ) -> np.ndarray:
         """Low-level ubatch decode -> logits [M, vocab]. Slots = positions
         (identity layout; context-shift remaps later)."""
-        n = len(tokens)
-        bucket = _bucket(n, self.prefill_buckets)
-        pad = bucket - n
+        tokens = np.atleast_2d(np.asarray(tokens))
+        positions = np.atleast_2d(np.asarray(positions))
+        seq_idx = np.asarray(seq_idx).reshape(-1)
+        B, T = tokens.shape
+        Tb = _bucket(T, self.prefill_buckets) if T > 1 else 1
+        Bb = B if T > 1 else _bucket(B, [1, 2, 4, 8, 16, 32, 64, self.n_seqs])
+        Bb = min(max(Bb, B), self.n_seqs)
 
-        def padded(a, fill):
-            a = np.asarray(a)
-            return np.concatenate([a, np.full(pad, fill, a.dtype)]) if pad else a
+        toks = np.zeros((Bb, Tb), np.int32)
+        pos = np.full((Bb, Tb), -1, np.int32)
+        sidx = np.zeros(Bb, np.int32)
+        toks[:B, :T] = tokens
+        pos[:B, :T] = positions
+        sidx[:B] = seq_idx
+        slots = np.where(
+            pos >= 0, np.minimum(pos, self.n_ctx - 1), self.trash_slot
+        ).astype(np.int32)
 
-        toks = padded(tokens, 0).astype(np.int32)
-        sidx = padded(seq_idx, 0).astype(np.int32)
-        pos = padded(positions, -1).astype(np.int32)
-        slots = np.where(pos >= 0, np.minimum(pos, self.n_ctx - 1), self.trash_slot).astype(np.int32)
-        # fixed-size output gather (pad by repeating row 0)
         m = len(output_rows)
-        out_rows = np.asarray(output_rows, dtype=np.int32)
-        step = self._step_fn(bucket)
+        # remap flat output rows from [B, T] to the padded [Bb, Tb] grid
+        rows = np.asarray(output_rows, dtype=np.int32)
+        out_rows = (rows // T) * Tb + (rows % T)
+        step = self._step_fn((Bb, Tb))
         logits, self.kv = step(
             self.model.params,
             jnp.asarray(toks),
@@ -147,9 +154,9 @@ class Context:
             chunk = prompt[off : off + self.n_ubatch]
             positions = np.arange(pos0 + off, pos0 + off + len(chunk))
             logits = self.decode(
-                np.asarray(chunk),
-                np.full(len(chunk), seq),
-                positions,
+                np.asarray(chunk)[None, :],
+                np.asarray([seq]),
+                positions[None, :],
                 np.asarray([len(chunk) - 1]),
             )
         self.seq_len[seq] = pos0 + len(prompt)
@@ -161,7 +168,7 @@ class Context:
         t0 = time.perf_counter()
         pos = int(self.seq_len[seq])
         logits = self.decode(
-            np.asarray([token]), np.asarray([seq]), np.asarray([pos]), np.asarray([0])
+            np.asarray([[token]]), np.asarray([seq]), np.asarray([[pos]]), np.asarray([0])
         )
         self.seq_len[seq] = pos + 1
         self.perf.n_decode += 1
@@ -173,7 +180,10 @@ class Context:
         tokens[i] appended to seqs[i]; returns logits [len(seqs), vocab]."""
         t0 = time.perf_counter()
         pos = self.seq_len[seqs]
-        logits = self.decode(tokens, seqs, pos, np.arange(len(seqs)))
+        logits = self.decode(
+            np.asarray(tokens)[:, None], seqs, np.asarray(pos)[:, None],
+            np.arange(len(seqs)),
+        )
         self.seq_len[seqs] += 1
         self.perf.n_decode += len(seqs)
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1e3
@@ -203,11 +213,11 @@ class Context:
         )
         hidden, _ = fn(
             self.model.params,
-            jnp.asarray(prompt, jnp.int32),
+            jnp.asarray(prompt, jnp.int32)[None, :],
             kv,
-            jnp.zeros(n, jnp.int32),
-            jnp.arange(n, dtype=jnp.int32),
-            jnp.arange(n, dtype=jnp.int32),
+            jnp.zeros(1, jnp.int32),
+            jnp.arange(n, dtype=jnp.int32)[None, :],
+            jnp.arange(n, dtype=jnp.int32)[None, :],
         )
         h = np.asarray(hidden, dtype=np.float32)
         if pooling == "mean":
@@ -273,9 +283,11 @@ class Context:
                 kv, tok, pos, rng = carry
                 slot = jnp.minimum(pos, n_ctx - 1)
                 inputs = AttnInputs(
-                    seq_idx=seq[None], slots=slot[None], positions=pos[None]
+                    seq_idx=seq[None],
+                    slots=slot[None, None],
+                    positions=pos[None, None],
                 )
-                logits, kv = forward(params, cfg, tok[None], inputs, kv)
+                logits, kv = forward(params, cfg, tok[None, None], inputs, kv)
                 rng, sub = jax.random.split(rng)
                 nxt = sample(logits[0], sub)
                 return (kv, nxt, pos + 1, rng), nxt

@@ -23,8 +23,8 @@ from ..runtime.kv_cache import KVCache
 def lm_loss(
     params: dict[str, Any],
     cfg: ModelConfig,
-    tokens: jnp.ndarray,  # [N]
-    targets: jnp.ndarray,  # [N] next-token ids, -100 = ignore
+    tokens: jnp.ndarray,  # [B, T]
+    targets: jnp.ndarray,  # [B*T] flat next-token ids, negative = ignore
     inputs: AttnInputs,
     kv: KVCache,
 ) -> jnp.ndarray:
@@ -84,13 +84,13 @@ def train_epoch(
         kv = KVCache.create(cfg.n_layers, 1, n, cfg.n_kv_heads, cfg.head_dim_k,
                             cfg.head_dim_v, dtype=jnp.float32)
         inputs = AttnInputs(
-            seq_idx=jnp.zeros(n, jnp.int32),
-            slots=jnp.arange(n, dtype=jnp.int32),
-            positions=jnp.arange(n, dtype=jnp.int32),
+            seq_idx=jnp.zeros(1, jnp.int32),
+            slots=jnp.arange(n, dtype=jnp.int32)[None, :],
+            positions=jnp.arange(n, dtype=jnp.int32)[None, :],
         )
         params, opt_state, loss = step(
             params, opt_state,
-            jnp.asarray(toks, jnp.int32), jnp.asarray(tgts, jnp.int32),
+            jnp.asarray(toks, jnp.int32)[None, :], jnp.asarray(tgts, jnp.int32),
             inputs, kv,
         )
         losses.append(float(loss))

@@ -251,9 +251,9 @@ class Scheduler:
     def _prefill_chunk(self, seq: int, chunk: list[int], pos0: int):
         positions = np.arange(pos0, pos0 + len(chunk))
         logits = self.ctx.decode(
-            np.asarray(chunk),
-            np.full(len(chunk), seq),
-            positions,
+            np.asarray(chunk)[None, :],
+            np.asarray([seq]),
+            positions[None, :],
             np.asarray([len(chunk) - 1]),
         )
         self.ctx.seq_len[seq] = pos0 + len(chunk)

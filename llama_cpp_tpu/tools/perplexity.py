@@ -76,9 +76,9 @@ def eval_chunk_logits(ctx, chunk: list[int]) -> np.ndarray:
         ub = chunk[off : off + ctx.n_ubatch]
         positions = np.arange(off, off + len(ub))
         logits = ctx.decode(
-            np.asarray(ub),
-            np.zeros(len(ub), dtype=np.int64),
-            positions,
+            np.asarray(ub)[None, :],
+            np.asarray([0]),
+            positions[None, :],
             np.arange(len(ub)),
         )
         outs.append(logits)

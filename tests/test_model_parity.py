@@ -46,11 +46,13 @@ def run_ours(path, tokens, n_slots=32, prefer_quant=False):
         m.cfg.head_dim_v, dtype=jnp.float32,
     )
     inputs = AttnInputs(
-        seq_idx=jnp.zeros(N, jnp.int32),
-        slots=jnp.arange(N, dtype=jnp.int32),
-        positions=jnp.arange(N, dtype=jnp.int32),
+        seq_idx=jnp.zeros(1, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+        positions=jnp.arange(N, dtype=jnp.int32)[None, :],
     )
-    logits, kv = forward(m.params, m.cfg, jnp.asarray(tokens, jnp.int32), inputs, kv)
+    logits, kv = forward(
+        m.params, m.cfg, jnp.asarray(tokens, jnp.int32)[None, :], inputs, kv
+    )
     return m, np.asarray(logits), kv
 
 
@@ -84,10 +86,10 @@ def test_llama_decode_matches_prefill(tmp_path):
     for i, t in enumerate(tokens):
         inp = AttnInputs(
             seq_idx=jnp.zeros(1, jnp.int32),
-            slots=jnp.array([i], jnp.int32),
-            positions=jnp.array([i], jnp.int32),
+            slots=jnp.array([[i]], jnp.int32),
+            positions=jnp.array([[i]], jnp.int32),
         )
-        logits, kv = forward(m2.params, m2.cfg, jnp.array([t], jnp.int32), inp, kv)
+        logits, kv = forward(m2.params, m2.cfg, jnp.array([[t]], jnp.int32), inp, kv)
         outs.append(np.asarray(logits)[0])
     np.testing.assert_allclose(np.stack(outs), prefill_logits, rtol=2e-4, atol=2e-4)
 
