@@ -39,6 +39,21 @@ from .config import ModelConfig
 # }
 
 
+# optional activation tap for imatrix collection (tools/imatrix.py). Only
+# consulted on eager (un-jitted) forwards; None in production paths.
+_ACT_TAP = None
+
+
+def set_activation_tap(fn):
+    global _ACT_TAP
+    _ACT_TAP = fn
+
+
+def _tap(layer: int, key: str, x):
+    if _ACT_TAP is not None:
+        _ACT_TAP(layer, key, x)
+
+
 class AttnInputs(NamedTuple):
     """Per-step attention metadata (static shapes; mask derived from pos).
 
@@ -84,6 +99,9 @@ def attention_block(
     H, Hkv = cfg.n_heads, cfg.n_kv_heads
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
 
+    _tap(il, "attn_q", x)
+    _tap(il, "attn_k", x)
+    _tap(il, "attn_v", x)
     q = matmul(x, lw["attn_q"])
     k = matmul(x, lw["attn_k"])
     v = matmul(x, lw["attn_v"])
@@ -143,20 +161,26 @@ def attention_block(
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
     out = jnp.einsum("bkgts,bskd->btkgd", probs, v_seq.astype(jnp.float32))
     out = out.reshape(B, T, H * Dv).astype(x.dtype)
+    _tap(il, "attn_output", out)
     out = matmul(out, lw["attn_output"])
     if "attn_output_bias" in lw:
         out = out + lw["attn_output_bias"]
     return out, kv
 
 
-def ffn_block(cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray) -> jnp.ndarray:
+def ffn_block(
+    cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray, il: int = -1
+) -> jnp.ndarray:
     act = ACTIVATIONS[cfg.act]
+    _tap(il, "ffn_up", x)
     if cfg.glu:
+        _tap(il, "ffn_gate", x)
         gate = matmul(x, lw["ffn_gate"])
         up = matmul(x, lw["ffn_up"])
         h = act(gate) * up
     else:
         h = act(matmul(x, lw["ffn_up"]))
+    _tap(il, "ffn_down", h)
     return matmul(h, lw["ffn_down"])
 
 
@@ -239,9 +263,9 @@ def forward(
         if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
             ff = moe_block(cfg, lw, h)
             if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
-                ff = ff + ffn_block(cfg, lw, h)
+                ff = ff + ffn_block(cfg, lw, h, il)
         else:
-            ff = ffn_block(cfg, lw, h)
+            ff = ffn_block(cfg, lw, h, il)
         if cfg.post_norms and "ffn_post_norm" in lw:
             ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
         x = x + ff

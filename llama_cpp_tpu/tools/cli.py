@@ -1,0 +1,139 @@
+"""Interactive / one-shot CLI (llama-cli analog, reference tools/cli).
+
+Supports one-shot prompt completion, interactive chat with the model's chat
+template, grammar constraints, and perf reporting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("llama-cli (TPU)")
+    ap.add_argument("-m", "--model", required=True, help="GGUF model path")
+    ap.add_argument("-p", "--prompt", default=None)
+    ap.add_argument("-f", "--file", default=None, help="prompt from file")
+    ap.add_argument("-n", "--n-predict", type=int, default=128)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=-1)
+    ap.add_argument("--grammar", default=None)
+    ap.add_argument("--grammar-file", default=None)
+    ap.add_argument("--json-schema", default=None)
+    ap.add_argument("-cnv", "--conversation", action="store_true")
+    ap.add_argument("--no-quant", action="store_true", help="dense bf16 weights")
+    ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    ap.add_argument("--verbose-prompt", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..models.loader import load_model
+    from ..runtime.context import Context
+    from ..sampling.samplers import SamplerChain, SamplingParams
+
+    print(f"loading {args.model} ...", file=sys.stderr, flush=True)
+    model = load_model(args.model, prefer_quant=not args.no_quant)
+    tok = model.tokenizer
+    ctx = Context(model, n_ctx=args.ctx_size, quantized_kv=args.kv_quant)
+    print(
+        f"arch={model.cfg.arch} layers={model.cfg.n_layers} "
+        f"vocab={model.cfg.vocab_size} archs_ok", file=sys.stderr,
+    )
+
+    grammar = args.grammar
+    if args.grammar_file:
+        grammar = open(args.grammar_file).read()
+    if args.json_schema:
+        from ..sampling.json_schema import schema_to_gbnf
+
+        grammar = schema_to_gbnf(args.json_schema)
+
+    params = SamplingParams(
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        penalty_repeat=args.repeat_penalty,
+        seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+        grammar=grammar or "",
+    )
+
+    def run_once(prompt_text: str, seq_reset=True):
+        if seq_reset:
+            ctx.seq_rm(0)
+        ids = tok.encode(prompt_text, add_special=True, parse_special=True)
+        if args.verbose_prompt:
+            for t in ids:
+                print(f"{t:7d} -> {tok.piece(t)!r}", file=sys.stderr)
+        sampler = SamplerChain.from_params(params, tok.vocab)
+        gsampler = None
+        if grammar:
+            from ..sampling.grammar import GrammarSampler
+
+            gsampler = GrammarSampler(grammar, tok)
+        logits = ctx.prefill(ids)
+        out = []
+        import numpy as np
+
+        for _ in range(args.n_predict):
+            lg = np.asarray(logits, dtype=np.float32)
+            if gsampler:
+                lg = gsampler.filter_logits(lg)
+            token = sampler.sample(lg)
+            if gsampler:
+                gsampler.accept(token)
+            if tok.is_eog(token):
+                break
+            piece = tok.piece(token)
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            out.append(token)
+            if ctx.seq_len[0] >= ctx.n_ctx - 1:
+                break
+            logits = ctx.decode_one(token)
+        sys.stdout.write("\n")
+        return out
+
+    if args.conversation:
+        template = tok.vocab.chat_template
+        from ..server.chat import apply_chat_template
+
+        history = []
+        print("== interactive chat (empty line to exit) ==", file=sys.stderr)
+        while True:
+            try:
+                user = input("> ")
+            except EOFError:
+                break
+            if not user.strip():
+                break
+            history.append({"role": "user", "content": user})
+            prompt = apply_chat_template(history, template, "", "", True)
+            toks = run_once(prompt)
+            history.append({"role": "assistant", "content": tok.decode(toks)})
+    else:
+        prompt = args.prompt
+        if args.file:
+            prompt = open(args.file, encoding="utf-8").read()
+        if prompt is None:
+            print("need -p or -f (or -cnv)", file=sys.stderr)
+            return 1
+        run_once(prompt)
+
+    s = ctx.perf.summary()
+    print(
+        f"\nperf: prompt {s['n_prefill']} tok @ {s['prefill_tok_per_s']:.1f} tok/s; "
+        f"gen {s['n_decode']} tok @ {s['decode_tok_per_s']:.1f} tok/s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

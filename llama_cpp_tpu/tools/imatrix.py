@@ -1,0 +1,102 @@
+"""Importance-matrix collection (llama-imatrix analog).
+
+Parity: reference tools/imatrix/imatrix.cpp — collects per-column mean squares
+of the inputs to every matmul weight over a calibration corpus
+(collect_imatrix :62); the result weights the error-minimizing quantizer
+searches. Here the collection runs through an activation tap on the eager
+forward (offline calibration doesn't need jit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models import transformer
+from ..models.transformer import AttnInputs, forward
+from ..runtime.kv_cache import KVCache
+
+
+class IMatrixCollector:
+    def __init__(self):
+        self.sums: dict[str, np.ndarray] = {}
+        self.counts: dict[str, int] = {}
+
+    def tap(self, layer: int, key: str, x):
+        name = f"blk.{layer}.{key}.weight" if layer >= 0 else f"{key}.weight"
+        xs = np.asarray(x, dtype=np.float32).reshape(-1, x.shape[-1])
+        sq = (xs * xs).sum(axis=0)
+        if name in self.sums:
+            self.sums[name] += sq
+            self.counts[name] += xs.shape[0]
+        else:
+            self.sums[name] = sq
+            self.counts[name] = xs.shape[0]
+
+    def result(self) -> dict[str, np.ndarray]:
+        return {
+            name: self.sums[name] / max(self.counts[name], 1)
+            for name in self.sums
+        }
+
+    def save(self, path: str):
+        np.savez_compressed(path, **self.result())
+
+
+def collect_imatrix(
+    model, tokens: list[int], n_ctx: int = 512, progress=None
+) -> IMatrixCollector:
+    """Run the model eagerly over `tokens` with the activation tap armed."""
+    import jax.numpy as jnp
+
+    coll = IMatrixCollector()
+    cfg = model.cfg
+    transformer.set_activation_tap(coll.tap)
+    try:
+        n_chunks = max(1, len(tokens) // n_ctx)
+        for ic in range(n_chunks):
+            chunk = tokens[ic * n_ctx : (ic + 1) * n_ctx]
+            if len(chunk) < 2:
+                continue
+            n = len(chunk)
+            kv = KVCache.create(cfg.n_layers, 1, n, cfg.n_kv_heads,
+                                cfg.head_dim_k, cfg.head_dim_v)
+            inputs = AttnInputs(
+                seq_idx=jnp.zeros(1, jnp.int32),
+                slots=jnp.arange(n, dtype=jnp.int32)[None, :],
+                positions=jnp.arange(n, dtype=jnp.int32)[None, :],
+            )
+            forward(model.params, cfg, jnp.asarray(chunk, jnp.int32)[None, :],
+                    inputs, kv)
+            if progress:
+                progress(ic + 1, n_chunks)
+    finally:
+        transformer.set_activation_tap(None)
+    return coll
+
+
+def main(argv=None):
+    import argparse
+
+    from ..models.loader import load_model
+
+    ap = argparse.ArgumentParser("llama-imatrix (TPU)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-f", "--file", required=True, help="calibration text")
+    ap.add_argument("-o", "--output", default="imatrix.npz")
+    ap.add_argument("-c", "--n-ctx", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    model = load_model(args.model)
+    text = open(args.file, encoding="utf-8").read()
+    tokens = model.tokenizer.encode(text, add_special=True, parse_special=False)
+
+    def prog(i, n):
+        print(f"chunk {i}/{n}", flush=True)
+
+    coll = collect_imatrix(model, tokens, n_ctx=args.n_ctx, progress=prog)
+    coll.save(args.output)
+    print(f"wrote {args.output}: {len(coll.sums)} tensors")
+
+
+if __name__ == "__main__":
+    main()

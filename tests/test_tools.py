@@ -1,0 +1,98 @@
+"""Tool-level tests: quantize (e2e requant), imatrix collection, gguf-split,
+perplexity harness sanity, CLI arg parsing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llama_cpp_tpu.gguf import read_gguf
+from llama_cpp_tpu.models.loader import load_model
+from llama_cpp_tpu.runtime.context import Context
+from llama_cpp_tpu.testing import make_tiny_llama_gguf
+from llama_cpp_tpu.tools.gguf_split import merge, split
+from llama_cpp_tpu.tools.imatrix import collect_imatrix
+from llama_cpp_tpu.tools.perplexity import perplexity
+from llama_cpp_tpu.tools.quantize_tool import quantize_model
+
+
+@pytest.fixture(scope="module")
+def f32_model_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tools") / "m.gguf")
+    make_tiny_llama_gguf(path, vocab_size=300, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=256, ftype="f32")
+    return path
+
+
+def test_quantize_roundtrip(f32_model_path, tmp_path):
+    dst = str(tmp_path / "q8.gguf")
+    stats = quantize_model(f32_model_path, dst, "q8_0")
+    assert stats["out_bytes"] < stats["in_bytes"]
+    # requantized model must still run and agree approximately
+    m32 = load_model(f32_model_path, prefer_quant=False, dense_dtype=jnp.float32)
+    m8 = load_model(dst)
+    c32 = Context(m32, n_ctx=32)
+    c8 = Context(m8, n_ctx=32)
+    l32 = c32.prefill([1, 5, 9])
+    l8 = c8.prefill([1, 5, 9])
+    rel = np.mean(np.abs(l32 - l8)) / (np.mean(np.abs(l32)) + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantize_k_quant_with_heuristics(f32_model_path, tmp_path):
+    dst = str(tmp_path / "q4k.gguf")
+    stats = quantize_model(f32_model_path, dst, "q4_k_m")
+    f = read_gguf(dst)
+    # norm stays f32; ffn_down (n_ff=256-divisible) quantized
+    assert f.tensors["blk.0.attn_norm.weight"].dtype.name == "F32"
+    assert f.tensors["blk.0.ffn_down.weight"].dtype.name in ("Q4_K", "Q6_K")
+    # token_embd n_embd=64 not 256-divisible -> f32
+    assert f.tensors["token_embd.weight"].dtype.name == "F32"
+
+
+def test_imatrix_collection_and_weighted_quant(f32_model_path, tmp_path):
+    model = load_model(f32_model_path, prefer_quant=False, dense_dtype=jnp.float32)
+    tokens = list(np.random.default_rng(0).integers(3, 290, 64))
+    coll = collect_imatrix(model, tokens, n_ctx=32)
+    result = coll.result()
+    assert "blk.0.ffn_down.weight" in result
+    assert result["blk.0.ffn_down.weight"].shape == (256,)
+    assert (result["blk.0.ffn_down.weight"] >= 0).all()
+    # weighted quantization path runs
+    dst = str(tmp_path / "q4k_im.gguf")
+    quantize_model(f32_model_path, dst, "q4_k_m", imatrix=result)
+    assert read_gguf(dst).tensors["blk.0.ffn_down.weight"].dtype.name in ("Q4_K", "Q6_K")
+
+
+def test_gguf_split_merge(f32_model_path, tmp_path):
+    prefix = str(tmp_path / "shard")
+    paths = split(f32_model_path, prefix, max_tensors=5)
+    assert len(paths) > 1
+    f = read_gguf(paths[0])  # reader follows shards
+    orig = read_gguf(f32_model_path)
+    assert set(f.tensors) == set(orig.tensors)
+    merged = str(tmp_path / "merged.gguf")
+    merge(paths[0], merged)
+    fm = read_gguf(merged)
+    assert set(fm.tensors) == set(orig.tensors)
+    np.testing.assert_array_equal(
+        np.asarray(fm.tensors["token_embd.weight"].data),
+        np.asarray(orig.tensors["token_embd.weight"].data),
+    )
+
+
+def test_perplexity_harness(f32_model_path):
+    model = load_model(f32_model_path, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(model, n_ctx=32, n_ubatch=16)
+    tokens = list(np.random.default_rng(1).integers(3, 290, 96))
+    res = perplexity(ctx, tokens=tokens, n_ctx=32)
+    assert res.ppl > 1.0
+    assert res.n_tokens > 0
+    assert np.isfinite(res.ppl)
+
+
+def test_cli_parser():
+    from llama_cpp_tpu.tools.cli import build_parser
+
+    args = build_parser().parse_args(["-m", "x.gguf", "-p", "hi", "--temp", "0"])
+    assert args.model == "x.gguf" and args.temp == 0.0
