@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.basic import ACTIVATIONS, rms_norm, softcap
+from ..ops.pallas.flash_attn import flash_supported, mha_flash
 from ..ops.qtensor import QuantTensor, Weight, embed_lookup, matmul
 from ..ops.rope import RopeParams, apply_rope
 from ..runtime.kv_cache import KVCache
@@ -134,33 +135,60 @@ def attention_block(
         v.reshape(B * T, Hkv, Dv),
         inputs.positions.reshape(-1),
     )
-    k_all, v_all = kv.read(il)  # [n_seqs, slots, Hkv, D]
-    k_seq = k_all[inputs.seq_idx]  # [B, slots, Hkv, Dk]
-    v_seq = v_all[inputs.seq_idx]
 
-    scale = cfg.attn_scale or (1.0 / jnp.sqrt(jnp.float32(Dk)))
-
+    scale = cfg.attn_scale or (1.0 / float(Dk) ** 0.5)
+    window = cfg.sliding_window if (cfg.sliding_window > 0 and cfg.is_swa_layer(il)) else 0
+    sinks = lw.get("attn_sinks")  # [H] gpt-oss attention sinks
     slot_pos = kv.pos[inputs.seq_idx]  # [B, slots]
-    valid = slot_pos >= 0
-    causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]
-    mask = valid[:, None, :] & causal
-    if cfg.sliding_window > 0 and cfg.is_swa_layer(il):
-        mask = mask & (
-            slot_pos[:, None, :] > inputs.positions[:, :, None] - cfg.sliding_window
-        )
 
-    groups = H // Hkv
-    qg = q.reshape(B, T, Hkv, groups, Dk).astype(jnp.float32)
-    scores = (
-        jnp.einsum("btkgd,bskd->bkgts", qg, k_seq.astype(jnp.float32)) * scale
-    )  # [B, Hkv, groups, T, S]
-    if cfg.attn_logit_softcap:
-        scores = softcap(scores, cfg.attn_logit_softcap)
-    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, v_seq.astype(jnp.float32))
-    out = out.reshape(B, T, H * Dv).astype(x.dtype)
+    if flash_supported(Dk, Dv, kv.n_slots):
+        # fused Pallas flash attention straight off the (possibly int8) cache
+        k_raw = kv.k[il][inputs.seq_idx]  # [B, Hkv, S, Dk]
+        v_raw = kv.v[il][inputs.seq_idx]
+        ks = kv.k_scale[il][inputs.seq_idx] if kv.quantized else None
+        vs = kv.v_scale[il][inputs.seq_idx] if kv.quantized else None
+        out = mha_flash(
+            q, k_raw, v_raw, inputs.positions, slot_pos,
+            sm_scale=scale, window=window, softcap=cfg.attn_logit_softcap,
+            sinks=None if sinks is None else sinks.astype(jnp.float32),
+            k_scale=ks, v_scale=vs,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(x.dtype)
+    else:
+        k_all, v_all = kv.read(il)  # [n_seqs, Hkv, slots, D]
+        k_seq = k_all[inputs.seq_idx]  # [B, Hkv, S, Dk]
+        v_seq = v_all[inputs.seq_idx]
+
+        valid = slot_pos >= 0
+        causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]
+        mask = valid[:, None, :] & causal
+        if window > 0:
+            mask = mask & (
+                slot_pos[:, None, :] > inputs.positions[:, :, None] - window
+            )
+
+        groups = H // Hkv
+        qg = q.reshape(B, T, Hkv, groups, Dk).astype(jnp.float32)
+        scores = (
+            jnp.einsum("btkgd,bksd->bkgts", qg, k_seq.astype(jnp.float32)) * scale
+        )  # [B, Hkv, groups, T, S]
+        if cfg.attn_logit_softcap:
+            scores = softcap(scores, cfg.attn_logit_softcap)
+        scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+        if sinks is not None:
+            # sink = extra always-on logit per q head in the softmax denominator
+            sink_col = jnp.broadcast_to(
+                sinks.astype(jnp.float32).reshape(1, Hkv, groups, 1, 1),
+                scores.shape[:-1] + (1,),
+            )
+            probs = jax.nn.softmax(
+                jnp.concatenate([scores, sink_col], axis=-1), axis=-1
+            )[..., :-1]
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
+        out = jnp.einsum("bkgts,bksd->btkgd", probs, v_seq.astype(jnp.float32))
+        out = out.reshape(B, T, H * Dv).astype(x.dtype)
     _tap(il, "attn_output", out)
     out = matmul(out, lw["attn_output"])
     if "attn_output_bias" in lw:

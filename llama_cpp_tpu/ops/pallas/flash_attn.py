@@ -1,0 +1,300 @@
+"""Pallas flash attention over the slot-table KV cache.
+
+TPU replacement for the reference's FLASH_ATTN_EXT kernel family (CUDA
+fattn.cu tile/vec/MMA variants chosen at runtime, ggml/src/ggml-cuda/fattn.cu:
+331-358): one online-softmax kernel serves prefill and decode, GQA/MQA,
+sliding-window masks, gemma-style logit softcaps, gpt-oss attention sinks, and
+int8-quantized KV (type_k/type_v analog, include/llama.h:379).
+
+Layout contract (chosen so no transposes happen inside the kernel):
+  q        [B, Hkv, R, D]    R = gqa_groups * T query rows, bf16/f32
+  k, v     [B, Hkv, S, D]    the KV cache slot axis S streamed in bs tiles
+  row_pos  [B, R, 1] int32   rope position per q row (-1 = padding row)
+  col_pos  [B, 1, S] int32   position per KV slot  (-1 = empty slot)
+  sinks    [Hkv, R, 1] f32   optional per-row attention-sink logit
+  k_scale  [B, Hkv, 1, S]    optional per-slot int8 scales; applied as a
+  v_scale  [B, Hkv, 1, S]    lane-broadcast on the scores / P matrix, so the
+                             int8 payload feeds the MXU without per-element
+                             dequant (s = (q @ kq^T) * ks;  o = (p * vs) @ vq).
+
+The mask is derived from positions only: valid = col_pos >= 0, causal =
+col_pos <= row_pos, window = col_pos > row_pos - w. Rows whose columns are all
+masked (padding) produce garbage that callers discard; masked-but-later-valid
+rows self-heal through the online-softmax rescale (alpha underflows to 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e30
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fa_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    rp_ref,
+    cp_ref,
+    *rest,
+    sm_scale: float,
+    window: int,
+    softcap: float,
+    quantized: bool,
+    has_sinks: bool,
+    bs: int,
+    dv: int,
+):
+    idx = 0
+    ks_ref = vs_ref = sinks_ref = None
+    if quantized:
+        ks_ref, vs_ref = rest[idx], rest[idx + 1]
+        idx += 2
+    if has_sinks:
+        sinks_ref = rest[idx]
+        idx += 1
+    out_ref, m_ref, l_ref, acc_ref = rest[idx], rest[idx + 1], rest[idx + 2], rest[idx + 3]
+
+    s_idx = pl.program_id(3)
+    n_s = pl.num_programs(3)
+    br = q_ref.shape[2]
+
+    @pl.when(s_idx == 0)
+    def _init():
+        if has_sinks:
+            # sink = an extra always-on logit per row: m0 = sink, l0 = e^0 = 1
+            m_ref[...] = jnp.broadcast_to(
+                sinks_ref[0].astype(jnp.float32), (br, LANES)
+            )
+            l_ref[...] = jnp.ones_like(l_ref)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [br, D]
+    k = k_ref[0, 0]  # [bs, D]
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [br, bs]
+    if quantized:
+        s = s * ks_ref[0, 0].astype(jnp.float32)  # [1, bs] col scales
+    s = s * sm_scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+
+    rp = rp_ref[0]  # [br, 1] int32
+    cp = cp_ref[0]  # [1, bs] int32
+    mask = (cp >= 0) & (cp <= rp)
+    if window > 0:
+        mask = mask & (cp > rp - window)
+    s = jnp.where(mask, s, MASK_VALUE)
+
+    m_prev = m_ref[...]  # [br, 128] (all lanes equal)
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # [br, 1]
+    m_next = jnp.maximum(m_prev, m_curr)  # [br, 128]
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - pltpu.repeat(m_next, bs // LANES, axis=1))
+    l_curr = jnp.sum(p, axis=1, keepdims=True)  # [br, 1]
+    l_ref[...] = alpha * l_prev + l_curr
+    m_ref[...] = m_next
+
+    if quantized:
+        p = p * vs_ref[0, 0].astype(jnp.float32)  # fold v scales into P cols
+    v = v_ref[0, 0]
+    o_curr = jnp.dot(
+        p.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [br, Dv]
+    acc_ref[...] = acc_ref[...] * pltpu.repeat(alpha, dv // LANES, axis=1) + o_curr
+
+    @pl.when(s_idx == n_s - 1)
+    def _store():
+        l = l_ref[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out_ref[0, 0] = (
+            acc_ref[...] * pltpu.repeat(l_inv, dv // LANES, axis=1)
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "window", "softcap", "block_r", "block_s", "interpret",
+    ),
+)
+def flash_attention(
+    q: jnp.ndarray,  # [B, Hkv, R, D]
+    k: jnp.ndarray,  # [B, Hkv, S, D]
+    v: jnp.ndarray,  # [B, Hkv, S, Dv]
+    row_pos: jnp.ndarray,  # [B, R] int32
+    col_pos: jnp.ndarray,  # [B, S] int32
+    sinks: jnp.ndarray | None = None,  # [Hkv, R] f32
+    k_scale: jnp.ndarray | None = None,  # [B, Hkv, S] f32
+    v_scale: jnp.ndarray | None = None,
+    *,
+    sm_scale: float,
+    window: int = 0,
+    softcap: float = 0.0,
+    block_r: int = 0,
+    block_s: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> [B, Hkv, R, Dv] f32. Requires D, Dv multiples of 128 and S a
+    multiple of 128 (Context sizes the slot table accordingly)."""
+    B, Hkv, R, D = q.shape
+    S = k.shape[2]
+    Dv = v.shape[3]
+    assert D % LANES == 0 and Dv % LANES == 0 and S % LANES == 0, (D, Dv, S)
+
+    br = block_r or min(128, _round_up(R, 16))
+    Rp = _round_up(R, br)
+    bs = block_s or next(b for b in (512, 256, 128) if S % b == 0)
+
+    if Rp != R:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+        row_pos = jnp.pad(row_pos, ((0, 0), (0, Rp - R)), constant_values=-1)
+        if sinks is not None:
+            sinks = jnp.pad(sinks, ((0, 0), (0, Rp - R)))
+
+    rp3 = row_pos.reshape(B, Rp, 1)
+    cp3 = col_pos.reshape(B, 1, S)
+
+    quantized = k_scale is not None
+    has_sinks = sinks is not None
+
+    grid = (B, Hkv, Rp // br, bs and S // bs)
+    in_specs = [
+        pl.BlockSpec((1, 1, br, D), lambda b, h, r, s: (b, h, r, 0)),
+        pl.BlockSpec((1, 1, bs, D), lambda b, h, r, s: (b, h, s, 0)),
+        pl.BlockSpec((1, 1, bs, Dv), lambda b, h, r, s: (b, h, s, 0)),
+        pl.BlockSpec((1, br, 1), lambda b, h, r, s: (b, r, 0)),
+        pl.BlockSpec((1, 1, bs), lambda b, h, r, s: (b, 0, s)),
+    ]
+    args = [q, k, v, rp3, cp3]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, 1, bs), lambda b, h, r, s: (b, h, 0, s)))
+        in_specs.append(pl.BlockSpec((1, 1, 1, bs), lambda b, h, r, s: (b, h, 0, s)))
+        args.append(k_scale.reshape(B, Hkv, 1, S))
+        args.append(v_scale.reshape(B, Hkv, 1, S))
+    if has_sinks:
+        in_specs.append(pl.BlockSpec((1, br, 1), lambda b, h, r, s: (h, r, 0)))
+        args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fa_kernel,
+            sm_scale=float(sm_scale),
+            window=int(window),
+            softcap=float(softcap),
+            quantized=quantized,
+            has_sinks=has_sinks,
+            bs=bs,
+            dv=Dv,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, br, Dv), lambda b, h, r, s: (b, h, r, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, Dv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((br, LANES), jnp.float32),
+            pltpu.VMEM((br, LANES), jnp.float32),
+            pltpu.VMEM((br, Dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * Rp * S * (D + Dv),
+            bytes_accessed=(
+                B * Hkv * (Rp * D * 2 + S * (D + Dv) * k.dtype.itemsize + Rp * Dv * 4)
+            ),
+            transcendentals=B * Hkv * Rp * S,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :R]
+
+
+# ---------------------------------------------------------------------------
+# dispatch from the model graph
+# ---------------------------------------------------------------------------
+
+_FORCE: bool | None = None  # tests set True to run in interpret mode on CPU
+
+
+def set_force_flash(on: bool | None):
+    global _FORCE
+    _FORCE = on
+
+
+def flash_supported(head_dim_k: int, head_dim_v: int, n_slots: int) -> bool:
+    if _FORCE is False:
+        return False
+    backend_ok = _FORCE is True or jax.default_backend() == "tpu"
+    return (
+        backend_ok
+        and head_dim_k % LANES == 0
+        and head_dim_v % LANES == 0
+        and n_slots % LANES == 0
+    )
+
+
+def mha_flash(
+    q: jnp.ndarray,  # [B, T, H, Dk]
+    k_seq: jnp.ndarray,  # [B, Hkv, S, Dk] (int8 if quantized)
+    v_seq: jnp.ndarray,  # [B, Hkv, S, Dv]
+    positions: jnp.ndarray,  # [B, T]
+    slot_pos: jnp.ndarray,  # [B, S]
+    *,
+    sm_scale: float,
+    window: int = 0,
+    softcap: float = 0.0,
+    sinks: jnp.ndarray | None = None,  # [H] per-q-head
+    k_scale: jnp.ndarray | None = None,  # [B, Hkv, S]
+    v_scale: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """GQA wrapper: folds the group axis into q rows -> [B, T, H*Dv]."""
+    B, T, H, Dk = q.shape
+    Hkv = k_seq.shape[1]
+    Dv = v_seq.shape[3]
+    G = H // Hkv
+    # head h_q = h_kv * G + g; row r = g * T + t
+    qr = q.reshape(B, T, Hkv, G, Dk).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G * T, Dk)
+    row_pos = jnp.tile(positions, (1, G))  # [B, G*T], row g*T+t -> positions[t]
+    sink_rows = None
+    if sinks is not None:
+        sink_rows = jnp.repeat(sinks.reshape(Hkv, G), T, axis=1)  # [Hkv, G*T]
+    out = flash_attention(
+        qr,
+        k_seq,
+        v_seq,
+        row_pos,
+        slot_pos,
+        sinks=sink_rows,
+        k_scale=k_scale,
+        v_scale=v_scale,
+        sm_scale=sm_scale,
+        window=window,
+        softcap=softcap,
+        interpret=interpret,
+    )  # [B, Hkv, G*T, Dv]
+    return (
+        out.reshape(B, Hkv, G, T, Dv).transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)
+    )

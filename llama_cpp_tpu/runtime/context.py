@@ -65,18 +65,20 @@ class Context:
         self.n_ctx = n_ctx
         self.n_seqs = n_seqs
         self.n_ubatch = n_ubatch
-        # +1 trash slot absorbs padding writes (pos stays -1 there)
+        # slot table sized to a 256 multiple so the flash-attn kernel can
+        # tile it; the final slot is the trash slot absorbing padding writes
+        self.n_slots = max(256, -(-(n_ctx + 1) // 256) * 256)
         self.kv = KVCache.create(
             self.cfg.n_layers,
             n_seqs,
-            n_ctx + 1,
+            self.n_slots,
             self.cfg.n_kv_heads,
             self.cfg.head_dim_k,
             self.cfg.head_dim_v,
             dtype=kv_dtype,
             quantized=quantized_kv,
         )
-        self.trash_slot = n_ctx
+        self.trash_slot = self.n_slots - 1
         self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths
         self.perf = PerfCounters()
         self.prefill_buckets = [b for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048) if b <= max(n_ubatch, 8)]
@@ -244,7 +246,7 @@ class Context:
         self.kv = KVCache.create(
             self.cfg.n_layers,
             self.n_seqs,
-            self.n_ctx + 1,
+            self.n_slots,
             self.cfg.n_kv_heads,
             self.cfg.head_dim_k,
             self.cfg.head_dim_v,

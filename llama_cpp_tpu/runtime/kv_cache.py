@@ -20,12 +20,16 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    """Per-model KV storage: [n_layers, n_seqs, n_slots, n_kv_heads, head_dim]."""
+    """Per-model KV storage: [n_layers, n_seqs, n_kv_heads, n_slots, head_dim].
+
+    The head axis precedes the slot axis so the Pallas flash-attention kernel
+    (ops/pallas/flash_attn.py) streams [S, D] tiles per head with no
+    transposes."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     pos: jnp.ndarray  # [n_seqs, n_slots] int32, -1 = empty
-    k_scale: jnp.ndarray | None = None  # [L, S, slots, H] for int8 KV
+    k_scale: jnp.ndarray | None = None  # [L, n_seqs, H, slots] for int8 KV
     v_scale: jnp.ndarray | None = None
 
     def tree_flatten(self):
@@ -50,8 +54,8 @@ class KVCache:
     ) -> "KVCache":
         head_dim_v = head_dim_v or head_dim_k
         kd = jnp.int8 if quantized else dtype
-        shape_k = (n_layers, n_seqs, n_slots, n_kv_heads, head_dim_k)
-        shape_v = (n_layers, n_seqs, n_slots, n_kv_heads, head_dim_v)
+        shape_k = (n_layers, n_seqs, n_kv_heads, n_slots, head_dim_k)
+        shape_v = (n_layers, n_seqs, n_kv_heads, n_slots, head_dim_v)
         return cls(
             k=jnp.zeros(shape_k, dtype=kd),
             v=jnp.zeros(shape_v, dtype=kd),
@@ -62,7 +66,7 @@ class KVCache:
 
     @property
     def n_slots(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def quantized(self) -> bool:
@@ -81,14 +85,14 @@ class KVCache:
         if self.quantized:
             k_q, k_s = _quant_rows(k_new)
             v_q, v_s = _quant_rows(v_new)
-            k = self.k.at[layer, seq_idx, slots].set(k_q)
-            v = self.v.at[layer, seq_idx, slots].set(v_q)
-            k_scale = self.k_scale.at[layer, seq_idx, slots].set(k_s)
-            v_scale = self.v_scale.at[layer, seq_idx, slots].set(v_s)
+            k = self.k.at[layer, seq_idx, :, slots].set(k_q)
+            v = self.v.at[layer, seq_idx, :, slots].set(v_q)
+            k_scale = self.k_scale.at[layer, seq_idx, :, slots].set(k_s)
+            v_scale = self.v_scale.at[layer, seq_idx, :, slots].set(v_s)
             new = replace(self, k=k, v=v, k_scale=k_scale, v_scale=v_scale)
         else:
-            k = self.k.at[layer, seq_idx, slots].set(k_new.astype(self.k.dtype))
-            v = self.v.at[layer, seq_idx, slots].set(v_new.astype(self.v.dtype))
+            k = self.k.at[layer, seq_idx, :, slots].set(k_new.astype(self.k.dtype))
+            v = self.v.at[layer, seq_idx, :, slots].set(v_new.astype(self.v.dtype))
             new = replace(self, k=k, v=v)
         if layer == 0:
             new = replace(new, pos=self.pos.at[seq_idx, slots].set(positions))
@@ -96,7 +100,7 @@ class KVCache:
 
     # -- read -----------------------------------------------------------
     def read(self, layer: int, dtype=jnp.bfloat16):
-        """-> (k, v) [n_seqs, n_slots, H, D] dequantized."""
+        """-> (k, v) [n_seqs, H, n_slots, D] dequantized."""
         if self.quantized:
             k = self.k[layer].astype(dtype) * self.k_scale[layer][..., None].astype(dtype)
             v = self.v[layer].astype(dtype) * self.v_scale[layer][..., None].astype(dtype)
