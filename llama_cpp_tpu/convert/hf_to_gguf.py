@@ -113,6 +113,7 @@ def convert_hf_model(
         "gemma": "gemma",
         "gemma2": "gemma2",
         "gemma3_text": "gemma3",
+        "gpt_oss": "gpt-oss",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -142,6 +143,11 @@ def convert_hf_model(
     if mtype == "mixtral":
         w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
         w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+    if mtype == "gpt_oss":
+        w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.intermediate_size))
+        w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window))
 
     if tokenizer is not None:
         _add_vocab_from_hf_tokenizer(w, tokenizer)
@@ -180,10 +186,30 @@ def convert_hf_model(
                 if permute and gg_b in ("attn_q", "attn_k"):
                     bias = permute_rope(bias, n_head if gg_b == "attn_q" else n_kv)
                 _emit(w, b + f"{gg_b}.bias", bias, ftype)
+        ob = get(p + "self_attn.o_proj.bias")
+        if ob is not None:
+            _emit(w, b + "attn_output.bias", ob, ftype)
         qn = get(p + "self_attn.q_norm.weight")
         if qn is not None:
             _emit(w, b + "attn_q_norm.weight", qn, ftype)
             _emit(w, b + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"), ftype)
+        if mtype == "gpt_oss":
+            # reference GGUF layout (conversion/gpt_oss.py): pre-FFN norm is
+            # attn_post_norm; gate/up interleaved in gate_up_proj (::2 / 1::2)
+            _emit(w, b + "attn_sinks.weight", get(p + "self_attn.sinks"), ftype)
+            _emit(w, b + "attn_post_norm.weight", get(p + "post_attention_layernorm.weight"), ftype)
+            _emit(w, b + "ffn_gate_inp.weight", get(p + "mlp.router.weight"), ftype)
+            _emit(w, b + "ffn_gate_inp.bias", get(p + "mlp.router.bias"), ftype)
+            gu = get(p + "mlp.experts.gate_up_proj").swapaxes(-1, -2)  # [E, 2F, H]
+            _emit(w, b + "ffn_gate_exps.weight", np.ascontiguousarray(gu[:, ::2, :]), ftype)
+            _emit(w, b + "ffn_up_exps.weight", np.ascontiguousarray(gu[:, 1::2, :]), ftype)
+            gub = get(p + "mlp.experts.gate_up_proj_bias")
+            _emit(w, b + "ffn_gate_exps.bias", np.ascontiguousarray(gub[:, ::2]), ftype)
+            _emit(w, b + "ffn_up_exps.bias", np.ascontiguousarray(gub[:, 1::2]), ftype)
+            down = get(p + "mlp.experts.down_proj").swapaxes(-1, -2)  # [E, H, F]
+            _emit(w, b + "ffn_down_exps.weight", np.ascontiguousarray(down), ftype)
+            _emit(w, b + "ffn_down_exps.bias", get(p + "mlp.experts.down_proj_bias"), ftype)
+            continue
         _emit(w, b + "ffn_norm.weight", get(p + "post_attention_layernorm.weight"), ftype)
         if mtype == "mixtral":
             moe = p + "block_sparse_moe."

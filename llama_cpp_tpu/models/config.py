@@ -59,7 +59,11 @@ class ModelConfig:
 
     n_expert: int = 0
     n_expert_used: int = 0
-    expert_gating_softmax: bool = True  # else sigmoid (deepseek3 style)
+    # router probability function (reference llama-graph.cpp:1961-1977):
+    # softmax | sigmoid | softmax_weight (top-k on logits, then softmax over
+    # the selected k — gpt-oss) | sqrt_softplus
+    expert_gating: str = "softmax"
+    moe_act: str = ""  # "" -> cfg.act/glu; "swiglu_oai" -> clamped oai glu
     expert_weights_norm: bool = False
     expert_weights_scale: float = 1.0
     n_ff_exp: int = 0

@@ -49,10 +49,15 @@ LAYER_TENSORS = {
     "ffn_down.bias": "ffn_down_bias",
     "ffn_post_norm.weight": "ffn_post_norm",
     "post_ffw_norm.weight": "ffn_post_norm",
+    "attn_sinks.weight": "attn_sinks",
     "ffn_gate_inp.weight": "ffn_gate_inp",
+    "ffn_gate_inp.bias": "ffn_gate_inp_bias",
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_exps.bias": "ffn_gate_exps_bias",
+    "ffn_up_exps.bias": "ffn_up_exps_bias",
+    "ffn_down_exps.bias": "ffn_down_exps_bias",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
@@ -74,7 +79,8 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "output_norm", "output_norm_bias", "rope_factors",
                "attn_q_bias", "attn_k_bias", "attn_v_bias", "attn_output_bias",
                "ffn_gate_bias", "ffn_up_bias", "ffn_down_bias", "exp_probs_b",
-               "output_bias"}
+               "output_bias", "attn_sinks", "ffn_gate_inp_bias",
+               "ffn_gate_exps_bias", "ffn_up_exps_bias", "ffn_down_exps_bias"}
 
 
 class Model:
@@ -130,6 +136,9 @@ def load_model(
         if key is None or target is None:
             log.debug("skipping unmapped tensor %s", name)
             continue
+        # arch-specific role remap (e.g. gpt-oss stores the pre-FFN norm as
+        # attn_post_norm, reference src/models/openai-moe.cpp graph order)
+        key = cfg.extra.get("tensor_remap", {}).get(key, key)
         dense = key in _DENSE_KEYS or len(info.shape) == 1
         # matmul weights store transposed planes (TPU kernel layout);
         # the embedding table stays row-major for gather

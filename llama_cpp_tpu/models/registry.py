@@ -154,7 +154,30 @@ def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
     # MLA handled by dedicated weights; routed like generic MoE otherwise
     return cfg.with_(
         rope_type=ROPE_TYPE_NEOX,
-        expert_gating_softmax=bool(md.get("deepseek2.expert_gating_func", 1) == 1),
+        expert_gating="softmax"
+        if int(md.get("deepseek2.expert_gating_func", 1)) == 1
+        else "sigmoid",
         expert_weights_norm=bool(md.get("deepseek2.expert_weights_norm", False)),
         expert_weights_scale=float(md.get("deepseek2.expert_weights_scale", 1.0)),
     )
+
+
+@register("gpt-oss")
+def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
+    """gpt-oss-20B/120B (reference src/models/openai-moe.cpp): alternating
+    SWA/dense layers (period 2, SWA on even layers), attention sinks, qkv+out
+    biases, MoE every layer with router bias, top-k-then-softmax gating
+    (SOFTMAX_WEIGHT) and the clamped swiglu_oai activation; MXFP4 experts."""
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        swa_pattern=int(md.get("gpt-oss.attention.sliding_window_pattern", 2)),
+        expert_gating="softmax_weight",
+        moe_act="swiglu_oai",
+        expert_weights_norm=False,
+    )
+    swa_base = md.get("gpt-oss.rope.freq_base_swa")
+    if swa_base:
+        c.extra["rope_freq_base_swa"] = float(swa_base)
+    # reference pre-FFN norm is stored as attn_post_norm for this arch
+    c.extra["tensor_remap"] = {"attn_post_norm": "ffn_norm"}
+    return c

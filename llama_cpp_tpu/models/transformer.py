@@ -212,24 +212,53 @@ def ffn_block(
     return matmul(h, lw["ffn_down"])
 
 
+def swiglu_oai(g: jnp.ndarray, u: jnp.ndarray, alpha=1.702, limit=7.0):
+    """gpt-oss clamped glu (reference ggml swiglu_oai op,
+    ggml/src/ggml-cpu/ops.cpp:3323): (min(g,L)·sigmoid(a·min(g,L)))·(clamp(u)+1)."""
+    g = jnp.minimum(g, limit)
+    u = jnp.clip(u, -limit, limit)
+    return g * jax.nn.sigmoid(alpha * g) * (u + 1.0)
+
+
 def moe_block(
     cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray
 ) -> jnp.ndarray:
-    """Mixture-of-experts FFN (build_moe_ffn analog, src/llama-graph.h:1065).
+    """Mixture-of-experts FFN (build_moe_ffn analog, src/llama-graph.cpp:1955-
+    2075): router (+bias) -> gating fn -> optional selection bias -> top-k ->
+    weight post-processing (softmax_weight / norm / scale) -> expert mix.
 
-    v1 dispatch: dense einsum over all experts (correct for any top-k);
-    ragged expert dispatch lands with the Pallas kernels.
+    v1 dispatch: dense loop over all experts (correct for any top-k);
+    ragged sort-by-expert dispatch lands with the Pallas MoE kernel.
     """
-    N = x.shape[0]
     n_exp, k = cfg.n_expert, cfg.n_expert_used
-    router = matmul(x, lw["ffn_gate_inp"], dtype=jnp.float32)  # [N, n_exp]
-    if cfg.expert_gating_softmax:
-        probs = jax.nn.softmax(router, axis=-1)
-    else:
-        probs = jax.nn.sigmoid(router)
-    topw, topi = jax.lax.top_k(probs, k)  # [N, k]
+    logits = matmul(x, lw["ffn_gate_inp"], dtype=jnp.float32)  # [N, n_exp]
+    if "ffn_gate_inp_bias" in lw:
+        logits = logits + lw["ffn_gate_inp_bias"].astype(jnp.float32)
+
+    gating = cfg.expert_gating
+    if gating == "softmax":
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif gating == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    elif gating == "softmax_weight":
+        probs = logits  # softmax applied over the selected k below
+    elif gating == "sqrt_softplus":
+        probs = jnp.sqrt(jax.nn.softplus(logits))
+    else:  # pragma: no cover - config error
+        raise ValueError(f"unknown expert gating {gating!r}")
+
+    # expert-selection bias (DeepSeek V3) biases the top-k choice only
+    sel = probs
+    if "exp_probs_b" in lw:
+        sel = probs + lw["exp_probs_b"].astype(jnp.float32)
+    _, topi = jax.lax.top_k(sel, k)  # [N, k]
+    topw = jnp.take_along_axis(probs, topi, axis=-1)  # weights stay unbiased
+    if gating == "softmax_weight":
+        topw = jax.nn.softmax(topw, axis=-1)
     if cfg.expert_weights_norm:
-        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+        topw = topw / jnp.clip(
+            jnp.sum(topw, axis=-1, keepdims=True), 6.103515625e-5, None
+        )
     topw = topw * cfg.expert_weights_scale
 
     gate_w = lw["ffn_gate_exps"]
@@ -237,10 +266,19 @@ def moe_block(
     down_w = lw["ffn_down_exps"]
     act = ACTIVATIONS[cfg.act]
 
-    def expert_apply(e_gate, e_up, e_down):
+    def expert_apply(e, e_gate, e_up, e_down):
         # e_*: [n_ff_exp, n_embd] ; x: [N, n_embd]
-        h = act(matmul(x, e_gate)) * matmul(x, e_up)
-        return matmul(h, e_down)  # [N, n_embd]
+        g = matmul(x, e_gate)
+        u = matmul(x, e_up)
+        if "ffn_gate_exps_bias" in lw:
+            g = g + lw["ffn_gate_exps_bias"][e]
+        if "ffn_up_exps_bias" in lw:
+            u = u + lw["ffn_up_exps_bias"][e]
+        h = swiglu_oai(g, u) if cfg.moe_act == "swiglu_oai" else act(g) * u
+        y = matmul(h, e_down)  # [N, n_embd]
+        if "ffn_down_exps_bias" in lw:
+            y = y + lw["ffn_down_exps_bias"][e]
+        return y
 
     def dequant_e(w: Weight, e):
         if isinstance(w, QuantTensor):
@@ -254,7 +292,7 @@ def moe_block(
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(n_exp):  # static loop; XLA unrolls — fine for small n_exp
         contrib = expert_apply(
-            dequant_e(gate_w, e), dequant_e(up_w, e), dequant_e(down_w, e)
+            e, dequant_e(gate_w, e), dequant_e(up_w, e), dequant_e(down_w, e)
         ).astype(jnp.float32)
         w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [B, T]
         out = out + contrib * w_e[..., None]

@@ -158,3 +158,27 @@ def test_quantized_model_close(tmp_path):
     _, ours, _ = run_ours(p8, tokens, prefer_quant=True)
     # logits in similar scale; q8 error small
     assert np.mean(np.abs(ours - ref)) / (np.mean(np.abs(ref)) + 1e-9) < 0.03
+
+
+def test_gpt_oss(tmp_path):
+    """gpt-oss: attention sinks + alternating SWA + biased MoE router with
+    top-k-then-softmax gating and clamped swiglu_oai activation (reference
+    src/models/openai-moe.cpp)."""
+    cfg = transformers.GptOssConfig(
+        vocab_size=131, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=4, max_position_embeddings=64, rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(5)
+    hf = transformers.GptOssForCausalLM(cfg).eval()
+    path = str(tmp_path / "gptoss.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 130, 22, 9]  # > sliding_window so SWA matters
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.arch == "gpt-oss"
+    assert m.cfg.is_swa_layer(0) and not m.cfg.is_swa_layer(1)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
