@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--grammar-file", default=None)
     ap.add_argument("--json-schema", default=None)
     ap.add_argument("-cnv", "--conversation", action="store_true")
+    ap.add_argument("-md", "--model-draft", default=None,
+                    help="draft model GGUF for speculative decoding")
+    ap.add_argument("--draft-max", type=int, default=8,
+                    help="tokens drafted per speculative step")
+    ap.add_argument("--spec-ngram", action="store_true",
+                    help="self-speculative n-gram (prompt lookup) drafting")
     ap.add_argument("--no-quant", action="store_true", help="dense bf16 weights")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     ap.add_argument("--verbose-prompt", action="store_true")
@@ -64,6 +70,17 @@ def main(argv=None):
         grammar=grammar or "",
     )
 
+    speculator = None
+    if args.model_draft:
+        from ..runtime.speculative import DraftModelSpeculator
+
+        dmodel = load_model(args.model_draft, prefer_quant=not args.no_quant)
+        speculator = DraftModelSpeculator(Context(dmodel, n_ctx=args.ctx_size))
+    elif args.spec_ngram:
+        from ..runtime.speculative import NgramSpeculator
+
+        speculator = NgramSpeculator()
+
     def run_once(prompt_text: str, seq_reset=True):
         if seq_reset:
             ctx.seq_rm(0)
@@ -71,6 +88,20 @@ def main(argv=None):
         if args.verbose_prompt:
             for t in ids:
                 print(f"{t:7d} -> {tok.piece(t)!r}", file=sys.stderr)
+        if speculator is not None and not grammar:
+            from ..runtime.speculative import speculative_generate
+
+            speculator.reset()
+            sampler = SamplerChain.from_params(params, tok.vocab)
+            out, stats = speculative_generate(
+                ctx, speculator, ids, max_new_tokens=args.n_predict,
+                n_draft=args.draft_max, sampler=sampler,
+                stream=lambda t: (sys.stdout.write(tok.piece(t)), sys.stdout.flush()),
+            )
+            acc = stats["n_accept"] / max(stats["n_draft"], 1)
+            print(f"\nspec: drafted {stats['n_draft']} accepted "
+                  f"{stats['n_accept']} ({acc:.0%})", file=sys.stderr)
+            return out
         sampler = SamplerChain.from_params(params, tok.vocab)
         gsampler = None
         if grammar:
