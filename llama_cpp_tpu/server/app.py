@@ -44,12 +44,16 @@ def _sampling_from_request(body: dict[str, Any]) -> SamplingParams:
 
 
 class ServerApp:
-    def __init__(self, scheduler: Scheduler, model_name: str = "model"):
+    def __init__(self, scheduler: Scheduler, model_name: str = "model",
+                 slot_save_dir: str | None = None):
         self.sched = scheduler
         self.model_name = model_name
         self.ctx = scheduler.ctx
         self.tok = scheduler.ctx.model.tokenizer
         self.t_start = time.time()
+        import tempfile as _tf
+
+        self.slot_save_dir = slot_save_dir or _tf.gettempdir()
         self.app = web.Application()
         r = self.app.router
         r.add_get("/health", self.health)
@@ -57,6 +61,7 @@ class ServerApp:
         r.add_get("/metrics", self.metrics)
         r.add_get("/v1/models", self.models)
         r.add_get("/slots", self.slots)
+        r.add_post("/slots/{id}", self.slot_action)
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_post("/completion", self.completions)
@@ -191,6 +196,47 @@ class ServerApp:
                 }
             )
         return web.json_response(out)
+
+    async def slot_action(self, req):
+        """POST /slots/{id}?action=save|restore|erase — per-sequence KV state
+        files (reference tools/server slot save/restore,
+        tools/server/tests/unit/test_slot_save.py)."""
+        import os
+
+        from ..runtime.state import load_seq_state, save_seq_state
+
+        sid = int(req.match_info["id"])
+        if sid < 0 or sid >= self.sched.n_slots:
+            return web.json_response({"error": "invalid slot id"}, status=400)
+        action = req.query.get("action", "")
+        body = await req.json() if req.can_read_body else {}
+        fname = os.path.basename(str(body.get("filename", f"slot{sid}.bin")))
+        path = os.path.join(self.slot_save_dir, fname)
+        loop = asyncio.get_running_loop()
+        if action == "save":
+            blob = await loop.run_in_executor(
+                None, lambda: self.sched.run_sync(
+                    lambda: save_seq_state(self.ctx, sid)))
+            with open(path, "wb") as f:
+                f.write(blob)
+            return web.json_response(
+                {"id_slot": sid, "filename": fname, "n_written": len(blob)})
+        if action == "restore":
+            if not os.path.exists(path):
+                return web.json_response({"error": "file not found"}, status=404)
+            with open(path, "rb") as f:
+                blob = f.read()
+            n = await loop.run_in_executor(
+                None, lambda: self.sched.run_sync(
+                    lambda: load_seq_state(self.ctx, sid, blob)))
+            return web.json_response(
+                {"id_slot": sid, "filename": fname, "n_restored": n})
+        if action == "erase":
+            await loop.run_in_executor(
+                None, lambda: self.sched.run_sync(
+                    lambda: self.ctx.seq_rm(sid)))
+            return web.json_response({"id_slot": sid, "erased": True})
+        return web.json_response({"error": "unknown action"}, status=400)
 
     async def tokenize(self, req):
         body = await req.json()
