@@ -114,9 +114,14 @@ def convert_hf_model(
         "gemma2": "gemma2",
         "gemma3_text": "gemma3",
         "gpt_oss": "gpt-oss",
+        "mamba": "mamba",
+        "falcon_mamba": "mamba",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
+
+    if arch == "mamba":
+        return _convert_mamba(model, out_path, ftype, tokenizer, vocab_override)
 
     n_head = cfg.num_attention_heads
     n_kv = getattr(cfg, "num_key_value_heads", n_head)
@@ -224,6 +229,74 @@ def convert_hf_model(
             _emit(w, b + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"), ftype)
             _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
             _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+
+    w.write(out_path)
+    return out_path
+
+
+def _convert_mamba(model, out_path: str, ftype: str, tokenizer=None,
+                   vocab_override=None) -> str:
+    """Mamba-1/FalconMamba HF -> GGUF (reference conversion/mamba.py:
+    A = -exp(A_log), conv1d weight squeezed to [d_inner, d_conv])."""
+    cfg = model.config
+    d_model = cfg.hidden_size
+    d_conv = getattr(cfg, "conv_kernel", 4)
+    d_inner = getattr(cfg, "intermediate_size", 2 * d_model)
+    d_state = getattr(cfg, "state_size", 16)
+    dt_rank = getattr(cfg, "time_step_rank", None)
+    if dt_rank is None or dt_rank == "auto":
+        dt_rank = -(d_model // -16)
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "mamba")
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "mamba")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "mamba."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(1 << 20))
+    w.add(P + "embedding_length", np.uint32(d_model))
+    w.add(P + "feed_forward_length", np.uint32(0))
+    w.add(P + "attention.head_count", np.uint32(0))
+    w.add(P + "attention.layer_norm_rms_epsilon",
+          float(getattr(cfg, "layer_norm_epsilon", 1e-5)))
+    w.add(P + "ssm.conv_kernel", np.uint32(d_conv))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(d_state))
+    w.add(P + "ssm.time_step_rank", np.uint32(int(dt_rank)))
+    w.add(P + "ssm.dt_b_c_rms", bool(cfg.model_type == "falcon_mamba"))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def get(name):
+        return sd[name]
+
+    emb = get("backbone.embeddings.weight")
+    _emit(w, "token_embd.weight", emb, ftype)
+    _emit(w, "output_norm.weight", get("backbone.norm_f.weight"), ftype)
+    lm_head = sd.get("lm_head.weight")
+    if lm_head is not None and not np.array_equal(lm_head, emb):
+        _emit(w, "output.weight", lm_head, ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p = f"backbone.layers.{i}."
+        b = f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", get(p + "norm.weight"), ftype)
+        _emit(w, b + "ssm_in.weight", get(p + "mixer.in_proj.weight"), ftype)
+        _emit(w, b + "ssm_conv1d.weight",
+              get(p + "mixer.conv1d.weight").squeeze(1), ftype)
+        if p + "mixer.conv1d.bias" in sd:
+            _emit(w, b + "ssm_conv1d.bias", get(p + "mixer.conv1d.bias"), ftype)
+        _emit(w, b + "ssm_x.weight", get(p + "mixer.x_proj.weight"), ftype)
+        _emit(w, b + "ssm_dt.weight", get(p + "mixer.dt_proj.weight"), ftype)
+        _emit(w, b + "ssm_dt.bias", get(p + "mixer.dt_proj.bias"), ftype)
+        _emit(w, b + "ssm_a", -np.exp(get(p + "mixer.A_log")), ftype)
+        _emit(w, b + "ssm_d", get(p + "mixer.D"), ftype)
+        _emit(w, b + "ssm_out.weight", get(p + "mixer.out_proj.weight"), ftype)
 
     w.write(out_path)
     return out_path

@@ -62,6 +62,20 @@ LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "exp_probs_b",
+    # SSM / Mamba (reference src/llama-arch.cpp LLM_TENSOR_SSM_*)
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "ssm_conv1d",
+    "ssm_conv1d.bias": "ssm_conv1d_bias",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_bias",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
+    "ssm_dt_norm.weight": "ssm_dt_norm",
+    "ssm_b_norm.weight": "ssm_b_norm",
+    "ssm_c_norm.weight": "ssm_c_norm",
+    "ssm_norm.weight": "ssm_norm",
 }
 
 GLOBAL_TENSORS = {
@@ -80,7 +94,9 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "attn_q_bias", "attn_k_bias", "attn_v_bias", "attn_output_bias",
                "ffn_gate_bias", "ffn_up_bias", "ffn_down_bias", "exp_probs_b",
                "output_bias", "attn_sinks", "ffn_gate_inp_bias",
-               "ffn_gate_exps_bias", "ffn_up_exps_bias", "ffn_down_exps_bias"}
+               "ffn_gate_exps_bias", "ffn_up_exps_bias", "ffn_down_exps_bias",
+               "ssm_conv1d", "ssm_conv1d_bias", "ssm_dt_bias", "ssm_a",
+               "ssm_d", "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm"}
 
 
 class Model:
@@ -93,6 +109,17 @@ class Model:
     @property
     def arch(self) -> str:
         return self.cfg.arch
+
+    @property
+    def forward_fn(self):
+        """Per-family graph builder (build_arch_graph dispatch analog)."""
+        if self.cfg.extra.get("memory") == "recurrent":
+            from . import mamba
+
+            return mamba.forward
+        from . import transformer
+
+        return transformer.forward
 
 
 def load_model(
@@ -159,10 +186,15 @@ def load_model(
             progress(n_done / total)
 
     # fuse per-head norm weights shape: gguf stores [head_dim]
+    req = (
+        ("attn_norm", "ssm_in", "ssm_out")
+        if cfg.extra.get("memory") == "recurrent"
+        else ("attn_norm", "attn_output", "ffn_norm")
+    )
     missing = [
         f"layer {i} missing {k}"
         for i, lw in enumerate(layers)
-        for k in ("attn_norm", "attn_output", "ffn_norm")
+        for k in req
         if k not in lw
     ]
     if missing:

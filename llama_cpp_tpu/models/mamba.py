@@ -1,0 +1,129 @@
+"""Mamba (selective SSM) forward pass.
+
+Analog of reference src/models/mamba.cpp + llm_build_mamba_base::
+build_mamba_layer (src/models/mamba-base.cpp) and the GGML_OP_SSM_SCAN /
+GGML_OP_SSM_CONV kernels (ggml/src/ggml-cpu/ops.cpp ssm_scan: softplus(dt),
+h' = exp(dt·A)·h + dt·B·x, y = C·h). TPU-first: the time recurrence is a
+linear first-order scan, evaluated with jax.lax.associative_scan so prefill
+parallelizes over the sequence (Mamba paper Annex D); decode (T=1) reduces to
+a single fused state update.
+
+Weight keys per layer (GGUF canonical names, reference src/llama-arch.cpp):
+  attn_norm, ssm_in [2*d_inner, E], ssm_conv1d [d_inner, d_conv] (+_bias),
+  ssm_x [dt_rank+2*d_state, d_inner], ssm_dt [d_inner, dt_rank] (+_bias),
+  ssm_a [d_inner, d_state] (= -exp(A_log)), ssm_d [d_inner],
+  ssm_out [E, d_inner]; optional ssm_dt_norm/ssm_b_norm/ssm_c_norm
+  (FalconMamba dt_b_c_rms).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.basic import rms_norm
+from ..ops.qtensor import embed_lookup, matmul
+from ..runtime.memory import RecurrentState
+from .config import ModelConfig
+from .transformer import AttnInputs
+
+
+def selective_scan(s0, x, dt, A, B, C):
+    """First-order linear recurrence via associative scan.
+
+    s0 [Bt, S, I] initial state; x, dt [Bt, T, I]; A [I, S];
+    B, C [Bt, T, S]. -> (y [Bt, T, I], s_T [Bt, S, I]), all f32.
+    """
+    a = jnp.exp(dt[:, :, None, :] * A.T[None, None])  # [Bt, T, S, I]
+    b = B[..., None] * (dt * x)[:, :, None, :]  # [Bt, T, S, I]
+    # fold the initial state into the first step
+    b = b.at[:, 0].add(a[:, 0] * s0)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    a_all, s_all = jax.lax.associative_scan(combine, (a, b), axis=1)
+    y = jnp.einsum("bts,btsi->bti", C, s_all)
+    return y, s_all[:, -1]
+
+
+def forward(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B, T] int32
+    inputs: AttnInputs,
+    mem: RecurrentState,
+    output_rows: jnp.ndarray | None = None,
+    return_hidden: bool = False,
+):
+    """-> (logits [B*T or M, vocab] | hidden, updated RecurrentState).
+
+    Tokens must be consecutive per row (split_equal ubatch contract,
+    reference src/llama-batch.h:108); no padding rows."""
+    ex = cfg.extra
+    d_conv = ex["ssm_d_conv"]
+    d_state = ex["ssm_d_state"]
+    dt_rank = ex["ssm_dt_rank"]
+    d_inner = ex["ssm_d_inner"]
+    dt_b_c_rms = bool(ex.get("ssm_dt_b_c_rms", False))
+
+    x = embed_lookup(params["token_embd"], tokens, dtype=jnp.float32)  # [B,T,E]
+    B_, T = tokens.shape
+    seq_idx = inputs.seq_idx
+
+    for il, lw in enumerate(params["layers"]):
+        h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
+
+        xz = matmul(h, lw["ssm_in"], dtype=jnp.float32)  # [B, T, 2I]
+        xs, z = xz[..., :d_inner], xz[..., d_inner:]
+
+        # -- causal depthwise conv with rolling window state --------------
+        conv0 = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, dc-1, I]
+        cx = jnp.concatenate([conv0, xs], axis=1)  # [B, dc-1+T, I]
+        w = lw["ssm_conv1d"].astype(jnp.float32)  # [I, dc]
+        xc = sum(w[:, j] * cx[:, j : j + T, :] for j in range(d_conv))
+        if "ssm_conv1d_bias" in lw:
+            xc = xc + lw["ssm_conv1d_bias"]
+        xc = jax.nn.silu(xc)
+        new_conv = cx[:, T:, :]
+
+        # -- selective SSM -------------------------------------------------
+        x_db = matmul(xc, lw["ssm_x"], dtype=jnp.float32)  # [B,T,R+2S]
+        dt = x_db[..., :dt_rank]
+        Bm = x_db[..., dt_rank : dt_rank + d_state]
+        Cm = x_db[..., dt_rank + d_state :]
+        if dt_b_c_rms or "ssm_dt_norm" in lw:
+            dt = rms_norm(dt, lw.get("ssm_dt_norm"), cfg.rms_eps)
+            Bm = rms_norm(Bm, lw.get("ssm_b_norm"), cfg.rms_eps)
+            Cm = rms_norm(Cm, lw.get("ssm_c_norm"), cfg.rms_eps)
+        dt = matmul(dt, lw["ssm_dt"], dtype=jnp.float32)
+        if "ssm_dt_bias" in lw:
+            dt = dt + lw["ssm_dt_bias"]
+        dt = jax.nn.softplus(dt)  # [B, T, I]
+
+        s0 = mem.ssm[il][seq_idx]  # [B, S, I] f32
+        A = lw["ssm_a"].astype(jnp.float32)  # [I, S]
+        y, s_last = selective_scan(s0, xc, dt, A, Bm, Cm)
+        y = y + xc * lw["ssm_d"].astype(jnp.float32)
+        y = y * jax.nn.silu(z)
+
+        out = matmul(y, lw["ssm_out"], dtype=jnp.float32)  # [B, T, E]
+        x = x + out
+        mem = mem.put(il, seq_idx, new_conv, s_last)
+
+    B, T, E = x.shape
+    x = x.reshape(B * T, E)
+    if output_rows is not None:
+        x = x[output_rows]
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    if return_hidden:
+        return x, mem
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["token_embd"]
+    logits = matmul(x, out_w, dtype=jnp.float32)
+    return logits, mem

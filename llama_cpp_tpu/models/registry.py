@@ -162,6 +162,22 @@ def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
     )
 
 
+@register("mamba")
+def _mamba(cfg: ModelConfig, md) -> ModelConfig:
+    """Mamba-1 / FalconMamba (reference src/models/mamba.cpp): pure SSM
+    stack with recurrent (conv + ssm) state memory instead of a KV cache."""
+    a = cfg.arch
+    cfg.extra.update(
+        memory="recurrent",
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd)),
+        ssm_d_state=int(md.get(f"{a}.ssm.state_size", 16)),
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", -(cfg.n_embd // -16))),
+        ssm_dt_b_c_rms=bool(md.get(f"{a}.ssm.dt_b_c_rms", False)),
+    )
+    return cfg
+
+
 @register("gpt-oss")
 def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
     """gpt-oss-20B/120B (reference src/models/openai-moe.cpp): alternating

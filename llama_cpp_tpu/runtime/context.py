@@ -65,19 +65,14 @@ class Context:
         self.n_ctx = n_ctx
         self.n_seqs = n_seqs
         self.n_ubatch = n_ubatch
+        self._fwd = model.forward_fn
+        self.recurrent = self.cfg.extra.get("memory") == "recurrent"
+        self._kv_dtype = kv_dtype
+        self._kv_quant = quantized_kv
         # slot table sized to a 256 multiple so the flash-attn kernel can
         # tile it; the final slot is the trash slot absorbing padding writes
         self.n_slots = max(256, -(-(n_ctx + 1) // 256) * 256)
-        self.kv = KVCache.create(
-            self.cfg.n_layers,
-            n_seqs,
-            self.n_slots,
-            self.cfg.n_kv_heads,
-            self.cfg.head_dim_k,
-            self.cfg.head_dim_v,
-            dtype=kv_dtype,
-            quantized=quantized_kv,
-        )
+        self.kv = self._make_memory()
         self.trash_slot = self.n_slots - 1
         self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths
         self.perf = PerfCounters()
@@ -87,17 +82,39 @@ class Context:
         self._steps: dict[int, Callable] = {}
 
     # ------------------------------------------------------------------
+    def _make_memory(self, n_seqs: int | None = None, n_slots: int | None = None):
+        if self.recurrent:
+            from .memory import RecurrentState
+
+            ex = self.cfg.extra
+            return RecurrentState.create(
+                self.cfg.n_layers, n_seqs or self.n_seqs, ex["ssm_d_conv"],
+                ex["ssm_d_inner"], ex["ssm_d_state"],
+            )
+        return KVCache.create(
+            self.cfg.n_layers,
+            n_seqs or self.n_seqs,
+            n_slots or self.n_slots,
+            self.cfg.n_kv_heads,
+            self.cfg.head_dim_k,
+            self.cfg.head_dim_v,
+            dtype=self._kv_dtype,
+            quantized=self._kv_quant,
+        )
+
+    # ------------------------------------------------------------------
     def _step_fn(self, shape: tuple[int, int]) -> Callable:
         fn = self._steps.get(shape)
         if fn is not None:
             self.perf.n_reused_graphs += 1
             return fn
         cfg = self.cfg
+        fwd = self._fwd
 
         @partial(jax.jit, donate_argnums=(2,))
         def step(params, tokens, kv, seq_idx, slots, positions, output_rows):
             inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
-            return forward(params, cfg, tokens, inputs, kv, output_rows)
+            return fwd(params, cfg, tokens, inputs, kv, output_rows)
 
         self._steps[shape] = step
         return step
@@ -116,9 +133,14 @@ class Context:
         positions = np.atleast_2d(np.asarray(positions))
         seq_idx = np.asarray(seq_idx).reshape(-1)
         B, T = tokens.shape
-        Tb = _bucket(T, self.prefill_buckets) if T > 1 else 1
-        Bb = B if T > 1 else _bucket(B, [1, 2, 4, 8, 16, 32, 64, self.n_seqs])
-        Bb = min(max(Bb, B), self.n_seqs)
+        if self.recurrent:
+            # recurrent state updates can't absorb padding tokens: exact
+            # shapes only (split_equal contract, reference llama-batch.h:108)
+            Tb, Bb = T, B
+        else:
+            Tb = _bucket(T, self.prefill_buckets) if T > 1 else 1
+            Bb = B if T > 1 else _bucket(B, [1, 2, 4, 8, 16, 32, 64, self.n_seqs])
+            Bb = min(max(Bb, B), self.n_seqs)
 
         toks = np.zeros((Bb, Tb), np.int32)
         pos = np.full((Bb, Tb), -1, np.int32)
@@ -198,21 +220,17 @@ class Context:
         key = ("embed", len(prompt))
         fn = self._steps.get(key)
         if fn is None:
-            n = len(prompt)
+            fwd = self._fwd
 
             @jax.jit
             def fn(params, tokens, kv, seq_idx, slots, positions):
                 inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
-                return forward(params, cfg, tokens, inputs, kv, return_hidden=True)
+                return fwd(params, cfg, tokens, inputs, kv, return_hidden=True)
 
             self._steps[key] = fn
         n = len(prompt)
-        # throwaway KV: embedding passes never touch the serving cache
-        kv = KVCache.create(
-            self.cfg.n_layers, 1, n, self.cfg.n_kv_heads,
-            self.cfg.head_dim_k, self.cfg.head_dim_v, dtype=self.kv.k.dtype
-            if not self.kv.quantized else jnp.bfloat16,
-        )
+        # throwaway memory: embedding passes never touch the serving cache
+        kv = self._make_memory(n_seqs=1, n_slots=n)
         hidden, _ = fn(
             self.model.params,
             jnp.asarray(prompt, jnp.int32)[None, :],
@@ -243,16 +261,7 @@ class Context:
         self.seq_len[dst] = self.seq_len[src]
 
     def reset(self):
-        self.kv = KVCache.create(
-            self.cfg.n_layers,
-            self.n_seqs,
-            self.n_slots,
-            self.cfg.n_kv_heads,
-            self.cfg.head_dim_k,
-            self.cfg.head_dim_v,
-            dtype=self.kv.k.dtype if not self.kv.quantized else jnp.bfloat16,
-            quantized=self.kv.quantized,
-        )
+        self.kv = self._make_memory()
         self.seq_len[:] = 0
 
     # ------------------------------------------------------------------
@@ -268,6 +277,7 @@ class Context:
             return fn
         cfg = self.cfg
         n_ctx = self.n_ctx
+        fwd = self._fwd
 
         def sample(logits, rng):
             if greedy:
@@ -289,7 +299,7 @@ class Context:
                     slots=slot[None, None],
                     positions=pos[None, None],
                 )
-                logits, kv = forward(params, cfg, tok[None, None], inputs, kv)
+                logits, kv = fwd(params, cfg, tok[None, None], inputs, kv)
                 rng, sub = jax.random.split(rng)
                 nxt = sample(logits[0], sub)
                 return (kv, nxt, pos + 1, rng), nxt

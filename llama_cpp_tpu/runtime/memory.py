@@ -1,0 +1,79 @@
+"""Recurrent state memory for SSM/linear-attention models.
+
+Analog of reference llama_memory_recurrent (src/llama-memory-recurrent.cpp):
+fixed-size per-sequence state slots instead of a KV ring. Two tensors per
+layer: the rolling conv window and the SSM (or wkv) state matrix. Sequence
+ops are pure tensor updates; partial-range removal (seq_rm with p0>0) is
+unsupported, matching the reference's recurrent-memory restriction — rollback
+needs snapshots, not cell eviction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RecurrentState:
+    """conv: [L, n_seqs, d_conv-1, d_inner]; ssm: [L, n_seqs, d_state, d_inner]."""
+
+    conv: jnp.ndarray
+    ssm: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.conv, self.ssm), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, n_layers: int, n_seqs: int, d_conv: int, d_inner: int,
+               d_state: int, dtype=jnp.float32) -> "RecurrentState":
+        return cls(
+            conv=jnp.zeros((n_layers, n_seqs, max(d_conv - 1, 0), d_inner), dtype),
+            ssm=jnp.zeros((n_layers, n_seqs, d_state, d_inner), jnp.float32),
+        )
+
+    # -- interface shared with KVCache (duck-typed by Context) ----------
+    @property
+    def quantized(self) -> bool:
+        return False
+
+    @property
+    def n_slots(self) -> int:  # recurrent memory has one state per sequence
+        return 1
+
+    def get(self, layer: int, seq_idx: jnp.ndarray):
+        """-> (conv [B, d_conv-1, d_inner], ssm [B, d_state, d_inner])."""
+        return self.conv[layer][seq_idx], self.ssm[layer][seq_idx]
+
+    def put(self, layer: int, seq_idx: jnp.ndarray, conv_new, ssm_new):
+        return replace(
+            self,
+            conv=self.conv.at[layer, seq_idx].set(conv_new.astype(self.conv.dtype)),
+            ssm=self.ssm.at[layer, seq_idx].set(ssm_new.astype(self.ssm.dtype)),
+        )
+
+    def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30) -> "RecurrentState":
+        if p0 > 0:
+            raise NotImplementedError(
+                "recurrent memory cannot evict a position range "
+                "(reference llama-memory-recurrent.cpp seq_rm restriction)"
+            )
+        return replace(
+            self,
+            conv=self.conv.at[:, seq].set(0.0),
+            ssm=self.ssm.at[:, seq].set(0.0),
+        )
+
+    def seq_cp(self, dst: int, src: int) -> "RecurrentState":
+        return replace(
+            self,
+            conv=self.conv.at[:, dst].set(self.conv[:, src]),
+            ssm=self.ssm.at[:, dst].set(self.ssm[:, src]),
+        )

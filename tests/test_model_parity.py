@@ -41,6 +41,23 @@ def tiny_llama(vocab=199, layers=2, hidden=64, heads=4, kv_heads=2, inter=96):
 def run_ours(path, tokens, n_slots=32, prefer_quant=False):
     m = load_model(path, prefer_quant=prefer_quant, dense_dtype=jnp.float32)
     N = len(tokens)
+    if m.cfg.extra.get("memory") == "recurrent":
+        from llama_cpp_tpu.runtime.memory import RecurrentState
+
+        ex = m.cfg.extra
+        kv = RecurrentState.create(
+            m.cfg.n_layers, 1, ex["ssm_d_conv"], ex["ssm_d_inner"],
+            ex["ssm_d_state"],
+        )
+        inputs = AttnInputs(
+            seq_idx=jnp.zeros(1, jnp.int32),
+            slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+            positions=jnp.arange(N, dtype=jnp.int32)[None, :],
+        )
+        logits, kv = m.forward_fn(
+            m.params, m.cfg, jnp.asarray(tokens, jnp.int32)[None, :], inputs, kv
+        )
+        return m, np.asarray(logits), kv
     kv = KVCache.create(
         m.cfg.n_layers, 1, n_slots, m.cfg.n_kv_heads, m.cfg.head_dim_k,
         m.cfg.head_dim_v, dtype=jnp.float32,
@@ -182,3 +199,49 @@ def test_gpt_oss(tmp_path):
     assert m.cfg.arch == "gpt-oss"
     assert m.cfg.is_swa_layer(0) and not m.cfg.is_swa_layer(1)
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_mamba(tmp_path):
+    """Mamba-1: selective SSM scan + rolling conv state (reference
+    src/models/mamba.cpp, ggml SSM_SCAN/SSM_CONV ops)."""
+    cfg = transformers.MambaConfig(
+        vocab_size=121, hidden_size=48, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, intermediate_size=96,
+        time_step_rank=3, use_cache=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(7)
+    hf = transformers.MambaForCausalLM(cfg).eval()
+    path = str(tmp_path / "mamba.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 110, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.arch == "mamba"
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_mamba_decode_matches_prefill(tmp_path):
+    """Token-by-token recurrent decode == one-shot prefill."""
+    cfg = transformers.MambaConfig(
+        vocab_size=121, hidden_size=48, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, intermediate_size=96,
+        time_step_rank=3, use_cache=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(7)
+    hf = transformers.MambaForCausalLM(cfg).eval()
+    path = str(tmp_path / "mamba.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7]
+
+    from llama_cpp_tpu.runtime.context import Context
+
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(m, n_ctx=64, n_seqs=1)
+    pre = ctx.prefill(tokens)
+
+    ctx2 = Context(m, n_ctx=64, n_seqs=1)
+    for t in tokens[:-1]:
+        ctx2.decode_one(t)
+    step = ctx2.decode_one(tokens[-1])
+    np.testing.assert_allclose(step, pre, rtol=2e-4, atol=2e-4)
