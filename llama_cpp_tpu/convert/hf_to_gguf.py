@@ -116,12 +116,19 @@ def convert_hf_model(
         "gpt_oss": "gpt-oss",
         "mamba": "mamba",
         "falcon_mamba": "mamba",
+        "gpt2": "gpt2",
+        "gpt_neox": "gptneox",
+        "phi": "phi2",
+        "bloom": "bloom",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
 
     if arch == "mamba":
         return _convert_mamba(model, out_path, ftype, tokenizer, vocab_override)
+    if arch in ("gpt2", "gptneox", "bloom", "phi2"):
+        return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
+                                  vocab_override)
 
     n_head = cfg.num_attention_heads
     n_kv = getattr(cfg, "num_key_value_heads", n_head)
@@ -297,6 +304,147 @@ def _convert_mamba(model, out_path: str, ftype: str, tokenizer=None,
         _emit(w, b + "ssm_a", -np.exp(get(p + "mixer.A_log")), ftype)
         _emit(w, b + "ssm_d", get(p + "mixer.D"), ftype)
         _emit(w, b + "ssm_out.weight", get(p + "mixer.out_proj.weight"), ftype)
+
+    w.write(out_path)
+    return out_path
+
+
+def _neox_qkv_fix(w: np.ndarray, n_head: int, head_dim: int) -> np.ndarray:
+    """[n_head, 3, head_dim, ...] interleaved -> [Q;K;V] contiguous blocks
+    (reference conversion/gptneox.py modify_tensors)."""
+    tail = w.shape[1:] if w.ndim > 1 else ()
+    g = w.reshape(n_head, 3, head_dim, *tail)
+    return np.concatenate(
+        [g[:, 0].reshape(-1, *tail), g[:, 1].reshape(-1, *tail),
+         g[:, 2].reshape(-1, *tail)], axis=0)
+
+
+def _convert_ln_family(model, arch: str, out_path: str, ftype: str,
+                       tokenizer=None, vocab_override=None) -> str:
+    """gpt2 / gptneox / bloom / phi2 — LayerNorm families with fused or
+    biased projections (reference conversion/{gpt2,gptneox,bloom}.py)."""
+    cfg = model.config
+    n_layer = cfg.num_hidden_layers if hasattr(cfg, "num_hidden_layers") else cfg.n_layer
+    n_embd = getattr(cfg, "hidden_size", None) or cfg.n_embd
+    n_head = getattr(cfg, "num_attention_heads", None) or cfg.n_head
+    head_dim = n_embd // n_head
+    n_ff = getattr(cfg, "intermediate_size", None) or getattr(cfg, "n_inner", None) or 4 * n_embd
+    n_ctx = getattr(cfg, "max_position_embeddings", None) or getattr(cfg, "n_positions", 2048)
+    eps = getattr(cfg, "layer_norm_epsilon", None) or getattr(cfg, "layer_norm_eps", 1e-5)
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or arch)
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = f"{arch}."
+    w.add(P + "block_count", np.uint32(n_layer))
+    w.add(P + "context_length", np.uint32(n_ctx))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(n_ff))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_head))
+    w.add(P + "attention.layer_norm_epsilon", float(eps))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if arch == "gptneox":
+        w.add(P + "rope.freq_base", float(getattr(cfg, "rotary_emb_base", 10000.0)))
+        w.add(P + "rope.dimension_count",
+              np.uint32(int(head_dim * getattr(cfg, "rotary_pct", 1.0))))
+        w.add(P + "use_parallel_residual",
+              bool(getattr(cfg, "use_parallel_residual", True)))
+    if arch == "phi2":
+        w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+        w.add(P + "rope.dimension_count",
+              np.uint32(int(head_dim * getattr(cfg, "partial_rotary_factor", 1.0))))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+    def E(name, arr):
+        _emit(w, name, arr, ftype)
+
+    if arch == "gpt2":
+        E("token_embd.weight", sd["transformer.wte.weight"])
+        E("position_embd.weight", sd["transformer.wpe.weight"])
+        E("output_norm.weight", sd["transformer.ln_f.weight"])
+        E("output_norm.bias", sd["transformer.ln_f.bias"])
+        for i in range(n_layer):
+            p, b = f"transformer.h.{i}.", f"blk.{i}."
+            E(b + "attn_norm.weight", sd[p + "ln_1.weight"])
+            E(b + "attn_norm.bias", sd[p + "ln_1.bias"])
+            E(b + "attn_qkv.weight", sd[p + "attn.c_attn.weight"].T)
+            E(b + "attn_qkv.bias", sd[p + "attn.c_attn.bias"])
+            E(b + "attn_output.weight", sd[p + "attn.c_proj.weight"].T)
+            E(b + "attn_output.bias", sd[p + "attn.c_proj.bias"])
+            E(b + "ffn_norm.weight", sd[p + "ln_2.weight"])
+            E(b + "ffn_norm.bias", sd[p + "ln_2.bias"])
+            E(b + "ffn_up.weight", sd[p + "mlp.c_fc.weight"].T)
+            E(b + "ffn_up.bias", sd[p + "mlp.c_fc.bias"])
+            E(b + "ffn_down.weight", sd[p + "mlp.c_proj.weight"].T)
+            E(b + "ffn_down.bias", sd[p + "mlp.c_proj.bias"])
+    elif arch == "gptneox":
+        E("token_embd.weight", sd["gpt_neox.embed_in.weight"])
+        E("output_norm.weight", sd["gpt_neox.final_layer_norm.weight"])
+        E("output_norm.bias", sd["gpt_neox.final_layer_norm.bias"])
+        E("output.weight", sd["embed_out.weight"])
+        for i in range(n_layer):
+            p, b = f"gpt_neox.layers.{i}.", f"blk.{i}."
+            E(b + "attn_norm.weight", sd[p + "input_layernorm.weight"])
+            E(b + "attn_norm.bias", sd[p + "input_layernorm.bias"])
+            E(b + "attn_qkv.weight",
+              _neox_qkv_fix(sd[p + "attention.query_key_value.weight"], n_head, head_dim))
+            E(b + "attn_qkv.bias",
+              _neox_qkv_fix(sd[p + "attention.query_key_value.bias"], n_head, head_dim))
+            E(b + "attn_output.weight", sd[p + "attention.dense.weight"])
+            E(b + "attn_output.bias", sd[p + "attention.dense.bias"])
+            E(b + "ffn_norm.weight", sd[p + "post_attention_layernorm.weight"])
+            E(b + "ffn_norm.bias", sd[p + "post_attention_layernorm.bias"])
+            E(b + "ffn_up.weight", sd[p + "mlp.dense_h_to_4h.weight"])
+            E(b + "ffn_up.bias", sd[p + "mlp.dense_h_to_4h.bias"])
+            E(b + "ffn_down.weight", sd[p + "mlp.dense_4h_to_h.weight"])
+            E(b + "ffn_down.bias", sd[p + "mlp.dense_4h_to_h.bias"])
+    elif arch == "bloom":
+        E("token_embd.weight", sd["transformer.word_embeddings.weight"])
+        E("token_embd_norm.weight", sd["transformer.word_embeddings_layernorm.weight"])
+        E("token_embd_norm.bias", sd["transformer.word_embeddings_layernorm.bias"])
+        E("output_norm.weight", sd["transformer.ln_f.weight"])
+        E("output_norm.bias", sd["transformer.ln_f.bias"])
+        for i in range(n_layer):
+            p, b = f"transformer.h.{i}.", f"blk.{i}."
+            E(b + "attn_norm.weight", sd[p + "input_layernorm.weight"])
+            E(b + "attn_norm.bias", sd[p + "input_layernorm.bias"])
+            E(b + "attn_qkv.weight",
+              _neox_qkv_fix(sd[p + "self_attention.query_key_value.weight"], n_head, head_dim))
+            E(b + "attn_qkv.bias",
+              _neox_qkv_fix(sd[p + "self_attention.query_key_value.bias"], n_head, head_dim))
+            E(b + "attn_output.weight", sd[p + "self_attention.dense.weight"])
+            E(b + "attn_output.bias", sd[p + "self_attention.dense.bias"])
+            E(b + "ffn_norm.weight", sd[p + "post_attention_layernorm.weight"])
+            E(b + "ffn_norm.bias", sd[p + "post_attention_layernorm.bias"])
+            E(b + "ffn_up.weight", sd[p + "mlp.dense_h_to_4h.weight"])
+            E(b + "ffn_up.bias", sd[p + "mlp.dense_h_to_4h.bias"])
+            E(b + "ffn_down.weight", sd[p + "mlp.dense_4h_to_h.weight"])
+            E(b + "ffn_down.bias", sd[p + "mlp.dense_4h_to_h.bias"])
+    elif arch == "phi2":
+        E("token_embd.weight", sd["model.embed_tokens.weight"])
+        E("output_norm.weight", sd["model.final_layernorm.weight"])
+        E("output_norm.bias", sd["model.final_layernorm.bias"])
+        E("output.weight", sd["lm_head.weight"])
+        E("output.bias", sd["lm_head.bias"])
+        for i in range(n_layer):
+            p, b = f"model.layers.{i}.", f"blk.{i}."
+            E(b + "attn_norm.weight", sd[p + "input_layernorm.weight"])
+            E(b + "attn_norm.bias", sd[p + "input_layernorm.bias"])
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("dense", "attn_output")):
+                E(b + f"{gg}.weight", sd[p + f"self_attn.{hf}.weight"])
+                E(b + f"{gg}.bias", sd[p + f"self_attn.{hf}.bias"])
+            E(b + "ffn_up.weight", sd[p + "mlp.fc1.weight"])
+            E(b + "ffn_up.bias", sd[p + "mlp.fc1.bias"])
+            E(b + "ffn_down.weight", sd[p + "mlp.fc2.weight"])
+            E(b + "ffn_down.bias", sd[p + "mlp.fc2.bias"])
 
     w.write(out_path)
     return out_path

@@ -53,6 +53,9 @@ class ModelConfig:
     qk_norm: bool = False  # qwen3/gemma3 per-head rmsnorm on q/k
     attn_bias: bool = False
     post_norms: bool = False  # gemma: post-attention/post-ffn norms
+    parallel_residual: bool = False  # gptneox/phi2: x + attn(n(x)) + ffn(n(x))
+    shared_parallel_norm: bool = False  # phi2: one norm feeds both branches
+    alibi_bias: float = 0.0  # bloom/mpt max_alibi_bias (0 = rope/none)
 
     sliding_window: int = 0
     swa_pattern: int = 0  # every Nth layer is full-attention (gemma3: 6)

@@ -30,6 +30,7 @@ LAYER_TENSORS = {
     "attn_k.weight": "attn_k",
     "attn_v.weight": "attn_v",
     "attn_qkv.weight": "attn_qkv",
+    "attn_qkv.bias": "attn_qkv_bias",
     "attn_output.weight": "attn_output",
     "attn_q.bias": "attn_q_bias",
     "attn_k.bias": "attn_k_bias",
@@ -80,6 +81,9 @@ LAYER_TENSORS = {
 
 GLOBAL_TENSORS = {
     "token_embd.weight": "token_embd",
+    "position_embd.weight": "pos_embd",
+    "token_embd_norm.weight": "token_embd_norm",
+    "token_embd_norm.bias": "token_embd_norm_bias",
     "output_norm.weight": "output_norm",
     "output_norm.bias": "output_norm_bias",
     "output.weight": "output",
@@ -96,7 +100,8 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "output_bias", "attn_sinks", "ffn_gate_inp_bias",
                "ffn_gate_exps_bias", "ffn_up_exps_bias", "ffn_down_exps_bias",
                "ssm_conv1d", "ssm_conv1d_bias", "ssm_dt_bias", "ssm_a",
-               "ssm_d", "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm"}
+               "ssm_d", "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm",
+               "attn_qkv_bias", "token_embd_norm", "token_embd_norm_bias"}
 
 
 class Model:
@@ -169,7 +174,8 @@ def load_model(
         dense = key in _DENSE_KEYS or len(info.shape) == 1
         # matmul weights store transposed planes (TPU kernel layout);
         # the embedding table stays row-major for gather
-        transpose = not dense and key != "token_embd" and len(info.shape) >= 2
+        transpose = (not dense and key not in ("token_embd", "pos_embd")
+                     and len(info.shape) >= 2)
         w = load_weight(
             np.asarray(info.data),
             info.dtype,
@@ -186,11 +192,12 @@ def load_model(
             progress(n_done / total)
 
     # fuse per-head norm weights shape: gguf stores [head_dim]
-    req = (
-        ("attn_norm", "ssm_in", "ssm_out")
-        if cfg.extra.get("memory") == "recurrent"
-        else ("attn_norm", "attn_output", "ffn_norm")
-    )
+    if cfg.extra.get("memory") == "recurrent":
+        req = ("attn_norm", "ssm_in", "ssm_out")
+    elif cfg.shared_parallel_norm:
+        req = ("attn_norm", "attn_output")  # phi2: one norm feeds both branches
+    else:
+        req = ("attn_norm", "attn_output", "ffn_norm")
     missing = [
         f"layer {i} missing {k}"
         for i, lw in enumerate(layers)

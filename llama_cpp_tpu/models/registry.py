@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from ..ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM
+from ..ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NONE, ROPE_TYPE_NORM
 from .config import ModelConfig
 
 ArchTweak = Callable[[ModelConfig, dict[str, Any]], ModelConfig]
@@ -159,6 +159,53 @@ def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
         else "sigmoid",
         expert_weights_norm=bool(md.get("deepseek2.expert_weights_norm", False)),
         expert_weights_scale=float(md.get("deepseek2.expert_weights_scale", 1.0)),
+    )
+
+
+@register("gpt2")
+def _gpt2(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, use_rms_norm=False,
+                     act="gelu", glu=False, tie_embeddings=True)
+
+
+@register("gptneox")
+def _gptneox(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, use_rms_norm=False, act="gelu", glu=False,
+        parallel_residual=bool(md.get("gptneox.use_parallel_residual", True)),
+    )
+
+
+@register("phi2")
+def _phi2(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, use_rms_norm=False, act="gelu", glu=False,
+        parallel_residual=True, shared_parallel_norm=True,
+    )
+
+
+@register("bloom")
+def _bloom(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NONE, use_rms_norm=False, act="gelu", glu=False,
+        alibi_bias=8.0,
+    )
+
+
+@register("mpt")
+def _mpt(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NONE, use_rms_norm=False, act="gelu", glu=False,
+        alibi_bias=float(md.get("mpt.attention.max_alibi_bias", 8.0)),
+    )
+
+
+@register("command-r")
+def _command_r(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM, use_rms_norm=False,
+        parallel_residual=True, shared_parallel_norm=True,
+        logit_scale=float(md.get("command-r.logit_scale", 1.0)),
     )
 
 

@@ -15,10 +15,10 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.basic import ACTIVATIONS, rms_norm, softcap
+from ..ops.basic import ACTIVATIONS, layer_norm, rms_norm, softcap
 from ..ops.pallas.flash_attn import flash_supported, mha_flash
 from ..ops.qtensor import QuantTensor, Weight, embed_lookup, matmul
-from ..ops.rope import RopeParams, apply_rope
+from ..ops.rope import ROPE_TYPE_NONE, RopeParams, apply_rope
 from ..runtime.kv_cache import KVCache
 from .config import ModelConfig
 
@@ -53,6 +53,25 @@ def set_activation_tap(fn):
 def _tap(layer: int, key: str, x):
     if _ACT_TAP is not None:
         _ACT_TAP(layer, key, x)
+
+
+def norm(cfg: ModelConfig, x: jnp.ndarray, w: dict[str, Weight], key: str) -> jnp.ndarray:
+    """RMSNorm or LayerNorm per cfg.use_rms_norm (build_norm analog)."""
+    if cfg.use_rms_norm:
+        return rms_norm(x, w.get(key), cfg.rms_eps)
+    return layer_norm(x, w.get(key), w.get(key + "_bias"), cfg.norm_eps)
+
+
+def alibi_slopes(n_heads: int, max_bias: float) -> jnp.ndarray:
+    """ggml soft_max_ext ALiBi slope schedule (ggml-cpu/ops.cpp softmax)."""
+    n2 = 1 << (n_heads.bit_length() - 1)  # largest pow2 <= n_heads
+    m0 = 2.0 ** (-max_bias / n2)
+    m1 = 2.0 ** (-(max_bias / 2.0) / n2)
+    return jnp.asarray(
+        [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1)
+         for h in range(n_heads)],
+        jnp.float32,
+    )
 
 
 class AttnInputs(NamedTuple):
@@ -100,18 +119,27 @@ def attention_block(
     H, Hkv = cfg.n_heads, cfg.n_kv_heads
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
 
-    _tap(il, "attn_q", x)
-    _tap(il, "attn_k", x)
-    _tap(il, "attn_v", x)
-    q = matmul(x, lw["attn_q"])
-    k = matmul(x, lw["attn_k"])
-    v = matmul(x, lw["attn_v"])
-    if "attn_q_bias" in lw:
-        q = q + lw["attn_q_bias"]
-    if "attn_k_bias" in lw:
-        k = k + lw["attn_k_bias"]
-    if "attn_v_bias" in lw:
-        v = v + lw["attn_v_bias"]
+    if "attn_qkv" in lw:  # fused projection (gpt2/gptneox/phi families)
+        _tap(il, "attn_qkv", x)
+        qkv = matmul(x, lw["attn_qkv"])
+        if "attn_qkv_bias" in lw:
+            qkv = qkv + lw["attn_qkv_bias"]
+        q = qkv[..., : H * Dk]
+        k = qkv[..., H * Dk : H * Dk + Hkv * Dk]
+        v = qkv[..., H * Dk + Hkv * Dk :]
+    else:
+        _tap(il, "attn_q", x)
+        _tap(il, "attn_k", x)
+        _tap(il, "attn_v", x)
+        q = matmul(x, lw["attn_q"])
+        k = matmul(x, lw["attn_k"])
+        v = matmul(x, lw["attn_v"])
+        if "attn_q_bias" in lw:
+            q = q + lw["attn_q_bias"]
+        if "attn_k_bias" in lw:
+            k = k + lw["attn_k_bias"]
+        if "attn_v_bias" in lw:
+            v = v + lw["attn_v_bias"]
 
     q = q.reshape(B, T, H, Dk)
     k = k.reshape(B, T, Hkv, Dk)
@@ -121,9 +149,10 @@ def attention_block(
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
         k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
-    rp = _rope_params(cfg, il)
-    q = apply_rope(q, inputs.positions, rp)
-    k = apply_rope(k, inputs.positions, rp)
+    if cfg.rope_type != ROPE_TYPE_NONE:
+        rp = _rope_params(cfg, il)
+        q = apply_rope(q, inputs.positions, rp)
+        k = apply_rope(k, inputs.positions, rp)
 
     # scatter-write new K/V (SET_ROWS analog): flatten [B,T] token grid
     seq_flat = jnp.repeat(inputs.seq_idx, T)
@@ -141,7 +170,7 @@ def attention_block(
     sinks = lw.get("attn_sinks")  # [H] gpt-oss attention sinks
     slot_pos = kv.pos[inputs.seq_idx]  # [B, slots]
 
-    if flash_supported(Dk, Dv, kv.n_slots):
+    if flash_supported(Dk, Dv, kv.n_slots) and cfg.alibi_bias == 0.0:
         # fused Pallas flash attention straight off the (possibly int8) cache
         k_raw = kv.k[il][inputs.seq_idx]  # [B, Hkv, S, Dk]
         v_raw = kv.v[il][inputs.seq_idx]
@@ -172,6 +201,12 @@ def attention_block(
         scores = (
             jnp.einsum("btkgd,bksd->bkgts", qg, k_seq.astype(jnp.float32)) * scale
         )  # [B, Hkv, groups, T, S]
+        if cfg.alibi_bias > 0.0:
+            slopes = alibi_slopes(H, cfg.alibi_bias).reshape(1, Hkv, groups, 1, 1)
+            delta = (
+                slot_pos[:, None, :] - inputs.positions[:, :, None]
+            ).astype(jnp.float32)  # [B, T, S] (<= 0 for past tokens)
+            scores = scores + slopes * delta[:, None, None, :, :]
         if cfg.attn_logit_softcap:
             scores = softcap(scores, cfg.attn_logit_softcap)
         scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
@@ -207,9 +242,15 @@ def ffn_block(
         up = matmul(x, lw["ffn_up"])
         h = act(gate) * up
     else:
-        h = act(matmul(x, lw["ffn_up"]))
+        up = matmul(x, lw["ffn_up"])
+        if "ffn_up_bias" in lw:
+            up = up + lw["ffn_up_bias"]
+        h = act(up)
     _tap(il, "ffn_down", h)
-    return matmul(h, lw["ffn_down"])
+    y = matmul(h, lw["ffn_down"])
+    if "ffn_down_bias" in lw:
+        y = y + lw["ffn_down_bias"]
+    return y
 
 
 def swiglu_oai(g: jnp.ndarray, u: jnp.ndarray, alpha=1.702, limit=7.0):
@@ -317,15 +358,29 @@ def forward(
     x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)  # [B, T, E]
     if cfg.embd_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
+    if "pos_embd" in params:  # learned absolute positions (gpt2 wpe)
+        pe = embed_lookup(params["pos_embd"], jnp.maximum(inputs.positions, 0),
+                          dtype=cdtype)
+        x = x + pe
+    if "token_embd_norm" in params:  # bloom embedding layernorm
+        x = layer_norm(x, params["token_embd_norm"],
+                       params.get("token_embd_norm_bias"), cfg.norm_eps)
 
     for il, lw in enumerate(params["layers"]):
-        h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
+        h = norm(cfg, x, lw, "attn_norm")
         attn, kv = attention_block(cfg, lw, h, inputs, kv, il)
         if cfg.post_norms and "attn_post_norm" in lw:
             attn = rms_norm(attn, lw["attn_post_norm"], cfg.rms_eps)
+
+        if cfg.parallel_residual:
+            # x = x + attn(norm1(x)) + ffn(norm2(x)); phi2 shares one norm
+            h2 = h if cfg.shared_parallel_norm else norm(cfg, x, lw, "ffn_norm")
+            ff = ffn_block(cfg, lw, h2, il)
+            x = x + attn + ff
+            continue
         x = x + attn
 
-        h = rms_norm(x, lw["ffn_norm"], cfg.rms_eps)
+        h = norm(cfg, x, lw, "ffn_norm")
         if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
             ff = moe_block(cfg, lw, h)
             if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
@@ -340,13 +395,15 @@ def forward(
     x = x.reshape(B * T, E)
     if output_rows is not None:
         x = x[output_rows]
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    x = norm(cfg, x, params, "output_norm")
     if return_hidden:
         return x, kv
     out_w = params.get("output")
     if out_w is None:
         out_w = params["token_embd"]
     logits = matmul(x, out_w, dtype=jnp.float32)
+    if "output_bias" in params:
+        logits = logits + params["output_bias"].astype(jnp.float32)
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:

@@ -245,3 +245,65 @@ def test_mamba_decode_matches_prefill(tmp_path):
         ctx2.decode_one(t)
     step = ctx2.decode_one(tokens[-1])
     np.testing.assert_allclose(step, pre, rtol=2e-4, atol=2e-4)
+
+
+def _parity(hf, tmp_path, name, tokens=(2, 5, 40, 96, 7, 9), tol=4e-4):
+    path = str(tmp_path / f"{name}.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = list(tokens)
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    np.testing.assert_allclose(ours, ref, rtol=tol, atol=tol)
+    return m
+
+
+def test_gpt2(tmp_path):
+    cfg = transformers.GPT2Config(
+        vocab_size=120, n_positions=64, n_embd=48, n_layer=2, n_head=4,
+        n_inner=None, activation_function="gelu_new",
+    )
+    torch.manual_seed(11)
+    m = _parity(transformers.GPT2LMHeadModel(cfg).eval(), tmp_path, "gpt2")
+    assert m.cfg.arch == "gpt2" and not m.cfg.use_rms_norm
+
+
+def test_gptneox(tmp_path):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, rotary_pct=0.5,
+        use_parallel_residual=True, max_position_embeddings=64,
+    )
+    torch.manual_seed(12)
+    m = _parity(transformers.GPTNeoXForCausalLM(cfg).eval(), tmp_path, "neox")
+    assert m.cfg.parallel_residual
+
+
+def test_gptneox_sequential(tmp_path):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, rotary_pct=1.0,
+        use_parallel_residual=False, max_position_embeddings=64,
+    )
+    torch.manual_seed(13)
+    _parity(transformers.GPTNeoXForCausalLM(cfg).eval(), tmp_path, "neox2")
+
+
+def test_phi2(tmp_path):
+    cfg = transformers.PhiConfig(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+    )
+    torch.manual_seed(14)
+    m = _parity(transformers.PhiForCausalLM(cfg).eval(), tmp_path, "phi2")
+    assert m.cfg.shared_parallel_norm
+
+
+def test_bloom_alibi(tmp_path):
+    cfg = transformers.BloomConfig(
+        vocab_size=120, hidden_size=48, n_layer=2, n_head=4,
+    )
+    torch.manual_seed(15)
+    m = _parity(transformers.BloomForCausalLM(cfg).eval(), tmp_path, "bloom")
+    assert m.cfg.alibi_bias > 0
