@@ -377,19 +377,22 @@ def forward(
             h2 = h if cfg.shared_parallel_norm else norm(cfg, x, lw, "ffn_norm")
             ff = ffn_block(cfg, lw, h2, il)
             x = x + attn + ff
-            continue
-        x = x + attn
-
-        h = norm(cfg, x, lw, "ffn_norm")
-        if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
-            ff = moe_block(cfg, lw, h)
-            if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
-                ff = ff + ffn_block(cfg, lw, h, il)
         else:
-            ff = ffn_block(cfg, lw, h, il)
-        if cfg.post_norms and "ffn_post_norm" in lw:
-            ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
-        x = x + ff
+            x = x + attn
+
+            h = norm(cfg, x, lw, "ffn_norm")
+            if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
+                ff = moe_block(cfg, lw, h)
+                if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
+                    ff = ff + ffn_block(cfg, lw, h, il)
+            else:
+                ff = ffn_block(cfg, lw, h, il)
+            if cfg.post_norms and "ffn_post_norm" in lw:
+                ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
+            x = x + ff
+
+        if "cvec" in params:  # control vector (build_cvec analog)
+            x = x + params["cvec"][il].astype(x.dtype)
 
     B, T, E = x.shape
     x = x.reshape(B * T, E)

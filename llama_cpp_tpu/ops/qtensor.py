@@ -96,7 +96,27 @@ class QuantTensor:
         return w.reshape(*q.shape).astype(dtype)
 
 
-Weight = QuantTensor | jnp.ndarray
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LoraWeight:
+    """Base weight + low-rank delta applied at matmul time
+    (build_lora_mm analog, reference src/llama-graph.h:1018):
+    y = x@base^T + scale * (x@a^T)@b^T with a [r, in], b [out, r]."""
+
+    base: "QuantTensor | jnp.ndarray"
+    a: jnp.ndarray
+    b: jnp.ndarray
+    scale: float  # static: adapter_scale * alpha / rank
+
+    def tree_flatten(self):
+        return (self.base, self.a, self.b), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(base=children[0], a=children[1], b=children[2], scale=aux[0])
+
+
+Weight = QuantTensor | LoraWeight | jnp.ndarray
 
 
 def load_weight(
@@ -167,6 +187,13 @@ def _resolve_pallas() -> bool:
 def matmul(x: jnp.ndarray, w: Weight, dtype=None) -> jnp.ndarray:
     """y = x @ W.T with W in [out, in] layout (ggml mul_mat convention)."""
     out_dtype = dtype or x.dtype
+    if isinstance(w, LoraWeight):
+        y = matmul(x, w.base, dtype=jnp.float32)
+        h = jnp.dot(x.astype(jnp.bfloat16), w.a.T,
+                    preferred_element_type=jnp.float32)
+        delta = jnp.dot(h.astype(jnp.bfloat16), w.b.T,
+                        preferred_element_type=jnp.float32)
+        return (y + w.scale * delta).astype(out_dtype)
     if isinstance(w, QuantTensor):
         if _resolve_pallas() and _PALLAS_QMM is not None:
             y = _PALLAS_QMM(x, w)

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tokens drafted per speculative step")
     ap.add_argument("--spec-ngram", action="store_true",
                     help="self-speculative n-gram (prompt lookup) drafting")
+    ap.add_argument("--lora", default=None, help="LoRA adapter GGUF")
+    ap.add_argument("--lora-scale", type=float, default=1.0)
+    ap.add_argument("--control-vector", default=None)
+    ap.add_argument("--control-vector-scale", type=float, default=1.0)
     ap.add_argument("--no-quant", action="store_true", help="dense bf16 weights")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     ap.add_argument("--verbose-prompt", action="store_true")
@@ -69,6 +73,19 @@ def main(argv=None):
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
         grammar=grammar or "",
     )
+
+    if args.lora:
+        from ..models.adapters import apply_lora, load_lora
+
+        n = apply_lora(model, load_lora(args.lora), scale=args.lora_scale)
+        print(f"lora: applied {n} tensors from {args.lora}", file=sys.stderr)
+    if args.control_vector:
+        from ..models.adapters import apply_control_vector, load_control_vector
+
+        cv = load_control_vector(args.control_vector, model.cfg.n_layers,
+                                 model.cfg.n_embd)
+        apply_control_vector(model, cv, strength=args.control_vector_scale)
+        print(f"control vector: {args.control_vector}", file=sys.stderr)
 
     speculator = None
     if args.model_draft:
