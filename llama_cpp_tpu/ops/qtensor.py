@@ -138,9 +138,18 @@ def load_weight(
         sc = sc.reshape(*shape[:-1], shape[-1] // g)
         mn = None if mn is None else mn.reshape(*shape[:-1], shape[-1] // g)
         if transpose:
-            q = np.ascontiguousarray(np.swapaxes(q, -1, -2))
-            sc = np.ascontiguousarray(np.swapaxes(sc, -1, -2))
-            mn = None if mn is None else np.ascontiguousarray(np.swapaxes(mn, -1, -2))
+            def _t(a):
+                if a is None:
+                    return None
+                if a.ndim == 2:  # threaded native transpose when available
+                    from ..native import transpose2d
+
+                    out = transpose2d(a)
+                    if out is not None:
+                        return out
+                return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+
+            q, sc, mn = _t(q), _t(sc), _t(mn)
         return QuantTensor(
             q=jnp.asarray(q),
             scales=jnp.asarray(sc),

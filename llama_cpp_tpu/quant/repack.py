@@ -345,7 +345,18 @@ PLANE_TYPES = frozenset(_PLANES)
 
 
 def extract_planes(raw, dtype: GGMLType, n: int):
-    """-> (q int8 [n], scales f32 [n//g], mins f32 [n//g] | None, g)."""
+    """-> (q int8 [n], scales f32 [n//g], mins f32 [n//g] | None, g).
+
+    Uses the multithreaded C++ codec (native/gguf_native.cpp) when available
+    — bitwise-identical to the numpy path (tests/test_native.py)."""
+    try:
+        from ..native import extract_planes_native
+
+        out = extract_planes_native(np.asarray(raw), int(dtype), n)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - native layer is optional
+        pass
     fn = _PLANES.get(dtype)
     if fn is None:
         raise NotImplementedError(f"extract_planes: {dtype.name}")
