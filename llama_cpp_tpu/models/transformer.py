@@ -197,10 +197,16 @@ def attention_block(
             )
 
         groups = H // Hkv
-        qg = q.reshape(B, T, Hkv, groups, Dk).astype(jnp.float32)
+        # matmul inputs follow the activation dtype (bf16 serving path keeps
+        # the MXU at full rate with f32 accumulation; f32 oracle runs exact)
+        mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+        qg = q.reshape(B, T, Hkv, groups, Dk).astype(mdt)
         scores = (
-            jnp.einsum("btkgd,bksd->bkgts", qg, k_seq.astype(jnp.float32)) * scale
-        )  # [B, Hkv, groups, T, S]
+            jnp.einsum(
+                "btkgd,bksd->bkgts", qg, k_seq.astype(mdt),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        )  # [B, Hkv, groups, T, S] f32 accum
         if cfg.alibi_bias > 0.0:
             slopes = alibi_slopes(H, cfg.alibi_bias).reshape(1, Hkv, groups, 1, 1)
             delta = (
@@ -222,7 +228,10 @@ def attention_block(
         else:
             probs = jax.nn.softmax(scores, axis=-1)
         probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
-        out = jnp.einsum("bkgts,bksd->btkgd", probs, v_seq.astype(jnp.float32))
+        out = jnp.einsum(
+            "bkgts,bksd->btkgd", probs.astype(mdt), v_seq.astype(mdt),
+            preferred_element_type=jnp.float32,
+        )
         out = out.reshape(B, T, H * Dv).astype(x.dtype)
     _tap(il, "attn_output", out)
     out = matmul(out, lw["attn_output"])
@@ -236,7 +245,11 @@ def ffn_block(
 ) -> jnp.ndarray:
     act = ACTIVATIONS[cfg.act]
     _tap(il, "ffn_up", x)
-    if cfg.glu:
+    if "ffn_gateup" in lw:  # load-time fused gate|up projection
+        gu = matmul(x, lw["ffn_gateup"])
+        half = gu.shape[-1] // 2
+        h = act(gu[..., :half]) * gu[..., half:]
+    elif cfg.glu:
         _tap(il, "ffn_gate", x)
         gate = matmul(x, lw["ffn_gate"])
         up = matmul(x, lw["ffn_up"])

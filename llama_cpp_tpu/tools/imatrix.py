@@ -86,7 +86,7 @@ def main(argv=None):
     ap.add_argument("-c", "--n-ctx", type=int, default=512)
     args = ap.parse_args(argv)
 
-    model = load_model(args.model)
+    model = load_model(args.model, fuse=False)  # per-tensor taps need unfused projections
     text = open(args.file, encoding="utf-8").read()
     tokens = model.tokenizer.encode(text, add_special=True, parse_special=False)
 
