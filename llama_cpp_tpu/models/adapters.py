@@ -76,12 +76,71 @@ def load_lora(path: str) -> LoraAdapter:
     return LoraAdapter(alpha=alpha, rank=rank, tensors=tensors)
 
 
+def _fuse_pairs(parts: dict[str, tuple], order: list[str], dims: list[int]):
+    """Combine per-projection (A, B) pairs into one pair targeting the fused
+    weight: A rows stack, B becomes block-structured over the fused output."""
+    total_r = sum(parts[k][0].shape[0] for k in order if k in parts)
+    in_d = next(parts[k][0].shape[1] for k in order if k in parts)
+    out_d = sum(dims)
+    A = np.zeros((total_r, in_d), np.float32)
+    B = np.zeros((out_d, total_r), np.float32)
+    r0 = 0
+    o0 = 0
+    for k, d in zip(order, dims):
+        if k in parts:
+            a, b = parts[k]
+            r = a.shape[0]
+            A[r0:r0 + r] = a
+            B[o0:o0 + d, r0:r0 + r] = b
+            r0 += r
+        o0 += d
+    return A, B
+
+
+def _remap_for_fusion(model: Model, tensors: dict) -> dict:
+    """Route adapters named after unfused projections onto the load-time
+    fused attn_qkv / ffn_gateup weights when those exist."""
+    cfg = model.cfg
+    out: dict = {}
+    by_layer: dict[int, dict[str, tuple]] = {}
+    fusable = ("attn_q", "attn_k", "attn_v", "ffn_gate", "ffn_up")
+    for key, ab in tensors.items():
+        if key[0] == "layer" and key[2] in fusable:
+            by_layer.setdefault(key[1], {})[key[2]] = ab
+        else:
+            out[key] = ab
+    for il, parts in by_layer.items():
+        if il >= len(model.params["layers"]):
+            continue
+        lw = model.params["layers"][il]
+        qkv = {k: v for k, v in parts.items() if k.startswith("attn_")}
+        if qkv:
+            if "attn_qkv" in lw:
+                dims = [cfg.n_heads * cfg.head_dim_k,
+                        cfg.n_kv_heads * cfg.head_dim_k,
+                        cfg.n_kv_heads * cfg.head_dim_v]
+                out[("layer", il, "attn_qkv")] = _fuse_pairs(
+                    qkv, ["attn_q", "attn_k", "attn_v"], dims)
+            else:
+                for k, v in qkv.items():
+                    out[("layer", il, k)] = v
+        gu = {k: v for k, v in parts.items() if k.startswith("ffn_")}
+        if gu:
+            if "ffn_gateup" in lw:
+                out[("layer", il, "ffn_gateup")] = _fuse_pairs(
+                    gu, ["ffn_gate", "ffn_up"], [cfg.n_ff, cfg.n_ff])
+            else:
+                for k, v in gu.items():
+                    out[("layer", il, k)] = v
+    return out
+
+
 def apply_lora(model: Model, adapter: LoraAdapter, scale: float = 1.0) -> int:
     """Wrap matching weights in LoraWeight (idempotent per adapter load).
     Returns the number of weights wrapped."""
     s = scale * adapter.alpha / max(adapter.rank, 1)
     n = 0
-    for key, (a, b) in adapter.tensors.items():
+    for key, (a, b) in _remap_for_fusion(model, adapter.tensors).items():
         if key[0] == "global":
             tgt, wk = model.params, key[1]
         else:

@@ -74,8 +74,8 @@ def test_lora_runtime_equals_merged(base_path, tmp_path):
     assert n == 4
     rt = logits_of(m)
 
-    # manual merge on a fresh model
-    m2 = load_model(base_path, prefer_quant=False)
+    # manual merge on a fresh (unfused) model
+    m2 = load_model(base_path, prefer_quant=False, fuse=False)
     s = adapter.alpha / adapter.rank
     for (kind, il, wk), (a, b) in adapter.tensors.items():
         w = m2.params["layers"][il][wk]
