@@ -68,6 +68,8 @@ class ServerApp:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/rerank", self.rerank)
         r.add_post("/v1/messages", self.anthropic_messages)
         r.add_post("/infill", self.infill)
 
@@ -277,6 +279,35 @@ class ServerApp:
              "usage": {"prompt_tokens": 0, "total_tokens": 0}}
         )
 
+    async def rerank(self, req):
+        """Query-document relevance scores (reference /v1/rerank). Without a
+        dedicated rank head this scores embedding cosine similarity."""
+        body = await req.json()
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        top_n = int(body.get("top_n", len(docs)))
+        loop = asyncio.get_running_loop()
+
+        import numpy as np
+
+        def embed_one(text):
+            ids = self.tok.encode(text, add_special=True)[: self.ctx.n_ctx - 1]
+            return self.sched.run_sync(lambda: self.ctx.embed(ids))
+
+        qv = await loop.run_in_executor(None, embed_one, query)
+        qv = qv / (np.linalg.norm(qv) + 1e-12)
+        results = []
+        for i, d in enumerate(docs):
+            dv = await loop.run_in_executor(None, embed_one, d)
+            dv = dv / (np.linalg.norm(dv) + 1e-12)
+            results.append({"index": i, "relevance_score": float(qv @ dv)})
+        results.sort(key=lambda r: -r["relevance_score"])
+        return web.json_response(
+            {"model": self.model_name, "object": "list",
+             "results": results[:top_n],
+             "usage": {"prompt_tokens": 0, "total_tokens": 0}}
+        )
+
     async def completions(self, req):
         body = await req.json()
         prompt = body.get("prompt", "")
@@ -317,6 +348,16 @@ class ServerApp:
             return await self._stream_openai(req, task, rid, chat=True)
         done = await self._run_task(task)
         result = await done
+        message = {"role": "assistant", "content": result["text"]}
+        finish = result["finish_reason"]
+        if body.get("tools"):
+            from .tool_calls import parse_tool_calls
+
+            content, calls = parse_tool_calls(result["text"])
+            if calls:
+                message = {"role": "assistant",
+                           "content": content or None, "tool_calls": calls}
+                finish = "tool_calls"
         return web.json_response(
             {
                 "id": rid,
@@ -326,8 +367,8 @@ class ServerApp:
                 "choices": [
                     {
                         "index": 0,
-                        "message": {"role": "assistant", "content": result["text"]},
-                        "finish_reason": result["finish_reason"],
+                        "message": message,
+                        "finish_reason": finish,
                     }
                 ],
                 "usage": {

@@ -118,6 +118,66 @@ def kl_divergence(
     }
 
 
+def continuation_logprob(ctx, context_ids: list[int], cont_ids: list[int]) -> float:
+    """Sum log p(cont | context) — the multiple-choice scoring primitive
+    (reference hellaswag_score, tools/perplexity/perplexity.cpp:744)."""
+    ids = context_ids + cont_ids
+    ctx.seq_rm(0)
+    logits = eval_chunk_logits(ctx, ids)  # [len(ids)-? , vocab]
+    lp = 0.0
+    for j, t in enumerate(cont_ids):
+        row = logits[len(context_ids) - 1 + j]
+        lp += _log_softmax_row(row.astype(np.float64), t)
+    return lp
+
+
+def multiple_choice_score(ctx, tasks: list[dict], progress=None) -> dict:
+    """tasks: [{"context": str, "endings": [str...], "label": int}] ->
+    accuracy of argmax sum-logprob ending (HellaSwag/MMLU-style scoring,
+    reference perplexity.cpp hellaswag/multiple_choice)."""
+    tok = ctx.model.tokenizer
+    correct = 0
+    for i, t in enumerate(tasks):
+        c_ids = tok.encode(t["context"], add_special=True, parse_special=False)
+        scores = []
+        for end in t["endings"]:
+            e_ids = tok.encode(end, add_special=False, parse_special=False)
+            if not e_ids:
+                scores.append(-1e30)
+                continue
+            scores.append(continuation_logprob(ctx, c_ids, e_ids))
+        pick = int(np.argmax(scores))
+        correct += int(pick == int(t["label"]))
+        if progress:
+            progress(i + 1, len(tasks), correct / (i + 1))
+    return {"n_tasks": len(tasks), "accuracy": correct / max(len(tasks), 1)}
+
+
+def winogrande_score(ctx, tasks: list[dict], progress=None) -> dict:
+    """tasks: [{"sentence": "... _ ...", "option1": s, "option2": s,
+    "answer": 1|2}] — score both substitutions on the trailing clause
+    (reference winogrande_score)."""
+    tok = ctx.model.tokenizer
+    correct = 0
+    for i, t in enumerate(tasks):
+        pre, _, post = t["sentence"].partition("_")
+        scores = []
+        for opt in (t["option1"], t["option2"]):
+            c_ids = tok.encode(pre + opt, add_special=True, parse_special=False)
+            e_ids = tok.encode(post, add_special=False, parse_special=False)
+            if not e_ids:
+                scores.append(-1e30)
+                continue
+            # normalize by continuation length (reference uses the trailing
+            # clause logprob; options may tokenize to different lengths)
+            scores.append(continuation_logprob(ctx, c_ids, e_ids) / len(e_ids))
+        pick = int(np.argmax(scores)) + 1
+        correct += int(pick == int(t["answer"]))
+        if progress:
+            progress(i + 1, len(tasks), correct / (i + 1))
+    return {"n_tasks": len(tasks), "accuracy": correct / max(len(tasks), 1)}
+
+
 def main(argv=None):
     import argparse
 
@@ -128,18 +188,36 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser("llama-perplexity (TPU)")
     ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", required=True, help="text corpus")
+    ap.add_argument("-f", "--file", required=True,
+                    help="text corpus, or JSONL for --hellaswag/--winogrande")
     ap.add_argument("-c", "--n-ctx", type=int, default=512)
     ap.add_argument("--no-quant", action="store_true")
+    ap.add_argument("--hellaswag", action="store_true",
+                    help="JSONL: {context, endings[4], label}")
+    ap.add_argument("--winogrande", action="store_true",
+                    help="JSONL: {sentence, option1, option2, answer}")
+    ap.add_argument("--tasks", type=int, default=0, help="limit task count")
     args = ap.parse_args(argv)
 
     model = load_model(args.model, prefer_quant=not args.no_quant)
     ctx = Context(model, n_ctx=args.n_ctx, n_seqs=1)
-    text = open(args.file, encoding="utf-8").read()
 
     def prog(i, n, cur):
-        print(f"[{i}/{n}] ppl so far: {cur:.4f}", flush=True)
+        print(f"[{i}/{n}] {cur:.4f}", flush=True)
 
+    if args.hellaswag or args.winogrande:
+        import json
+
+        tasks = [json.loads(l) for l in open(args.file, encoding="utf-8")
+                 if l.strip()]
+        if args.tasks:
+            tasks = tasks[: args.tasks]
+        fn = winogrande_score if args.winogrande else multiple_choice_score
+        res = fn(ctx, tasks, progress=prog)
+        print(f"accuracy = {res['accuracy']:.4f} over {res['n_tasks']} tasks")
+        return
+
+    text = open(args.file, encoding="utf-8").read()
     res = perplexity(ctx, text=text, n_ctx=args.n_ctx, progress=prog)
     print(res)
 

@@ -96,3 +96,31 @@ def test_cli_parser():
 
     args = build_parser().parse_args(["-m", "x.gguf", "-p", "hi", "--temp", "0"])
     assert args.model == "x.gguf" and args.temp == 0.0
+
+
+def test_multiple_choice_and_winogrande(tmp_path):
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.context import Context
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+    from llama_cpp_tpu.tools.perplexity import (
+        multiple_choice_score,
+        winogrande_score,
+    )
+
+    p = str(tmp_path / "mc.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=1, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    ctx = Context(load_model(p, prefer_quant=False), n_ctx=64, n_seqs=1)
+    tasks = [
+        {"context": "ab cd", "endings": ["x", "yz", "qq", "w"], "label": 1},
+        {"context": "hello", "endings": ["a", "b", "c", "d"], "label": 0},
+    ]
+    res = multiple_choice_score(ctx, tasks)
+    assert res["n_tasks"] == 2 and 0.0 <= res["accuracy"] <= 1.0
+
+    wtasks = [{"sentence": "the cat _ sat", "option1": "a", "option2": "bb",
+               "answer": 2}]
+    res = winogrande_score(ctx, wtasks)
+    assert res["n_tasks"] == 1
