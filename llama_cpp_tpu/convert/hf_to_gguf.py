@@ -116,6 +116,7 @@ def convert_hf_model(
         "gpt_oss": "gpt-oss",
         "mamba": "mamba",
         "falcon_mamba": "mamba",
+        "mamba2": "mamba2",
         "gpt2": "gpt2",
         "gpt_neox": "gptneox",
         "phi": "phi2",
@@ -126,6 +127,8 @@ def convert_hf_model(
 
     if arch == "mamba":
         return _convert_mamba(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "mamba2":
+        return _convert_mamba2(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -446,5 +449,66 @@ def _convert_ln_family(model, arch: str, out_path: str, ftype: str,
             E(b + "ffn_down.weight", sd[p + "mlp.fc2.weight"])
             E(b + "ffn_down.bias", sd[p + "mlp.fc2.bias"])
 
+    w.write(out_path)
+    return out_path
+
+
+def _convert_mamba2(model, out_path: str, ftype: str, tokenizer=None,
+                    vocab_override=None) -> str:
+    """Mamba-2 HF -> GGUF (reference conversion/mamba.py Mamba2Model:
+    A/D unsqueezed to [nh,1], norm reshaped to [n_group, d_inner/n_group])."""
+    cfg = model.config
+    d_model = cfg.hidden_size
+    d_conv = getattr(cfg, "conv_kernel", 4)
+    expand = getattr(cfg, "expand", 2)
+    d_inner = getattr(cfg, "intermediate_size", None) or expand * d_model
+    d_state = getattr(cfg, "state_size", 128)
+    head_dim = getattr(cfg, "head_dim", 64)
+    n_group = getattr(cfg, "n_groups", 1)
+    nh = d_inner // head_dim
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "mamba2")
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "mamba2")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "mamba2."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(1 << 20))
+    w.add(P + "embedding_length", np.uint32(d_model))
+    w.add(P + "feed_forward_length", np.uint32(0))
+    w.add(P + "attention.head_count", np.uint32(0))
+    w.add(P + "attention.layer_norm_rms_epsilon",
+          float(getattr(cfg, "layer_norm_epsilon", 1e-5)))
+    w.add(P + "ssm.conv_kernel", np.uint32(d_conv))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(d_state))
+    w.add(P + "ssm.time_step_rank", np.uint32(nh))
+    w.add(P + "ssm.group_count", np.uint32(n_group))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    emb = sd["backbone.embeddings.weight"]
+    _emit(w, "token_embd.weight", emb, ftype)
+    _emit(w, "output_norm.weight", sd["backbone.norm_f.weight"], ftype)
+    lm_head = sd.get("lm_head.weight")
+    if lm_head is not None and not np.array_equal(lm_head, emb):
+        _emit(w, "output.weight", lm_head, ftype)
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"backbone.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "norm.weight"], ftype)
+        _emit(w, b + "ssm_in.weight", sd[p + "mixer.in_proj.weight"], ftype)
+        _emit(w, b + "ssm_conv1d.weight", sd[p + "mixer.conv1d.weight"].squeeze(1), ftype)
+        if p + "mixer.conv1d.bias" in sd:
+            _emit(w, b + "ssm_conv1d.bias", sd[p + "mixer.conv1d.bias"], ftype)
+        _emit(w, b + "ssm_dt.bias", sd[p + "mixer.dt_bias"], ftype)
+        _emit(w, b + "ssm_a", -np.exp(sd[p + "mixer.A_log"]).reshape(-1, 1), ftype)
+        _emit(w, b + "ssm_d", sd[p + "mixer.D"].reshape(-1, 1), ftype)
+        _emit(w, b + "ssm_norm.weight",
+              sd[p + "mixer.norm.weight"].reshape(n_group, d_inner // n_group), ftype)
+        _emit(w, b + "ssm_out.weight", sd[p + "mixer.out_proj.weight"], ftype)
     w.write(out_path)
     return out_path

@@ -51,6 +51,80 @@ def selective_scan(s0, x, dt, A, B, C):
     return y, s_all[:, -1]
 
 
+def _causal_conv(mem: RecurrentState, il: int, seq_idx, xs: jnp.ndarray,
+                 lw, d_conv: int):
+    """Depthwise causal conv over time with rolling window state
+    (GGML_OP_SSM_CONV). xs [B, T, C] -> (silu(conv), new_state)."""
+    B_, T = xs.shape[:2]
+    conv0 = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, dc-1, C]
+    cx = jnp.concatenate([conv0, xs], axis=1)  # [B, dc-1+T, C]
+    w = lw["ssm_conv1d"].astype(jnp.float32)  # [C, dc]
+    xc = sum(w[:, j] * cx[:, j : j + T, :] for j in range(d_conv))
+    if "ssm_conv1d_bias" in lw:
+        xc = xc + lw["ssm_conv1d_bias"]
+    return jax.nn.silu(xc), cx[:, T:, :]
+
+
+def mamba2_layer(cfg, lw, h, mem: RecurrentState, seq_idx, il: int):
+    """Mamba-2 mixer (reference build_mamba2_layer, src/models/mamba-base.cpp
+    :149): fused zxBCdt in-projection, conv over x|B|C channels, scalar
+    per-head decay, grouped gated RMS norm."""
+    ex = cfg.extra
+    d_conv, d_state = ex["ssm_d_conv"], ex["ssm_d_state"]
+    d_inner = ex["ssm_d_inner"]
+    H, G = ex["ssm_dt_rank"], ex["ssm_n_group"]
+    P = d_inner // H
+    conv_dim = d_inner + 2 * G * d_state
+    B_, T = h.shape[:2]
+
+    zxbcdt = matmul(h, lw["ssm_in"], dtype=jnp.float32)  # [B,T, 2I+2GS+H]
+    z = zxbcdt[..., :d_inner]
+    xBC = zxbcdt[..., d_inner : d_inner + conv_dim]
+    dt = zxbcdt[..., d_inner + conv_dim :]  # [B,T,H]
+
+    xBC, new_conv = _causal_conv(mem, il, seq_idx, xBC, lw, d_conv)
+    x = xBC[..., :d_inner].reshape(B_, T, H, P)
+    Bm = xBC[..., d_inner : d_inner + G * d_state].reshape(B_, T, G, d_state)
+    Cm = xBC[..., d_inner + G * d_state :].reshape(B_, T, G, d_state)
+
+    if "ssm_dt_bias" in lw:
+        dt = dt + lw["ssm_dt_bias"]
+    dt = jax.nn.softplus(dt)  # [B,T,H]
+    A = lw["ssm_a"].reshape(-1).astype(jnp.float32)  # [H] scalar decay/head
+    a = jnp.exp(dt * A)  # [B,T,H]
+
+    rep = H // G
+    Bh = jnp.repeat(Bm, rep, axis=2)  # [B,T,H,S]
+    Ch = jnp.repeat(Cm, rep, axis=2)
+    b = (dt[..., None] * x)[..., None] * Bh[..., None, :]  # [B,T,H,P,S]
+
+    # initial state: stored [B, S, I]; channel i = h*P + p
+    s0 = mem.ssm[il][seq_idx]  # [B, S, I]
+    s0 = s0.transpose(0, 2, 1).reshape(B_, H, P, d_state)
+    a5 = a[..., None, None]
+    b = b.at[:, 0].add(a5[:, 0] * s0)
+
+    def combine(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a1 * a2, a2 * b1 + b2
+
+    _, s_all = jax.lax.associative_scan(combine, (jnp.broadcast_to(a5, b.shape), b), axis=1)
+    y = jnp.einsum("bths,bthps->bthp", Ch, s_all)
+    y = y + x * lw["ssm_d"].reshape(-1)[None, None, :, None]
+    y = y.reshape(B_, T, d_inner) * jax.nn.silu(z)
+
+    # grouped gated RMS norm (ssm_norm weight [G, I/G])
+    if "ssm_norm" in lw:
+        yg = y.reshape(B_, T, G, d_inner // G)
+        yg = rms_norm(yg, None, cfg.rms_eps) * lw["ssm_norm"].astype(jnp.float32)
+        y = yg.reshape(B_, T, d_inner)
+
+    out = matmul(y, lw["ssm_out"], dtype=jnp.float32)
+    s_last = s_all[:, -1].reshape(B_, d_inner, d_state).transpose(0, 2, 1)
+    return out, new_conv, s_last
+
+
 def forward(
     params: dict[str, Any],
     cfg: ModelConfig,
@@ -77,6 +151,12 @@ def forward(
 
     for il, lw in enumerate(params["layers"]):
         h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
+
+        if ex.get("ssm_version", 1) == 2:
+            out, new_conv, s_last = mamba2_layer(cfg, lw, h, mem, seq_idx, il)
+            x = x + out
+            mem = mem.put(il, seq_idx, new_conv, s_last)
+            continue
 
         xz = matmul(h, lw["ssm_in"], dtype=jnp.float32)  # [B, T, 2I]
         xs, z = xz[..., :d_inner], xz[..., d_inner:]

@@ -225,6 +225,27 @@ def _mamba(cfg: ModelConfig, md) -> ModelConfig:
     return cfg
 
 
+@register("mamba2")
+def _mamba2(cfg: ModelConfig, md) -> ModelConfig:
+    """Mamba-2 (reference src/models/mamba2.cpp): fused zxBCdt projection,
+    scalar per-head decay, grouped B/C, gated grouped RMS norm."""
+    a = cfg.arch
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd))
+    d_state = int(md.get(f"{a}.ssm.state_size", 128))
+    n_group = int(md.get(f"{a}.ssm.group_count", 1))
+    cfg.extra.update(
+        memory="recurrent",
+        ssm_version=2,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner,
+        ssm_d_state=d_state,
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", d_inner // 64)),
+        ssm_n_group=n_group,
+        ssm_conv_dim=d_inner + 2 * n_group * d_state,
+    )
+    return cfg
+
+
 @register("gpt-oss")
 def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
     """gpt-oss-20B/120B (reference src/models/openai-moe.cpp): alternating

@@ -90,6 +90,7 @@ class Context:
             return RecurrentState.create(
                 self.cfg.n_layers, n_seqs or self.n_seqs, ex["ssm_d_conv"],
                 ex["ssm_d_inner"], ex["ssm_d_state"],
+                conv_channels=ex.get("ssm_conv_dim"),
             )
         return KVCache.create(
             self.cfg.n_layers,

@@ -33,9 +33,12 @@ class RecurrentState:
 
     @classmethod
     def create(cls, n_layers: int, n_seqs: int, d_conv: int, d_inner: int,
-               d_state: int, dtype=jnp.float32) -> "RecurrentState":
+               d_state: int, dtype=jnp.float32,
+               conv_channels: int | None = None) -> "RecurrentState":
+        # mamba2 convolves over x|B|C (conv_channels > d_inner)
         return cls(
-            conv=jnp.zeros((n_layers, n_seqs, max(d_conv - 1, 0), d_inner), dtype),
+            conv=jnp.zeros((n_layers, n_seqs, max(d_conv - 1, 0),
+                            conv_channels or d_inner), dtype),
             ssm=jnp.zeros((n_layers, n_seqs, d_state, d_inner), jnp.float32),
         )
 

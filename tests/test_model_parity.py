@@ -47,7 +47,7 @@ def run_ours(path, tokens, n_slots=32, prefer_quant=False):
         ex = m.cfg.extra
         kv = RecurrentState.create(
             m.cfg.n_layers, 1, ex["ssm_d_conv"], ex["ssm_d_inner"],
-            ex["ssm_d_state"],
+            ex["ssm_d_state"], conv_channels=ex.get("ssm_conv_dim"),
         )
         inputs = AttnInputs(
             seq_idx=jnp.zeros(1, jnp.int32),
@@ -307,3 +307,26 @@ def test_bloom_alibi(tmp_path):
     torch.manual_seed(15)
     m = _parity(transformers.BloomForCausalLM(cfg).eval(), tmp_path, "bloom")
     assert m.cfg.alibi_bias > 0
+
+
+def test_mamba2(tmp_path):
+    """Mamba-2: fused zxBCdt, scalar per-head decay, grouped gated RMS norm
+    (reference src/models/mamba2.cpp + build_mamba2_layer)."""
+    # n_groups=1: HF's gated norm spans full d_inner while the reference
+    # (and we) normalize per group — semantics coincide only at one group
+    cfg = transformers.Mamba2Config(
+        vocab_size=121, hidden_size=32, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, expand=2, head_dim=8, n_groups=1,
+        num_heads=8, use_cache=False, tie_word_embeddings=False,
+        chunk_size=16,
+    )
+    torch.manual_seed(9)
+    hf = transformers.Mamba2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "mamba2.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 110, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.arch == "mamba2"
+    np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)
