@@ -117,6 +117,7 @@ def convert_hf_model(
         "mamba": "mamba",
         "falcon_mamba": "mamba",
         "mamba2": "mamba2",
+        "jamba": "jamba",
         "gpt2": "gpt2",
         "gpt_neox": "gptneox",
         "phi": "phi2",
@@ -129,6 +130,8 @@ def convert_hf_model(
         return _convert_mamba(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "mamba2":
         return _convert_mamba2(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "jamba":
+        return _convert_jamba(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -510,5 +513,89 @@ def _convert_mamba2(model, out_path: str, ftype: str, tokenizer=None,
         _emit(w, b + "ssm_norm.weight",
               sd[p + "mixer.norm.weight"].reshape(n_group, d_inner // n_group), ftype)
         _emit(w, b + "ssm_out.weight", sd[p + "mixer.out_proj.weight"], ftype)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_jamba(model, out_path: str, ftype: str, tokenizer=None,
+                   vocab_override=None) -> str:
+    """Jamba hybrid HF -> GGUF (reference conversion/jamba.py): interleaved
+    mamba/attention layers + optional per-layer MoE."""
+    cfg = model.config
+    d_model = cfg.hidden_size
+    d_conv = cfg.mamba_d_conv
+    d_state = cfg.mamba_d_state
+    d_inner = cfg.mamba_expand * d_model
+    dt_rank = cfg.mamba_dt_rank
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "jamba")
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "jamba")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "jamba."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(P + "embedding_length", np.uint32(d_model))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_attention_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(cfg.num_key_value_heads))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(getattr(cfg, "rms_norm_eps", 1e-6)))
+    w.add(P + "ssm.conv_kernel", np.uint32(d_conv))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(d_state))
+    w.add(P + "ssm.time_step_rank", np.uint32(dt_rank))
+    if getattr(cfg, "num_experts", 1) > 1:
+        w.add(P + "expert_count", np.uint32(cfg.num_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    emb = sd["model.embed_tokens.weight"]
+    _emit(w, "token_embd.weight", emb, ftype)
+    _emit(w, "output_norm.weight", sd["model.final_layernorm.weight"], ftype)
+    lm_head = sd.get("lm_head.weight")
+    if lm_head is not None and not getattr(cfg, "tie_word_embeddings", False):
+        _emit(w, "output.weight", lm_head, ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "input_layernorm.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "pre_ff_layernorm.weight"], ftype)
+        if p + "mamba.in_proj.weight" in sd:
+            m = p + "mamba."
+            _emit(w, b + "ssm_in.weight", sd[m + "in_proj.weight"], ftype)
+            _emit(w, b + "ssm_conv1d.weight", sd[m + "conv1d.weight"].squeeze(1), ftype)
+            if m + "conv1d.bias" in sd:
+                _emit(w, b + "ssm_conv1d.bias", sd[m + "conv1d.bias"], ftype)
+            _emit(w, b + "ssm_x.weight", sd[m + "x_proj.weight"], ftype)
+            _emit(w, b + "ssm_dt.weight", sd[m + "dt_proj.weight"], ftype)
+            _emit(w, b + "ssm_dt.bias", sd[m + "dt_proj.bias"], ftype)
+            _emit(w, b + "ssm_a", -np.exp(sd[m + "A_log"]), ftype)
+            _emit(w, b + "ssm_d", sd[m + "D"], ftype)
+            _emit(w, b + "ssm_out.weight", sd[m + "out_proj.weight"], ftype)
+            _emit(w, b + "ssm_dt_norm.weight", sd[m + "dt_layernorm.weight"], ftype)
+            _emit(w, b + "ssm_b_norm.weight", sd[m + "b_layernorm.weight"], ftype)
+            _emit(w, b + "ssm_c_norm.weight", sd[m + "c_layernorm.weight"], ftype)
+        else:
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+                _emit(w, b + f"{gg}.weight", sd[p + f"self_attn.{hf}.weight"], ftype)
+        ff = p + "feed_forward."
+        if ff + "router.weight" in sd:
+            _emit(w, b + "ffn_gate_inp.weight", sd[ff + "router.weight"], ftype)
+            n_exp = cfg.num_experts
+            for part in ("gate", "up", "down"):
+                stack = np.stack([sd[ff + f"experts.{e}.{part}_proj.weight"]
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
+        else:
+            _emit(w, b + "ffn_gate.weight", sd[ff + "gate_proj.weight"], ftype)
+            _emit(w, b + "ffn_up.weight", sd[ff + "up_proj.weight"], ftype)
+            _emit(w, b + "ffn_down.weight", sd[ff + "down_proj.weight"], ftype)
+
     w.write(out_path)
     return out_path

@@ -109,10 +109,24 @@ class ModelConfig:
                 pass
             return v
 
+        def as_int(v, default=0):
+            # per-layer arrays (hybrid archs store head_count_kv per layer,
+            # 0 on recurrent layers): take the attention layers' value
+            if isinstance(v, (list, tuple)):
+                return int(max(v)) if v else default
+            try:
+                import numpy as _np
+
+                if isinstance(v, _np.ndarray):
+                    return int(v.max()) if v.size else default
+            except Exception:
+                pass
+            return int(v) if v is not None else default
+
         K = Keys.LLM
-        n_embd = int(g(K.EMBEDDING_LENGTH, 0))
-        n_heads = int(g(K.ATTN_HEAD_COUNT, 0))
-        n_kv = int(g(K.ATTN_HEAD_COUNT_KV, n_heads))
+        n_embd = as_int(g(K.EMBEDDING_LENGTH, 0))
+        n_heads = as_int(g(K.ATTN_HEAD_COUNT, 0))
+        n_kv = as_int(g(K.ATTN_HEAD_COUNT_KV, n_heads), n_heads)
         head_k = int(g(K.ATTN_KEY_LENGTH, n_embd // max(n_heads, 1)))
         head_v = int(g(K.ATTN_VALUE_LENGTH, head_k))
         tokens = md.get(Keys.Tokenizer.TOKENS, [])

@@ -195,6 +195,8 @@ def load_model(
     # fuse per-head norm weights shape: gguf stores [head_dim]
     if cfg.extra.get("memory") == "recurrent":
         req = ("attn_norm", "ssm_in", "ssm_out")
+    elif cfg.extra.get("memory") == "hybrid":
+        req = ("attn_norm",)  # per-layer mixer checked below
     elif cfg.shared_parallel_norm:
         req = ("attn_norm", "attn_output")  # phi2: one norm feeds both branches
     else:
@@ -205,6 +207,12 @@ def load_model(
         for k in req
         if k not in lw
     ]
+    if cfg.extra.get("memory") == "hybrid":
+        missing += [
+            f"layer {i} has neither attention nor ssm mixer"
+            for i, lw in enumerate(layers)
+            if "ssm_in" not in lw and "attn_output" not in lw
+        ]
     if missing:
         raise ValueError(f"model load incomplete: {missing[:4]}")
     if fuse:

@@ -65,6 +65,40 @@ def _causal_conv(mem: RecurrentState, il: int, seq_idx, xs: jnp.ndarray,
     return jax.nn.silu(xc), cx[:, T:, :]
 
 
+def mamba1_layer(cfg, lw, h, mem: RecurrentState, seq_idx, il: int):
+    """Mamba-1 mixer (reference build_mamba_layer) -> (out, new_conv, s_T)."""
+    ex = cfg.extra
+    d_conv, d_state = ex["ssm_d_conv"], ex["ssm_d_state"]
+    dt_rank, d_inner = ex["ssm_dt_rank"], ex["ssm_d_inner"]
+    dt_b_c_rms = bool(ex.get("ssm_dt_b_c_rms", False))
+    B_, T = h.shape[:2]
+
+    xz = matmul(h, lw["ssm_in"], dtype=jnp.float32)  # [B, T, 2I]
+    xs, z = xz[..., :d_inner], xz[..., d_inner:]
+    xc, new_conv = _causal_conv(mem, il, seq_idx, xs, lw, d_conv)
+
+    x_db = matmul(xc, lw["ssm_x"], dtype=jnp.float32)  # [B,T,R+2S]
+    dt = x_db[..., :dt_rank]
+    Bm = x_db[..., dt_rank : dt_rank + d_state]
+    Cm = x_db[..., dt_rank + d_state :]
+    if dt_b_c_rms or "ssm_dt_norm" in lw:
+        dt = rms_norm(dt, lw.get("ssm_dt_norm"), cfg.rms_eps)
+        Bm = rms_norm(Bm, lw.get("ssm_b_norm"), cfg.rms_eps)
+        Cm = rms_norm(Cm, lw.get("ssm_c_norm"), cfg.rms_eps)
+    dt = matmul(dt, lw["ssm_dt"], dtype=jnp.float32)
+    if "ssm_dt_bias" in lw:
+        dt = dt + lw["ssm_dt_bias"]
+    dt = jax.nn.softplus(dt)  # [B, T, I]
+
+    s0 = mem.ssm[il][seq_idx]  # [B, S, I] f32
+    A = lw["ssm_a"].astype(jnp.float32)  # [I, S]
+    y, s_last = selective_scan(s0, xc, dt, A, Bm, Cm)
+    y = y + xc * lw["ssm_d"].astype(jnp.float32)
+    y = y * jax.nn.silu(z)
+    out = matmul(y, lw["ssm_out"], dtype=jnp.float32)  # [B, T, E]
+    return out, new_conv, s_last
+
+
 def mamba2_layer(cfg, lw, h, mem: RecurrentState, seq_idx, il: int):
     """Mamba-2 mixer (reference build_mamba2_layer, src/models/mamba-base.cpp
     :149): fused zxBCdt in-projection, conv over x|B|C channels, scalar
@@ -139,59 +173,13 @@ def forward(
     Tokens must be consecutive per row (split_equal ubatch contract,
     reference src/llama-batch.h:108); no padding rows."""
     ex = cfg.extra
-    d_conv = ex["ssm_d_conv"]
-    d_state = ex["ssm_d_state"]
-    dt_rank = ex["ssm_dt_rank"]
-    d_inner = ex["ssm_d_inner"]
-    dt_b_c_rms = bool(ex.get("ssm_dt_b_c_rms", False))
-
     x = embed_lookup(params["token_embd"], tokens, dtype=jnp.float32)  # [B,T,E]
-    B_, T = tokens.shape
     seq_idx = inputs.seq_idx
 
+    layer_fn = mamba2_layer if ex.get("ssm_version", 1) == 2 else mamba1_layer
     for il, lw in enumerate(params["layers"]):
         h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
-
-        if ex.get("ssm_version", 1) == 2:
-            out, new_conv, s_last = mamba2_layer(cfg, lw, h, mem, seq_idx, il)
-            x = x + out
-            mem = mem.put(il, seq_idx, new_conv, s_last)
-            continue
-
-        xz = matmul(h, lw["ssm_in"], dtype=jnp.float32)  # [B, T, 2I]
-        xs, z = xz[..., :d_inner], xz[..., d_inner:]
-
-        # -- causal depthwise conv with rolling window state --------------
-        conv0 = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, dc-1, I]
-        cx = jnp.concatenate([conv0, xs], axis=1)  # [B, dc-1+T, I]
-        w = lw["ssm_conv1d"].astype(jnp.float32)  # [I, dc]
-        xc = sum(w[:, j] * cx[:, j : j + T, :] for j in range(d_conv))
-        if "ssm_conv1d_bias" in lw:
-            xc = xc + lw["ssm_conv1d_bias"]
-        xc = jax.nn.silu(xc)
-        new_conv = cx[:, T:, :]
-
-        # -- selective SSM -------------------------------------------------
-        x_db = matmul(xc, lw["ssm_x"], dtype=jnp.float32)  # [B,T,R+2S]
-        dt = x_db[..., :dt_rank]
-        Bm = x_db[..., dt_rank : dt_rank + d_state]
-        Cm = x_db[..., dt_rank + d_state :]
-        if dt_b_c_rms or "ssm_dt_norm" in lw:
-            dt = rms_norm(dt, lw.get("ssm_dt_norm"), cfg.rms_eps)
-            Bm = rms_norm(Bm, lw.get("ssm_b_norm"), cfg.rms_eps)
-            Cm = rms_norm(Cm, lw.get("ssm_c_norm"), cfg.rms_eps)
-        dt = matmul(dt, lw["ssm_dt"], dtype=jnp.float32)
-        if "ssm_dt_bias" in lw:
-            dt = dt + lw["ssm_dt_bias"]
-        dt = jax.nn.softplus(dt)  # [B, T, I]
-
-        s0 = mem.ssm[il][seq_idx]  # [B, S, I] f32
-        A = lw["ssm_a"].astype(jnp.float32)  # [I, S]
-        y, s_last = selective_scan(s0, xc, dt, A, Bm, Cm)
-        y = y + xc * lw["ssm_d"].astype(jnp.float32)
-        y = y * jax.nn.silu(z)
-
-        out = matmul(y, lw["ssm_out"], dtype=jnp.float32)  # [B, T, E]
+        out, new_conv, s_last = layer_fn(cfg, lw, h, mem, seq_idx, il)
         x = x + out
         mem = mem.put(il, seq_idx, new_conv, s_last)
 

@@ -246,6 +246,21 @@ def _mamba2(cfg: ModelConfig, md) -> ModelConfig:
     return cfg
 
 
+@register("jamba")
+def _jamba(cfg: ModelConfig, md) -> ModelConfig:
+    """Jamba hybrid (reference src/models/jamba.cpp): interleaved mamba-1 and
+    attention layers (attention without RoPE), optional MoE FFN."""
+    a = cfg.arch
+    cfg.extra.update(
+        memory="hybrid",
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd)),
+        ssm_d_state=int(md.get(f"{a}.ssm.state_size", 16)),
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", -(cfg.n_embd // -16))),
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, expert_weights_norm=False)
+
+
 @register("gpt-oss")
 def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
     """gpt-oss-20B/120B (reference src/models/openai-moe.cpp): alternating

@@ -114,6 +114,7 @@ def attention_block(
     inputs: AttnInputs,
     kv: KVCache,
     il: int,
+    update_pos: bool | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     B, T = x.shape[:2]
     H, Hkv = cfg.n_heads, cfg.n_kv_heads
@@ -163,6 +164,7 @@ def attention_block(
         k.reshape(B * T, Hkv, Dk),
         v.reshape(B * T, Hkv, Dv),
         inputs.positions.reshape(-1),
+        update_pos=update_pos,
     )
 
     scale = cfg.attn_scale or (1.0 / float(Dk) ** 0.5)
@@ -379,9 +381,33 @@ def forward(
         x = layer_norm(x, params["token_embd_norm"],
                        params.get("token_embd_norm_bias"), cfg.norm_eps)
 
+    first_attn = next(
+        (i for i, lw in enumerate(params["layers"]) if "ssm_in" not in lw), 0)
     for il, lw in enumerate(params["layers"]):
         h = norm(cfg, x, lw, "attn_norm")
-        attn, kv = attention_block(cfg, lw, h, inputs, kv, il)
+        if "ssm_in" in lw:
+            # hybrid model: SSM mixer replaces attention on this layer
+            # (reference src/models/jamba.cpp:121-140)
+            from dataclasses import replace as _replace
+
+            from . import mamba as _mamba
+
+            mixer = (_mamba.mamba2_layer
+                     if cfg.extra.get("ssm_version", 1) == 2
+                     else _mamba.mamba1_layer)
+            attn, new_conv, s_last = mixer(cfg, lw, h, kv.rs, inputs.seq_idx, il)
+            attn = attn.astype(x.dtype)
+            kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))
+        else:
+            akv = kv.kv if hasattr(kv, "rs") else kv
+            attn, akv = attention_block(cfg, lw, h, inputs, akv, il,
+                                        update_pos=il == first_attn)
+            if hasattr(kv, "rs"):
+                from dataclasses import replace as _replace
+
+                kv = _replace(kv, kv=akv)
+            else:
+                kv = akv
         if cfg.post_norms and "attn_post_norm" in lw:
             attn = rms_norm(attn, lw["attn_post_norm"], cfg.rms_eps)
 

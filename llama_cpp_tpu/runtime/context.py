@@ -66,7 +66,8 @@ class Context:
         self.n_seqs = n_seqs
         self.n_ubatch = n_ubatch
         self._fwd = model.forward_fn
-        self.recurrent = self.cfg.extra.get("memory") == "recurrent"
+        # recurrent/hybrid states can't absorb padding -> exact-shape ubatches
+        self.recurrent = self.cfg.extra.get("memory") in ("recurrent", "hybrid")
         self._kv_dtype = kv_dtype
         self._kv_quant = quantized_kv
         # slot table sized to a 256 multiple so the flash-attn kernel can
@@ -83,15 +84,25 @@ class Context:
 
     # ------------------------------------------------------------------
     def _make_memory(self, n_seqs: int | None = None, n_slots: int | None = None):
-        if self.recurrent:
-            from .memory import RecurrentState
+        kind = self.cfg.extra.get("memory", "attn")
+        if kind in ("recurrent", "hybrid"):
+            from .memory import HybridMemory, RecurrentState
 
             ex = self.cfg.extra
-            return RecurrentState.create(
+            rs = RecurrentState.create(
                 self.cfg.n_layers, n_seqs or self.n_seqs, ex["ssm_d_conv"],
                 ex["ssm_d_inner"], ex["ssm_d_state"],
                 conv_channels=ex.get("ssm_conv_dim"),
             )
+            if kind == "recurrent":
+                return rs
+            kvc = KVCache.create(
+                self.cfg.n_layers, n_seqs or self.n_seqs,
+                n_slots or self.n_slots, self.cfg.n_kv_heads,
+                self.cfg.head_dim_k, self.cfg.head_dim_v,
+                dtype=self._kv_dtype, quantized=self._kv_quant,
+            )
+            return HybridMemory(kv=kvc, rs=rs)
         return KVCache.create(
             self.cfg.n_layers,
             n_seqs or self.n_seqs,

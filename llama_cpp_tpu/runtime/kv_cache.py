@@ -81,6 +81,7 @@ class KVCache:
         k_new: jnp.ndarray,  # [B*T, H, Dk]
         v_new: jnp.ndarray,  # [B*T, H, Dv]
         positions: jnp.ndarray,  # [B*T] int32
+        update_pos: bool | None = None,  # default: only on layer 0
     ) -> "KVCache":
         if self.quantized:
             k_q, k_s = _quant_rows(k_new)
@@ -94,7 +95,7 @@ class KVCache:
             k = self.k.at[layer, seq_idx, :, slots].set(k_new.astype(self.k.dtype))
             v = self.v.at[layer, seq_idx, :, slots].set(v_new.astype(self.v.dtype))
             new = replace(self, k=k, v=v)
-        if layer == 0:
+        if update_pos if update_pos is not None else layer == 0:
             new = replace(new, pos=self.pos.at[seq_idx, slots].set(positions))
         return new
 

@@ -80,3 +80,42 @@ class RecurrentState:
             conv=self.conv.at[:, dst].set(self.conv[:, src]),
             ssm=self.ssm.at[:, dst].set(self.ssm[:, src]),
         )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class HybridMemory:
+    """Attention KV + recurrent state for hybrid models (Jamba/FalconH1/
+    Granite-hybrid; reference llama_memory_hybrid, src/llama-memory-hybrid
+    .cpp). Attention layers address .kv, SSM layers address .rs; per-layer
+    slices for the other family stay unused."""
+
+    kv: "object"  # KVCache
+    rs: RecurrentState
+
+    def tree_flatten(self):
+        return (self.kv, self.rs), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def pos(self):
+        return self.kv.pos
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv.quantized
+
+    @property
+    def n_slots(self) -> int:
+        return self.kv.n_slots
+
+    def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30) -> "HybridMemory":
+        return replace(self, kv=self.kv.seq_rm(seq, p0, p1),
+                       rs=self.rs.seq_rm(seq, p0, p1))
+
+    def seq_cp(self, dst: int, src: int) -> "HybridMemory":
+        return replace(self, kv=self.kv.seq_cp(dst, src),
+                       rs=self.rs.seq_cp(dst, src))

@@ -330,3 +330,44 @@ def test_mamba2(tmp_path):
     m, ours, _ = run_ours(path, tokens)
     assert m.cfg.arch == "mamba2"
     np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)
+
+
+def test_jamba_hybrid(tmp_path):
+    """Jamba: interleaved mamba/attention layers (no RoPE) + per-layer MoE
+    (reference src/models/jamba.cpp + llama_memory_hybrid)."""
+    cfg = transformers.JambaConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_period=2, attn_layer_offset=1,
+        expert_layer_period=2, expert_layer_offset=1,
+        num_experts=4, num_experts_per_tok=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2, mamba_dt_rank=3,
+        use_mamba_kernels=False, max_position_embeddings=64,
+        tie_word_embeddings=False, use_cache=False,
+    )
+    torch.manual_seed(21)
+    hf = transformers.JambaForCausalLM(cfg).eval()
+    path = str(tmp_path / "jamba.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 90, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+
+    from llama_cpp_tpu.runtime.context import Context
+
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra.get("memory") == "hybrid"
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    ours = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                      np.arange(len(tokens))[None, :],
+                      np.arange(len(tokens)))
+    np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)
+
+    # decode continuation consistency through both memories
+    ctx.seq_len[0] = len(tokens)
+    step = ctx.decode_one(11)
+    ctx2 = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    both = ctx2.decode(np.asarray(tokens + [11])[None, :], np.asarray([0]),
+                       np.arange(len(tokens) + 1)[None, :],
+                       np.asarray([len(tokens)]))
+    np.testing.assert_allclose(step, both[0], rtol=3e-4, atol=3e-4)
