@@ -118,6 +118,8 @@ def convert_hf_model(
         "falcon_mamba": "mamba",
         "mamba2": "mamba2",
         "jamba": "jamba",
+        "deepseek_v2": "deepseek2",
+        "deepseek_v3": "deepseek2",
         "gpt2": "gpt2",
         "gpt_neox": "gptneox",
         "phi": "phi2",
@@ -132,6 +134,8 @@ def convert_hf_model(
         return _convert_mamba2(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "jamba":
         return _convert_jamba(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "deepseek2":
+        return _convert_deepseek2(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -597,5 +601,98 @@ def _convert_jamba(model, out_path: str, ftype: str, tokenizer=None,
             _emit(w, b + "ffn_up.weight", sd[ff + "up_proj.weight"], ftype)
             _emit(w, b + "ffn_down.weight", sd[ff + "down_proj.weight"], ftype)
 
+    w.write(out_path)
+    return out_path
+
+
+def _convert_deepseek2(model, out_path: str, ftype: str, tokenizer=None,
+                       vocab_override=None) -> str:
+    """DeepSeek-V2/V3 MLA HF -> GGUF (reference conversion/deepseek.py
+    DeepseekV2Model): latent-attention projections kept whole; *_mla head
+    dims recorded alongside the compressed key length."""
+    cfg = model.config
+    qk_nope = cfg.qk_nope_head_dim
+    qk_rope = cfg.qk_rope_head_dim
+    v_dim = cfg.v_head_dim
+    kv_lora = cfg.kv_lora_rank
+    q_lora = getattr(cfg, "q_lora_rank", None)
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "deepseek2")
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "deepseek2")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "deepseek2."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 4096)))
+    w.add(P + "embedding_length", np.uint32(cfg.hidden_size))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_attention_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(1))
+    w.add(P + "attention.key_length", np.uint32(kv_lora + qk_rope))
+    w.add(P + "attention.value_length", np.uint32(kv_lora))
+    w.add(P + "attention.key_length_mla", np.uint32(qk_nope + qk_rope))
+    w.add(P + "attention.value_length_mla", np.uint32(v_dim))
+    w.add(P + "attention.kv_lora_rank", np.uint32(kv_lora))
+    if q_lora:
+        w.add(P + "attention.q_lora_rank", np.uint32(q_lora))
+    w.add(P + "attention.layer_norm_rms_epsilon",
+          float(getattr(cfg, "rms_norm_eps", 1e-6)))
+    w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+    w.add(P + "rope.dimension_count", np.uint32(qk_rope))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if getattr(cfg, "n_routed_experts", 0):
+        w.add(P + "expert_count", np.uint32(cfg.n_routed_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
+        w.add(P + "expert_shared_count", np.uint32(getattr(cfg, "n_shared_experts", 0) or 0))
+        w.add(P + "expert_weights_scale", float(getattr(cfg, "routed_scaling_factor", 1.0)))
+        w.add(P + "expert_weights_norm", bool(getattr(cfg, "norm_topk_prob", False)))
+        w.add(P + "expert_gating_func",
+              np.uint32(1 if getattr(cfg, "scoring_func", "softmax") == "softmax" else 2))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    _emit(w, "token_embd.weight", sd["model.embed_tokens.weight"], ftype)
+    _emit(w, "output_norm.weight", sd["model.norm.weight"], ftype)
+    if not getattr(cfg, "tie_word_embeddings", False):
+        _emit(w, "output.weight", sd["lm_head.weight"], ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "input_layernorm.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "post_attention_layernorm.weight"], ftype)
+        sa = p + "self_attn."
+        if sa + "q_a_proj.weight" in sd:
+            _emit(w, b + "attn_q_a.weight", sd[sa + "q_a_proj.weight"], ftype)
+            _emit(w, b + "attn_q_a_norm.weight", sd[sa + "q_a_layernorm.weight"], ftype)
+            _emit(w, b + "attn_q_b.weight", sd[sa + "q_b_proj.weight"], ftype)
+        else:
+            _emit(w, b + "attn_q.weight", sd[sa + "q_proj.weight"], ftype)
+        _emit(w, b + "attn_kv_a_mqa.weight", sd[sa + "kv_a_proj_with_mqa.weight"], ftype)
+        _emit(w, b + "attn_kv_a_norm.weight", sd[sa + "kv_a_layernorm.weight"], ftype)
+        _emit(w, b + "attn_kv_b.weight", sd[sa + "kv_b_proj.weight"], ftype)
+        _emit(w, b + "attn_output.weight", sd[sa + "o_proj.weight"], ftype)
+        mlp = p + "mlp."
+        if mlp + "gate.weight" in sd:
+            _emit(w, b + "ffn_gate_inp.weight", sd[mlp + "gate.weight"], ftype)
+            if mlp + "gate.e_score_correction_bias" in sd:  # deepseek-v3
+                _emit(w, b + "exp_probs_b.bias",
+                      sd[mlp + "gate.e_score_correction_bias"], ftype)
+            n_exp = cfg.n_routed_experts
+            for part in ("gate", "up", "down"):
+                stack = np.stack([sd[mlp + f"experts.{e}.{part}_proj.weight"]
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
+            if mlp + "shared_experts.gate_proj.weight" in sd:
+                _emit(w, b + "ffn_gate_shexp.weight", sd[mlp + "shared_experts.gate_proj.weight"], ftype)
+                _emit(w, b + "ffn_up_shexp.weight", sd[mlp + "shared_experts.up_proj.weight"], ftype)
+                _emit(w, b + "ffn_down_shexp.weight", sd[mlp + "shared_experts.down_proj.weight"], ftype)
+        else:
+            _emit(w, b + "ffn_gate.weight", sd[mlp + "gate_proj.weight"], ftype)
+            _emit(w, b + "ffn_up.weight", sd[mlp + "up_proj.weight"], ftype)
+            _emit(w, b + "ffn_down.weight", sd[mlp + "down_proj.weight"], ftype)
     w.write(out_path)
     return out_path

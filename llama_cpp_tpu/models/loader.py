@@ -51,6 +51,13 @@ LAYER_TENSORS = {
     "ffn_post_norm.weight": "ffn_post_norm",
     "post_ffw_norm.weight": "ffn_post_norm",
     "attn_sinks.weight": "attn_sinks",
+    # DeepSeek-2 MLA (reference src/models/deepseek2.cpp load_arch_tensors)
+    "attn_q_a.weight": "attn_q_a",
+    "attn_q_a_norm.weight": "attn_q_a_norm",
+    "attn_q_b.weight": "attn_q_b",
+    "attn_kv_a_mqa.weight": "attn_kv_a_mqa",
+    "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    "attn_kv_b.weight": "attn_kv_b",
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_gate_inp.bias": "ffn_gate_inp_bias",
     "ffn_gate_exps.weight": "ffn_gate_exps",
@@ -101,7 +108,8 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "ffn_gate_exps_bias", "ffn_up_exps_bias", "ffn_down_exps_bias",
                "ssm_conv1d", "ssm_conv1d_bias", "ssm_dt_bias", "ssm_a",
                "ssm_d", "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm",
-               "attn_qkv_bias", "token_embd_norm", "token_embd_norm_bias"}
+               "attn_qkv_bias", "token_embd_norm", "token_embd_norm_bias",
+               "attn_q_a_norm", "attn_kv_a_norm"}
 
 
 class Model:

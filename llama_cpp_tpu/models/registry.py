@@ -151,9 +151,23 @@ def _granite(cfg: ModelConfig, md) -> ModelConfig:
 
 @register("deepseek2")
 def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
-    # MLA handled by dedicated weights; routed like generic MoE otherwise
+    """DeepSeek-V2/V3 MLA (reference src/models/deepseek2.cpp): latent KV
+    compression expanded to MHA; head dims come from the *_mla keys."""
+    head_k = int(md.get("deepseek2.attention.key_length_mla", cfg.head_dim_k))
+    head_v = int(md.get("deepseek2.attention.value_length_mla", cfg.head_dim_v))
+    cfg.extra.update(
+        kv_lora_rank=int(md.get("deepseek2.attention.kv_lora_rank", 512)),
+        q_lora_rank=int(md.get("deepseek2.attention.q_lora_rank", 0) or 0),
+        # converter stores 0.1*mscale_all_dim (reference deepseek2.cpp
+        # TAG_DEEPSEEK2_YARN_LOG_MUL_FIX divides it back out)
+        yarn_log_mul=float(md.get("deepseek2.rope.scaling.yarn_log_mul", 0.0)) / 0.1
+        if md.get("deepseek2.rope.scaling.yarn_log_mul") else 0.0,
+    )
     return cfg.with_(
         rope_type=ROPE_TYPE_NEOX,
+        n_kv_heads=cfg.n_heads,  # naive MHA expansion of the latent
+        head_dim_k=head_k,
+        head_dim_v=head_v,
         expert_gating="softmax"
         if int(md.get("deepseek2.expert_gating_func", 1)) == 1
         else "sigmoid",

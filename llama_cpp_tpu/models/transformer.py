@@ -242,6 +242,110 @@ def attention_block(
     return out, kv
 
 
+def mla_attention_block(
+    cfg: ModelConfig,
+    lw: dict[str, Weight],
+    x: jnp.ndarray,  # [B, T, E]
+    inputs: AttnInputs,
+    kv: KVCache,
+    il: int,
+    update_pos: bool | None = None,
+) -> tuple[jnp.ndarray, KVCache]:
+    """DeepSeek-2 Multi-head Latent Attention, naive MHA expansion
+    (reference src/models/deepseek2.cpp non-is_mla path): Q from optional
+    q-LoRA, K/V decompressed from the shared kv latent; RoPE on the tail
+    qk_rope dims of each head plus the shared k_pe channel."""
+    B, T = x.shape[:2]
+    H = cfg.n_heads
+    Dk, Dv = cfg.head_dim_k, cfg.head_dim_v  # Dk = qk_nope + qk_rope
+    n_rot = cfg.rope_dims  # qk_rope head dim
+    nope = Dk - n_rot
+    kv_lora = cfg.extra["kv_lora_rank"]
+
+    # --- queries ----------------------------------------------------------
+    if "attn_q_a" in lw:
+        q = matmul(x, lw["attn_q_a"])
+        q = rms_norm(q, lw.get("attn_q_a_norm"), cfg.rms_eps)
+        q = matmul(q, lw["attn_q_b"])
+    else:  # lite variant
+        q = matmul(x, lw["attn_q"])
+    q = q.reshape(B, T, H, Dk)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    # --- shared kv latent + rope channel -----------------------------------
+    kv_pe = matmul(x, lw["attn_kv_a_mqa"])  # [B, T, kv_lora + n_rot]
+    kv_cmpr = rms_norm(kv_pe[..., :kv_lora], lw.get("attn_kv_a_norm"), cfg.rms_eps)
+    k_pe = kv_pe[..., kv_lora:].reshape(B, T, 1, n_rot)
+
+    from dataclasses import replace as _rp_replace
+
+    rp = _rp_replace(_rope_params(cfg, il), n_dims=n_rot)
+    q_pe = apply_rope(q_pe, inputs.positions, rp)
+    k_pe = apply_rope(k_pe, inputs.positions, rp)
+
+    # --- decompress K/V (wkv_b) --------------------------------------------
+    kv_dec = matmul(kv_cmpr, lw["attn_kv_b"]).reshape(B, T, H, nope + Dv)
+    k_nope = kv_dec[..., :nope]
+    v = kv_dec[..., nope:]
+
+    qf = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, T, H, Dk]
+    kf = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, T, H, n_rot))], axis=-1)
+
+    # YaRN-corrected kq scale (deepseek2.cpp:26-28); 1/sqrt(Dk) without yarn
+    mscale = 1.0
+    if cfg.rope_ext_factor > 0.0 and cfg.rope_freq_scale != 1.0:
+        import math as _math
+
+        log_mul = cfg.extra.get("yarn_log_mul", 0.0)
+        attn_factor_org = cfg.rope_attn_factor * (
+            1.0 + 0.1 * _math.log(1.0 / cfg.rope_freq_scale))
+        mscale = attn_factor_org * (
+            1.0 + 0.1 * log_mul * _math.log(1.0 / cfg.rope_freq_scale))
+    kq_scale = mscale * mscale / float(Dk) ** 0.5
+
+    seq_flat = jnp.repeat(inputs.seq_idx, T)
+    kv = kv.write(
+        il, seq_flat, inputs.slots.reshape(-1),
+        kf.reshape(B * T, H, Dk), v.reshape(B * T, H, Dv),
+        inputs.positions.reshape(-1), update_pos=update_pos,
+    )
+    slot_pos = kv.pos[inputs.seq_idx]
+
+    if flash_supported(Dk, Dv, kv.n_slots):
+        k_raw = kv.k[il][inputs.seq_idx]
+        v_raw = kv.v[il][inputs.seq_idx]
+        ks = kv.k_scale[il][inputs.seq_idx] if kv.quantized else None
+        vs = kv.v_scale[il][inputs.seq_idx] if kv.quantized else None
+        out = mha_flash(
+            qf, k_raw, v_raw, inputs.positions, slot_pos,
+            sm_scale=kq_scale, k_scale=ks, v_scale=vs,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(x.dtype)
+    else:
+        k_all, v_all = kv.read(il)
+        k_seq = k_all[inputs.seq_idx]  # [B, H, S, Dk]
+        v_seq = v_all[inputs.seq_idx]
+        valid = slot_pos >= 0
+        causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]
+        mask = valid[:, None, :] & causal
+        mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+        scores = jnp.einsum(
+            "bthd,bhsd->bhts", qf.astype(mdt), k_seq.astype(mdt),
+            preferred_element_type=jnp.float32,
+        ) * kq_scale
+        scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+        out = jnp.einsum(
+            "bhts,bhsd->bthd", probs.astype(mdt), v_seq.astype(mdt),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, T, H * Dv).astype(x.dtype)
+
+    out = matmul(out, lw["attn_output"])
+    return out, kv
+
+
 def ffn_block(
     cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray, il: int = -1
 ) -> jnp.ndarray:
@@ -400,8 +504,9 @@ def forward(
             kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))
         else:
             akv = kv.kv if hasattr(kv, "rs") else kv
-            attn, akv = attention_block(cfg, lw, h, inputs, akv, il,
-                                        update_pos=il == first_attn)
+            blk = mla_attention_block if "attn_kv_a_mqa" in lw else attention_block
+            attn, akv = blk(cfg, lw, h, inputs, akv, il,
+                            update_pos=il == first_attn)
             if hasattr(kv, "rs"):
                 from dataclasses import replace as _replace
 

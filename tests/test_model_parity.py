@@ -371,3 +371,31 @@ def test_jamba_hybrid(tmp_path):
                        np.arange(len(tokens) + 1)[None, :],
                        np.asarray([len(tokens)]))
     np.testing.assert_allclose(step, both[0], rtol=3e-4, atol=3e-4)
+
+
+def test_deepseek2_mla(tmp_path):
+    """DeepSeek-V2 MLA: q-LoRA, latent KV compression, tail-dim RoPE, MoE
+    with shared experts and dense-first layers (reference
+    src/models/deepseek2.cpp)."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=99, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, q_lora_rank=16, kv_lora_rank=8,
+        qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        use_cache=False, norm_topk_prob=False, routed_scaling_factor=1.0,
+        topk_method="greedy", n_group=1, topk_group=1, scoring_func="softmax",
+    )
+    torch.manual_seed(23)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "ds2.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 90, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.arch == "deepseek2"
+    assert m.cfg.head_dim_k == 12 and m.cfg.head_dim_v == 8
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
