@@ -167,13 +167,17 @@ def forward(
     mem: RecurrentState,
     output_rows: jnp.ndarray | None = None,
     return_hidden: bool = False,
+    inputs_embeds: jnp.ndarray | None = None,
 ):
     """-> (logits [B*T or M, vocab] | hidden, updated RecurrentState).
 
     Tokens must be consecutive per row (split_equal ubatch contract,
     reference src/llama-batch.h:108); no padding rows."""
     ex = cfg.extra
-    x = embed_lookup(params["token_embd"], tokens, dtype=jnp.float32)  # [B,T,E]
+    if inputs_embeds is not None:
+        x = inputs_embeds.astype(jnp.float32)
+    else:
+        x = embed_lookup(params["token_embd"], tokens, dtype=jnp.float32)
     seq_idx = inputs.seq_idx
 
     layer_fn = mamba2_layer if ex.get("ssm_version", 1) == 2 else mamba1_layer

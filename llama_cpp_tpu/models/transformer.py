@@ -471,12 +471,17 @@ def forward(
     kv: KVCache,
     output_rows: jnp.ndarray | None = None,  # [M] flat row ids into B*T
     return_hidden: bool = False,  # pooling/embeddings path (llama_encode analog)
+    inputs_embeds: jnp.ndarray | None = None,  # [B, T, E] multimodal splice
 ) -> tuple[jnp.ndarray, KVCache]:
     """-> (logits [B*T or M, vocab] or hidden [., n_embd], updated KV)."""
     cdtype = cfg.compute_dtype or jnp.bfloat16
-    x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)  # [B, T, E]
-    if cfg.embd_scale != 1.0:
-        x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
+    if inputs_embeds is not None:
+        # pre-computed embeddings (mtmd image chunks spliced by the caller)
+        x = inputs_embeds.astype(cdtype)
+    else:
+        x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)  # [B, T, E]
+        if cfg.embd_scale != 1.0:
+            x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
     if "pos_embd" in params:  # learned absolute positions (gpt2 wpe)
         pe = embed_lookup(params["pos_embd"], jnp.maximum(inputs.positions, 0),
                           dtype=cdtype)

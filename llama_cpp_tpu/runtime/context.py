@@ -181,6 +181,47 @@ class Context:
         return np.asarray(logits[:m])
 
     # ------------------------------------------------------------------
+    def prefill_embeds(self, embeds: np.ndarray, seq: int = 0) -> np.ndarray:
+        """Feed pre-computed input embeddings [N, n_embd] (multimodal
+        chunks); returns last-position logits [vocab]."""
+        cfg = self.cfg
+        pos0 = int(self.seq_len[seq])
+        N, E = embeds.shape
+        logits = None
+        for off in range(0, N, self.n_ubatch):
+            chunk = embeds[off : off + self.n_ubatch]
+            T = len(chunk)
+            Tb = T if self.recurrent else _bucket(T, self.prefill_buckets)
+            key = ("embstep", 1, Tb)
+            fn = self._steps.get(key)
+            if fn is None:
+                fwd = self._fwd
+
+                @partial(jax.jit, donate_argnums=(2,))
+                def fn(params, emb, kv, seq_idx, slots, positions, output_rows):
+                    inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
+                                        positions=positions)
+                    return fwd(params, cfg,
+                               jnp.zeros(emb.shape[:2], jnp.int32), inputs,
+                               kv, output_rows, inputs_embeds=emb)
+
+                self._steps[key] = fn
+            emb = np.zeros((1, Tb, E), np.float32)
+            emb[0, :T] = chunk
+            pos = np.full((1, Tb), -1, np.int32)
+            pos[0, :T] = np.arange(pos0 + off, pos0 + off + T)
+            slots = np.where(pos >= 0, np.minimum(pos, self.n_ctx - 1),
+                             self.trash_slot).astype(np.int32)
+            logits, self.kv = fn(
+                self.model.params, jnp.asarray(emb), self.kv,
+                jnp.zeros(1, jnp.int32) + seq, jnp.asarray(slots),
+                jnp.asarray(pos), jnp.asarray([T - 1]),
+            )
+        self.seq_len[seq] = pos0 + N
+        self.perf.n_prefill += N
+        return np.asarray(logits)[0]
+
+    # ------------------------------------------------------------------
     def prefill(self, prompt: list[int], seq: int = 0) -> np.ndarray:
         """Feed a prompt; returns last-token logits [vocab]."""
         t0 = time.perf_counter()

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tokens drafted per speculative step")
     ap.add_argument("--spec-ngram", action="store_true",
                     help="self-speculative n-gram (prompt lookup) drafting")
+    ap.add_argument("--mmproj", default=None, help="vision mmproj GGUF")
+    ap.add_argument("--image", action="append", default=[],
+                    help="image file(s); use <__media__> markers in prompt")
     ap.add_argument("--lora", default=None, help="LoRA adapter GGUF")
     ap.add_argument("--lora-scale", type=float, default=1.0)
     ap.add_argument("--control-vector", default=None)
@@ -98,9 +101,39 @@ def main(argv=None):
 
         speculator = NgramSpeculator()
 
+    mtmd = None
+    if args.mmproj:
+        from ..multimodal import MtmdModel
+
+        mtmd = MtmdModel(args.mmproj)
+        print(f"mmproj: {args.mmproj} ({mtmd.cfg.n_layers} vision layers)",
+              file=sys.stderr)
+
     def run_once(prompt_text: str, seq_reset=True):
         if seq_reset:
             ctx.seq_rm(0)
+        if mtmd is not None and args.image:
+            from ..multimodal.mtmd import prefill_chunks, tokenize_chunks
+            from ..sampling.samplers import SamplerChain as _SC
+
+            images = [mtmd.encode(__import__("PIL.Image", fromlist=["open"])
+                                  .open(p)) for p in args.image]
+            chunks = tokenize_chunks(tok, prompt_text, images)
+            logits = prefill_chunks(ctx, mtmd, chunks)
+            sampler = _SC.from_params(params, tok.vocab)
+            out = []
+            import numpy as np
+
+            for _ in range(args.n_predict):
+                token = sampler.sample(np.asarray(logits, np.float32))
+                if tok.is_eog(token):
+                    break
+                sys.stdout.write(tok.piece(token))
+                sys.stdout.flush()
+                out.append(token)
+                logits = ctx.decode_one(token)
+            sys.stdout.write("\n")
+            return out
         ids = tok.encode(prompt_text, add_special=True, parse_special=True)
         if args.verbose_prompt:
             for t in ids:
