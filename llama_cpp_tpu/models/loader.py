@@ -84,6 +84,34 @@ LAYER_TENSORS = {
     "ssm_b_norm.weight": "ssm_b_norm",
     "ssm_c_norm.weight": "ssm_c_norm",
     "ssm_norm.weight": "ssm_norm",
+    # RWKV6 (reference src/llama-arch.cpp:540-563)
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_bias",
+    "time_mix_w1.weight": "time_mix_w1",
+    "time_mix_w2.weight": "time_mix_w2",
+    "time_mix_lerp_x.weight": "time_mix_lerp_x",
+    "time_mix_lerp_w.weight": "time_mix_lerp_w",
+    "time_mix_lerp_k.weight": "time_mix_lerp_k",
+    "time_mix_lerp_v.weight": "time_mix_lerp_v",
+    "time_mix_lerp_r.weight": "time_mix_lerp_r",
+    "time_mix_lerp_g.weight": "time_mix_lerp_g",
+    "time_mix_lerp_fused.weight": "time_mix_lerp_fused",
+    "time_mix_first.weight": "time_mix_first",
+    "time_mix_decay.weight": "time_mix_decay",
+    "time_mix_decay_w1.weight": "time_mix_decay_w1",
+    "time_mix_decay_w2.weight": "time_mix_decay_w2",
+    "time_mix_key.weight": "time_mix_key",
+    "time_mix_value.weight": "time_mix_value",
+    "time_mix_receptance.weight": "time_mix_receptance",
+    "time_mix_gate.weight": "time_mix_gate",
+    "time_mix_ln.weight": "time_mix_ln",
+    "time_mix_ln.bias": "time_mix_ln_bias",
+    "time_mix_output.weight": "time_mix_output",
+    "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
+    "channel_mix_lerp_r.weight": "channel_mix_lerp_r",
+    "channel_mix_key.weight": "channel_mix_key",
+    "channel_mix_value.weight": "channel_mix_value",
+    "channel_mix_receptance.weight": "channel_mix_receptance",
 }
 
 GLOBAL_TENSORS = {
@@ -109,7 +137,12 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "ssm_conv1d", "ssm_conv1d_bias", "ssm_dt_bias", "ssm_a",
                "ssm_d", "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm",
                "attn_qkv_bias", "token_embd_norm", "token_embd_norm_bias",
-               "attn_q_a_norm", "attn_kv_a_norm"}
+               "attn_q_a_norm", "attn_kv_a_norm", "attn_norm_2",
+               "attn_norm_2_bias", "time_mix_lerp_x", "time_mix_lerp_w",
+               "time_mix_lerp_k", "time_mix_lerp_v", "time_mix_lerp_r",
+               "time_mix_lerp_g", "time_mix_lerp_fused", "time_mix_first",
+               "time_mix_decay", "time_mix_ln", "time_mix_ln_bias",
+               "time_mix_w2", "channel_mix_lerp_k", "channel_mix_lerp_r"}
 
 
 class Model:
@@ -126,6 +159,10 @@ class Model:
     @property
     def forward_fn(self):
         """Per-family graph builder (build_arch_graph dispatch analog)."""
+        if self.cfg.extra.get("rwkv"):
+            from . import rwkv
+
+            return rwkv.forward
         if self.cfg.extra.get("memory") == "recurrent":
             from . import mamba
 
@@ -201,7 +238,9 @@ def load_model(
             progress(n_done / total)
 
     # fuse per-head norm weights shape: gguf stores [head_dim]
-    if cfg.extra.get("memory") == "recurrent":
+    if cfg.extra.get("rwkv"):
+        req = ("attn_norm", "time_mix_key", "channel_mix_key")
+    elif cfg.extra.get("memory") == "recurrent":
         req = ("attn_norm", "ssm_in", "ssm_out")
     elif cfg.extra.get("memory") == "hybrid":
         req = ("attn_norm",)  # per-layer mixer checked below

@@ -260,6 +260,26 @@ def _mamba2(cfg: ModelConfig, md) -> ModelConfig:
     return cfg
 
 
+@register("rwkv6")
+def _rwkv6(cfg: ModelConfig, md) -> ModelConfig:
+    """RWKV6 (reference src/models/rwkv6.cpp): token-shift states in the
+    recurrent conv window, wkv head state in the ssm plane."""
+    a = cfg.arch
+    hs = int(md.get(f"{a}.wkv.head_size", 64))
+    cfg.extra.update(
+        memory="recurrent",
+        rwkv=True,
+        wkv_head_size=hs,
+        rescale_every=int(md.get(f"{a}.rescale_every_n_layers", 0)),
+        # reuse the recurrent-state geometry: conv window=2 token shifts,
+        # ssm plane [head_size, n_embd]
+        ssm_d_conv=3,
+        ssm_d_inner=cfg.n_embd,
+        ssm_d_state=hs,
+    )
+    return cfg.with_(use_rms_norm=False)
+
+
 @register("jamba")
 def _jamba(cfg: ModelConfig, md) -> ModelConfig:
     """Jamba hybrid (reference src/models/jamba.cpp): interleaved mamba-1 and
