@@ -208,11 +208,12 @@ def matmul(x: jnp.ndarray, w: Weight, dtype=None) -> jnp.ndarray:
             y = _PALLAS_QMM(x, w)
             if y is not None:
                 return y.astype(out_dtype)
-        wd = w.dequant(jnp.bfloat16)
+        mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+        wd = w.dequant(mdt)
         if not w.transposed:
             wd = wd.T
         return jnp.dot(
-            x.astype(jnp.bfloat16), wd, preferred_element_type=jnp.float32
+            x.astype(mdt), wd, preferred_element_type=jnp.float32
         ).astype(out_dtype)
     return jnp.dot(
         x.astype(w.dtype) if w.dtype == jnp.bfloat16 else x,

@@ -43,7 +43,8 @@ def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
 
 _ROW_SHARD = {  # shard output dim (column-parallel in Megatron terms)
     "attn_q", "attn_k", "attn_v", "ffn_gate", "ffn_up", "output",
-    "ffn_gate_shexp", "ffn_up_shexp",
+    "ffn_gate_shexp", "ffn_up_shexp", "attn_qkv", "ffn_gateup",
+    "attn_q_b", "attn_kv_b",
 }
 _COL_SHARD = {  # shard input dim (row-parallel: outputs partial, XLA all-reduces)
     "attn_output", "ffn_down", "ffn_down_shexp",
@@ -91,6 +92,7 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
                 mins=None if w.mins is None else _shard_leaf(mesh, sspec, w.mins),
                 group=w.group,
                 ggml_type=w.ggml_type,
+                transposed=w.transposed,
             )
         spec = weight_pspec(key, getattr(w, "ndim", 0))
         return _shard_leaf(mesh, spec, w)
@@ -103,8 +105,9 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
 
 
 def kv_pspec() -> P:
-    # [n_layers, n_seqs, n_slots, n_kv_heads, head_dim]: heads over tp, seqs over dp
-    return P(None, "dp", None, "tp", None)
+    # [n_layers, n_seqs, n_kv_heads, n_slots, head_dim]: seqs over dp, heads
+    # over tp (GQA co-location, zero comms during attention)
+    return P(None, "dp", "tp", None, None)
 
 
 def shard_kv(kv, mesh: Mesh):
@@ -112,10 +115,11 @@ def shard_kv(kv, mesh: Mesh):
 
     spec = NamedSharding(mesh, kv_pspec())
     pos_spec = NamedSharding(mesh, P("dp", None))
+    sc_spec = NamedSharding(mesh, P(None, "dp", "tp", None))
     return KVCache(
         k=jax.device_put(kv.k, spec),
         v=jax.device_put(kv.v, spec),
         pos=jax.device_put(kv.pos, pos_spec),
-        k_scale=None if kv.k_scale is None else jax.device_put(kv.k_scale, NamedSharding(mesh, P(None, "dp", None, "tp"))),
-        v_scale=None if kv.v_scale is None else jax.device_put(kv.v_scale, NamedSharding(mesh, P(None, "dp", None, "tp"))),
+        k_scale=None if kv.k_scale is None else jax.device_put(kv.k_scale, sc_spec),
+        v_scale=None if kv.v_scale is None else jax.device_put(kv.v_scale, sc_spec),
     )

@@ -1,0 +1,84 @@
+"""Multi-chip sharding parity on the virtual 8-device CPU mesh: sharded
+(tp/dp NamedShardings) forward must equal the single-device forward (the
+test-backend-ops meta-device-vs-CPU strategy, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llama_cpp_tpu.models.loader import load_model
+from llama_cpp_tpu.models.transformer import AttnInputs
+from llama_cpp_tpu.parallel.mesh import make_mesh, shard_kv, shard_params
+from llama_cpp_tpu.runtime.kv_cache import KVCache
+from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _run(m, params, kv, tokens):
+    N = tokens.shape[1]
+    inputs = AttnInputs(
+        seq_idx=jnp.arange(tokens.shape[0], dtype=jnp.int32),
+        slots=jnp.tile(jnp.arange(N, dtype=jnp.int32), (tokens.shape[0], 1)),
+        positions=jnp.tile(jnp.arange(N, dtype=jnp.int32), (tokens.shape[0], 1)),
+    )
+    fwd = m.forward_fn
+    cfg = m.cfg
+
+    @jax.jit
+    def step(params, tokens, inputs, kv):
+        return fwd(params, cfg, tokens, inputs, kv)
+
+    logits, kv2 = step(params, tokens, inputs, kv)
+    return np.asarray(logits), kv2
+
+
+@pytest.mark.parametrize("ftype,quant", [("f32", False), ("q8_0", True)])
+def test_tp_dp_sharded_forward_matches_single(tmp_path, ftype, quant):
+    p = str(tmp_path / f"tiny_{ftype}.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=256, n_heads=4,
+                         n_kv_heads=4, n_ff=512, ftype=ftype)
+    # f32 activations throughout: XLA:CPU lacks the sharded bf16 dot kernel
+    m = load_model(p, prefer_quant=quant, dense_dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(4, 250, (2, 8)), jnp.int32)
+
+    kv = KVCache.create(2, 2, 32, m.cfg.n_kv_heads, m.cfg.head_dim_k,
+                        m.cfg.head_dim_v, dtype=jnp.float32)
+    ref, _ = _run(m, m.params, kv, tokens)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with mesh:
+        sparams = shard_params(m.params, mesh)
+        skv = shard_kv(KVCache.create(
+            2, 2, 32, m.cfg.n_kv_heads, m.cfg.head_dim_k, m.cfg.head_dim_v,
+            dtype=jnp.float32), mesh)
+        got, kv2 = _run(m, sparams, skv, tokens)
+    tol = 1e-5 if not quant else 5e-2
+    np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+    # KV writes land identically
+    np.testing.assert_allclose(
+        np.asarray(kv2.pos), np.tile(
+            np.concatenate([np.arange(8), -np.ones(24)]).astype(np.int32), (2, 1)),
+        atol=0)
+
+
+def test_sharded_generation_consistent(tmp_path):
+    from llama_cpp_tpu.runtime.context import Context
+
+    p = str(tmp_path / "gen.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=256, n_heads=4,
+                         n_kv_heads=4, n_ff=512, ftype="f32")
+    m = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(m, n_ctx=64, n_seqs=1)
+    ref = ctx.generate([5, 9, 23, 42], max_new_tokens=6)
+
+    mesh = make_mesh(dp=1, tp=8)
+    m2 = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    m2.params = shard_params(m2.params, mesh)
+    ctx2 = Context(m2, n_ctx=64, n_seqs=1)
+    with mesh:
+        got = ctx2.generate([5, 9, 23, 42], max_new_tokens=6)
+    assert got == ref
