@@ -301,6 +301,33 @@ class Context:
             return h[0]
         return h
 
+    # ------------------------------------------------------------------
+    def context_shift(self, seq: int = 0, n_keep: int = 0,
+                      n_discard: int | None = None) -> int:
+        """Discard positions [n_keep, n_keep+n_discard) and slide the rest
+        down, re-rotating cached K (reference server context shift,
+        tools/server/server-context.cpp:2916). Returns n_discard."""
+        if self.recurrent:
+            raise NotImplementedError("context shift needs an attention KV")
+        if "kv_lora_rank" in self.cfg.extra:
+            raise NotImplementedError("context shift unsupported for MLA rope")
+        cur = int(self.seq_len[seq])
+        if n_discard is None:
+            n_discard = max((cur - n_keep) // 2, 1)
+        fn = self._steps.get("ctx_shift")
+        if fn is None:
+            cfg = self.cfg
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def fn(kv, s, keep, disc):
+                return kv.shift_seq(cfg, s, keep, disc)
+
+            self._steps["ctx_shift"] = fn
+        self.kv = fn(self.kv, jnp.int32(seq), jnp.int32(n_keep),
+                     jnp.int32(n_discard))
+        self.seq_len[seq] = max(cur - n_discard, n_keep)
+        return n_discard
+
     # -- sequence management (llama_memory seq API analog) ---------------
     def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30):
         self.kv = self.kv.seq_rm(seq, p0, p1)

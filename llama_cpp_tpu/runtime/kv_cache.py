@@ -135,6 +135,65 @@ class KVCache:
     def seq_len(self, seq: int) -> jnp.ndarray:
         return jnp.sum(self.pos[seq] >= 0)
 
+    # -- context shift (reference build_rope_shift, llama-kv-cache.h:297) --
+    def shift_seq(self, cfg, seq: int, n_keep, n_discard) -> "KVCache":
+        """Drop positions [n_keep, n_keep+n_discard) of `seq`, slide the rest
+        down by n_discard, and re-rotate moved K rows by -n_discard so RoPE
+        stays consistent (slot = position identity layout). n_keep/n_discard
+        are traced scalars; one compiled program serves all shifts."""
+        from dataclasses import replace as _replace
+
+        from ..models.transformer import _rope_params
+        from ..ops.rope import ROPE_TYPE_NONE, apply_rope
+
+        S = self.n_slots
+        slot_ids = jnp.arange(S, dtype=jnp.int32)
+        moved = slot_ids >= n_keep
+        src = jnp.where(moved, jnp.minimum(slot_ids + n_discard, S - 1), slot_ids)
+
+        old_pos = self.pos[seq]
+        src_pos = old_pos[src]
+        new_pos = jnp.where(
+            moved & (src_pos >= 0) & (slot_ids + n_discard < S),
+            src_pos - n_discard,
+            jnp.where(moved, -1, old_pos),
+        )
+        delta = jnp.where(moved & (new_pos >= 0), -n_discard, 0)  # [S]
+
+        k_seq = self.k[:, seq]  # [L, H, S, D]
+        v_seq = self.v[:, seq]
+        k_new = k_seq[:, :, src]
+        v_new = v_seq[:, :, src]
+        if self.quantized:  # dequant -> rotate -> requant (K only)
+            k_new = k_new.astype(jnp.float32) * self.k_scale[:, seq][:, :, src][..., None]
+        if cfg.rope_type != ROPE_TYPE_NONE:
+            rows = []
+            for il in range(k_new.shape[0]):
+                # per-layer rope params (SWA layers may use a local freq base)
+                rp = _rope_params(cfg, il)
+                x = k_new[il].transpose(1, 0, 2)  # [S, H, D]
+                rows.append(apply_rope(x, delta, rp).transpose(1, 0, 2))
+            k_new = jnp.stack(rows)
+        k_new = jnp.where((new_pos >= 0)[None, None, :, None], k_new, 0)
+
+        if self.quantized:
+            k_q, k_s = _quant_rows(k_new)
+            new = _replace(
+                self,
+                k=self.k.at[:, seq].set(k_q),
+                v=self.v.at[:, seq].set(v_new),
+                pos=self.pos.at[seq].set(new_pos),
+                k_scale=self.k_scale.at[:, seq].set(k_s),
+                v_scale=self.v_scale.at[:, seq].set(self.v_scale[:, seq][:, :, src]),
+            )
+            return new
+        return _replace(
+            self,
+            k=self.k.at[:, seq].set(k_new.astype(self.k.dtype)),
+            v=self.v.at[:, seq].set(v_new.astype(self.v.dtype)),
+            pos=self.pos.at[seq].set(new_pos),
+        )
+
 
 def _quant_rows(x: jnp.ndarray):
     """Per-head-row int8 quantization (q8_0-style, group = head_dim)."""

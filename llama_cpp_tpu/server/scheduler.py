@@ -77,8 +77,10 @@ class Slot:
 class Scheduler:
     """One inference thread owning the Context; HTTP threads post GenTasks."""
 
-    def __init__(self, ctx: Context, n_slots: int | None = None):
+    def __init__(self, ctx: Context, n_slots: int | None = None,
+                 enable_ctx_shift: bool = True):
         self.ctx = ctx
+        self.enable_ctx_shift = enable_ctx_shift
         self.n_slots = n_slots or ctx.n_seqs
         assert self.n_slots <= ctx.n_seqs
         self.slots = [Slot(i) for i in range(self.n_slots)]
@@ -293,6 +295,16 @@ class Scheduler:
             self._finish(slot, "length")
             return
         if int(self.ctx.seq_len[slot.idx]) + 1 >= self.ctx.n_ctx:
+            # context shift: drop the oldest half beyond n_keep and continue
+            # (reference server context shift, server-context.cpp:2916)
+            if self.enable_ctx_shift and not self.ctx.recurrent:
+                try:
+                    n_keep = min(getattr(slot.task, "n_keep", 0) or 0,
+                                 self.ctx.n_ctx // 2)
+                    self.ctx.context_shift(slot.idx, n_keep=n_keep)
+                    return
+                except NotImplementedError:
+                    pass
             self._finish(slot, "length")
 
     def _delta(self, slot: Slot):
