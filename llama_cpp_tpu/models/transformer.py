@@ -172,7 +172,13 @@ def attention_block(
     sinks = lw.get("attn_sinks")  # [H] gpt-oss attention sinks
     slot_pos = kv.pos[inputs.seq_idx]  # [B, slots]
 
-    if flash_supported(Dk, Dv, kv.n_slots) and cfg.alibi_bias == 0.0:
+    # sub-128 head dims underutilize the MXU lanes in the kernel; there the
+    # XLA einsum path wins for tiny decode row counts (T*G < 16)
+    rows = T * (H // Hkv)
+    use_flash = flash_supported(Dk, Dv, kv.n_slots) and cfg.alibi_bias == 0.0
+    if use_flash and min(Dk, Dv) < 128 and rows < 16:
+        use_flash = False
+    if use_flash:
         # fused Pallas flash attention straight off the (possibly int8) cache
         k_raw = kv.k[il][inputs.seq_idx]  # [B, Hkv, S, Dk]
         v_raw = kv.v[il][inputs.seq_idx]

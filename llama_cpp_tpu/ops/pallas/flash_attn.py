@@ -121,15 +121,19 @@ def _fa_kernel(
         v.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )  # [br, Dv]
-    acc_ref[...] = acc_ref[...] * pltpu.repeat(alpha, dv // LANES, axis=1) + o_curr
+
+    def _to_dv(stat128):  # [br, 128] lane-replicated stat -> [br, Dv]
+        if dv >= LANES:
+            return pltpu.repeat(stat128, dv // LANES, axis=1)
+        return stat128[:, :dv]
+
+    acc_ref[...] = acc_ref[...] * _to_dv(alpha) + o_curr
 
     @pl.when(s_idx == n_s - 1)
     def _store():
         l = l_ref[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out_ref[0, 0] = (
-            acc_ref[...] * pltpu.repeat(l_inv, dv // LANES, axis=1)
-        ).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_ref[...] * _to_dv(l_inv)).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -160,7 +164,8 @@ def flash_attention(
     B, Hkv, R, D = q.shape
     S = k.shape[2]
     Dv = v.shape[3]
-    assert D % LANES == 0 and Dv % LANES == 0 and S % LANES == 0, (D, Dv, S)
+    assert (D % LANES == 0 or D in (32, 64)) and S % LANES == 0, (D, S)
+    assert Dv % LANES == 0 or Dv in (32, 64), Dv
 
     br = block_r or min(128, _round_up(R, 16))
     Rp = _round_up(R, br)
@@ -247,12 +252,9 @@ def flash_supported(head_dim_k: int, head_dim_v: int, n_slots: int) -> bool:
     if _FORCE is False:
         return False
     backend_ok = _FORCE is True or jax.default_backend() == "tpu"
-    return (
-        backend_ok
-        and head_dim_k % LANES == 0
-        and head_dim_v % LANES == 0
-        and n_slots % LANES == 0
-    )
+    dim_ok = (head_dim_k % LANES == 0 or head_dim_k in (32, 64)) and (
+        head_dim_v % LANES == 0 or head_dim_v in (32, 64))
+    return backend_ok and dim_ok and n_slots % LANES == 0
 
 
 def mha_flash(

@@ -171,3 +171,17 @@ def test_mha_wrapper_matches_einsum_path():
     ref = dense_ref(qr, k, v, rp, cp, sm_scale=0.088)
     ref = ref.reshape(B, Hkv, G, T, D).transpose(0, 3, 1, 2, 4).reshape(B, T, H * D)
     assert_close(out, ref)
+
+
+def test_head_dim_64():
+    q, k, v, rp, cp = make_case(D=64, Dv=64, seed=8)
+    got, ref = run_both(q, k, v, rp, cp, sm_scale=0.125)
+    assert_close(got, ref)
+
+
+def test_head_dim_64_with_sinks_and_window():
+    """gpt-oss shape: d=64 + sinks + sliding window."""
+    q, k, v, rp, cp = make_case(D=64, Dv=64, fill=200, seed=9)
+    sinks = np.random.default_rng(9).standard_normal((2, 16)).astype(np.float32)
+    got, ref = run_both(q, k, v, rp, cp, sm_scale=0.125, window=64, sinks=sinks)
+    assert_close(got, ref)
