@@ -51,8 +51,9 @@ def _fingerprint(ctx) -> dict:
 # whole-context state
 # ---------------------------------------------------------------------------
 
-def save_state(ctx, path: str) -> int:
-    """Snapshot the full context (all sequences). Returns bytes written."""
+def save_state(ctx, path: str, extra: dict | None = None) -> int:
+    """Snapshot the full context (all sequences). Returns bytes written.
+    `extra` rides along in the header (e.g. the prompt-cache token list)."""
     arrays = {
         "k": _pack(ctx.kv.k),
         "v": _pack(ctx.kv.v),
@@ -69,6 +70,7 @@ def save_state(ctx, path: str) -> int:
         "n_ctx": ctx.n_ctx,
         "n_seqs": ctx.n_seqs,
         "n_slots": ctx.n_slots,
+        "extra": extra or {},
     }
     buf = io.BytesIO()
     np.savez_compressed(buf, header=np.frombuffer(
@@ -79,8 +81,9 @@ def save_state(ctx, path: str) -> int:
     return len(data)
 
 
-def load_state(ctx, path: str) -> None:
-    """Restore a snapshot written by save_state into a compatible context."""
+def load_state(ctx, path: str) -> dict:
+    """Restore a snapshot written by save_state into a compatible context.
+    Returns the header's `extra` dict."""
     z = np.load(path)
     header = json.loads(bytes(z["header"]).decode())
     if header.get("magic") != STATE_MAGIC:
@@ -105,6 +108,7 @@ def load_state(ctx, path: str) -> None:
     )
     ctx.kv = kv
     ctx.seq_len[:] = z["seq_len"]
+    return header.get("extra", {})
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tokens drafted per speculative step")
     ap.add_argument("--spec-ngram", action="store_true",
                     help="self-speculative n-gram (prompt lookup) drafting")
+    ap.add_argument("--prompt-cache", default=None,
+                    help="session file: reuse the cached prompt prefix "
+                         "(reference --prompt-cache)")
     ap.add_argument("--mmproj", default=None, help="vision mmproj GGUF")
     ap.add_argument("--image", action="append", default=[],
                     help="image file(s); use <__media__> markers in prompt")
@@ -138,7 +141,33 @@ def main(argv=None):
         if args.verbose_prompt:
             for t in ids:
                 print(f"{t:7d} -> {tok.piece(t)!r}", file=sys.stderr)
-        if speculator is not None and not grammar:
+        prefilled = None
+        if args.prompt_cache:
+            import os as _os
+
+            from ..runtime.state import load_state, save_state
+
+            cached = []
+            if _os.path.exists(args.prompt_cache):
+                try:
+                    extra = load_state(ctx, args.prompt_cache)
+                    cached = list(extra.get("tokens", []))
+                except ValueError as e:
+                    print(f"prompt cache ignored: {e}", file=sys.stderr)
+            n_match = 0
+            while (n_match < len(cached) and n_match < len(ids) - 1
+                   and cached[n_match] == ids[n_match]):
+                n_match += 1
+            if n_match:
+                ctx.seq_rm(0, p0=n_match)
+                print(f"prompt cache: reused {n_match}/{len(ids)} tokens",
+                      file=sys.stderr)
+            else:
+                ctx.seq_rm(0)
+                n_match = 0
+            prefilled = ctx.prefill(ids[n_match:])
+            save_state(ctx, args.prompt_cache, extra={"tokens": list(ids)})
+        if speculator is not None and not grammar and prefilled is None:
             from ..runtime.speculative import speculative_generate
 
             speculator.reset()
@@ -158,7 +187,7 @@ def main(argv=None):
             from ..sampling.grammar import GrammarSampler
 
             gsampler = GrammarSampler(grammar, tok)
-        logits = ctx.prefill(ids)
+        logits = prefilled if prefilled is not None else ctx.prefill(ids)
         out = []
         import numpy as np
 
