@@ -14,6 +14,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.basic import ACTIVATIONS, layer_norm, rms_norm, softcap
 from ..ops.pallas.flash_attn import flash_supported, mha_flash
@@ -432,6 +433,17 @@ def moe_block(
     down_w = lw["ffn_down_exps"]
     act = ACTIVATIONS[cfg.act]
 
+    # decode-shape dispatch: when tokens*top_k < n_expert, gather only the
+    # selected experts' weights (HBM traffic ∝ k experts instead of all —
+    # the TPU answer to mmid/ragged dispatch for small batches)
+    n_tok = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if n_tok * k < n_exp:
+        out = _moe_gather(cfg, lw, x, topi, topw, act)
+        if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
+            h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
+            out = out + matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
+        return out.astype(x.dtype)
+
     def expert_apply(e, e_gate, e_up, e_down):
         # e_*: [n_ff_exp, n_embd] ; x: [N, n_embd]
         g = matmul(x, e_gate)
@@ -467,6 +479,72 @@ def moe_block(
         h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
         out = out + matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _gather_expert(w: Weight, idx: jnp.ndarray, dtype=jnp.bfloat16):
+    """Gather + dequantize expert slices: idx [M] -> [M, in, out] (transposed
+    planes) or [M, out, in] dense."""
+    if isinstance(w, QuantTensor):
+        q = jnp.take(w.q, idx, axis=0).astype(dtype)  # [M, a, b]
+        sc = jnp.take(w.scales, idx, axis=0).astype(dtype)
+        g = w.group
+        if w.transposed:  # [M, in, out]: scales [M, in//g, out]
+            M, K, O = q.shape
+            wde = q.reshape(M, K // g, g, O) * sc[:, :, None, :]
+            wde = wde.reshape(M, K, O)
+            if w.mins is not None:
+                mn = jnp.take(w.mins, idx, axis=0).astype(dtype)
+                wde = wde + jnp.repeat(mn, g, axis=1)
+            return wde
+        M, O, K = q.shape
+        wde = q.reshape(M, O, K // g, g) * sc[:, :, :, None]
+        wde = wde.reshape(M, O, K)
+        if w.mins is not None:
+            mn = jnp.take(w.mins, idx, axis=0).astype(dtype)
+            wde = wde + jnp.repeat(mn, g, axis=2)
+        return wde
+    return jnp.take(w, idx, axis=0).astype(dtype)
+
+
+def _moe_gather(cfg, lw, x, topi, topw, act):
+    """Per-token gathered expert FFN: y = Σ_j w_j · FFN_{e_j}(x)."""
+    lead = x.shape[:-1]
+    E = x.shape[-1]
+    N = int(np.prod(lead)) if lead else 1
+    k = topi.shape[-1]
+    xf = x.reshape(N, E)
+    idx = topi.reshape(N * k)
+    tw = topw.reshape(N, k)
+
+    mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    gw = lw["ffn_gate_exps"]
+    trans = isinstance(gw, QuantTensor) and gw.transposed
+
+    def emm(w, h):  # h [N,k,a] @ expert w [N*k, ...] -> [N,k,b]
+        wd = _gather_expert(w, idx, mdt)
+        M = wd.shape[0]
+        ha = h.reshape(M, -1)
+        if trans:
+            y = jnp.einsum("ma,mab->mb", ha.astype(mdt), wd,
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("ma,mba->mb", ha.astype(mdt), wd,
+                           preferred_element_type=jnp.float32)
+        return y.reshape(N, k, -1)
+
+    xk = jnp.broadcast_to(xf[:, None], (N, k, E))
+    g = emm(lw["ffn_gate_exps"], xk)
+    u = emm(lw["ffn_up_exps"], xk)
+    if "ffn_gate_exps_bias" in lw:
+        g = g + jnp.take(lw["ffn_gate_exps_bias"], idx, axis=0).reshape(N, k, -1)
+    if "ffn_up_exps_bias" in lw:
+        u = u + jnp.take(lw["ffn_up_exps_bias"], idx, axis=0).reshape(N, k, -1)
+    h = swiglu_oai(g, u) if cfg.moe_act == "swiglu_oai" else act(g) * u
+    y = emm(lw["ffn_down_exps"], h)
+    if "ffn_down_exps_bias" in lw:
+        y = y + jnp.take(lw["ffn_down_exps_bias"], idx, axis=0).reshape(N, k, -1)
+    out = jnp.sum(y * tw[:, :, None], axis=1)  # [N, E]
+    return out.reshape(*lead, E).astype(jnp.float32)
 
 
 def forward(

@@ -399,3 +399,54 @@ def test_deepseek2_mla(tmp_path):
     assert m.cfg.arch == "deepseek2"
     assert m.cfg.head_dim_k == 12 and m.cfg.head_dim_v == 8
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_moe_gather_dispatch_matches_dense(tmp_path):
+    """Single-token decode takes the gathered-expert path (mmid analog);
+    it must produce the same tokens as the dense all-experts loop used in
+    prefill — exercised via decode-vs-prefill equality on MoE models."""
+    cfg = transformers.MixtralConfig(
+        vocab_size=97, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=8, num_experts_per_tok=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    hf = transformers.MixtralForCausalLM(cfg).eval()
+    path = str(tmp_path / "mx8.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+
+    from llama_cpp_tpu.runtime.context import Context
+
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    tokens = [2, 5, 40, 96, 7]
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    pre = ctx.prefill(tokens)  # 5 tok * k=2 >= 8 experts -> dense loop
+
+    ctx2 = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    for t in tokens[:-1]:
+        ctx2.decode_one(t)  # 1 tok * 2 < 8 -> gather path
+    step = ctx2.decode_one(tokens[-1])
+    np.testing.assert_allclose(step, pre, rtol=2e-4, atol=2e-4)
+
+    # gpt-oss biased experts through the gather path too
+    gcfg = transformers.GptOssConfig(
+        vocab_size=131, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=8, num_experts_per_tok=2,
+        sliding_window=4, max_position_embeddings=64, rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(6)
+    ghf = transformers.GptOssForCausalLM(gcfg).eval()
+    gpath = str(tmp_path / "goss8.gguf")
+    convert_hf_model(ghf, gpath, ftype="f32")
+    gm = load_model(gpath, prefer_quant=False, dense_dtype=jnp.float32)
+    gtoks = [2, 5, 40, 96, 7]
+    with torch.no_grad():
+        ref = ghf(torch.tensor([gtoks])).logits[0, -1].numpy()
+    gctx = Context(gm, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    for t in gtoks[:-1]:
+        gctx.decode_one(t)
+    got = gctx.decode_one(gtoks[-1])
+    np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
