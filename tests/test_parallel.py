@@ -82,3 +82,33 @@ def test_sharded_generation_consistent(tmp_path):
     with mesh:
         got = ctx2.generate([5, 9, 23, 42], max_new_tokens=6)
     assert got == ref
+
+
+def test_ring_attention_matches_dense():
+    """Context-parallel ring attention over 4 devices == single-device
+    causal attention (the >1M-context scaling path, SURVEY.md section 5)."""
+    import jax.numpy as jnp2
+
+    from llama_cpp_tpu.parallel.ring_attention import ring_attention
+
+    rng = np.random.default_rng(0)
+    B, H, T, D = 2, 4, 64, 32
+    q = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    # dense reference
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    mask = np.tril(np.ones((T, T), bool))
+    s = np.where(mask, s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, v)
+
+    mesh = make_mesh(dp=2, tp=4)
+    cp_mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]).reshape(4), ("cp",))
+    got = np.asarray(ring_attention(
+        jnp2.asarray(q), jnp2.asarray(k), jnp2.asarray(v), cp_mesh,
+        axis="cp", scale=scale))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
