@@ -626,6 +626,7 @@ def forward(
 
         if "cvec" in params:  # control vector (build_cvec analog)
             x = x + params["cvec"][il].astype(x.dtype)
+        _tap(il, "l_out", x)  # residual stream (cvector-generator collection)
 
     B, T, E = x.shape
     x = x.reshape(B * T, E)

@@ -134,3 +134,30 @@ def test_control_vector(base_path, tmp_path):
 
     remove_control_vector(m)
     np.testing.assert_allclose(logits_of(m), base_logits)
+
+
+def test_cvector_generator_end_to_end(base_path, tmp_path):
+    """PCA control-vector generation -> loadable, steering GGUF
+    (reference tools/cvector-generator)."""
+    from llama_cpp_tpu.tools.cvector_generator import (
+        collect_layer_means,
+        pca_directions,
+        write_control_vector,
+    )
+
+    m = load_model(base_path, prefer_quant=False, fuse=False)
+    pos = collect_layer_means(m, ["aa bb cc", "dd ee", "ff gg hh ii"])
+    neg = collect_layer_means(m, ["zz yy", "xx ww vv", "uu tt"])
+    assert pos.shape == (3, 2, 128) and np.abs(pos).sum() > 0
+    dirs = pca_directions(pos, neg)
+    assert dirs.shape == (2, 128)
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, rtol=1e-4)
+
+    cpath = str(tmp_path / "gen_cvec.gguf")
+    write_control_vector(cpath, dirs)
+    cv = load_control_vector(cpath, m.cfg.n_layers, m.cfg.n_embd)
+    np.testing.assert_allclose(cv, dirs, rtol=1e-6)
+
+    base_logits = logits_of(m)
+    apply_control_vector(m, cv, strength=4.0)
+    assert not np.allclose(logits_of(m), base_logits)

@@ -124,3 +124,25 @@ def test_multiple_choice_and_winogrande(tmp_path):
                "answer": 2}]
     res = winogrande_score(ctx, wtasks)
     assert res["n_tasks"] == 1
+
+
+def test_memory_fit(tmp_path):
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.fit import fit_context, weights_bytes
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+    p = str(tmp_path / "fit.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    m = load_model(p, prefer_quant=False)
+    assert weights_bytes(m.params) > 0
+
+    rep = fit_context(m, n_ctx=4096, n_seqs=1, free_bytes=1 << 30)
+    assert rep.fits and rep.n_ctx == 4096
+
+    # tiny budget forces a clamp
+    tight = weights_bytes(m.params) + 3_000_000
+    rep2 = fit_context(m, n_ctx=65536, n_seqs=4, free_bytes=tight)
+    assert rep2.n_ctx < 65536
