@@ -119,6 +119,7 @@ def convert_hf_model(
         "mamba2": "mamba2",
         "jamba": "jamba",
         "deepseek_v2": "deepseek2",
+        "bert": "bert",
         "deepseek_v3": "deepseek2",
         "gpt2": "gpt2",
         "gpt_neox": "gptneox",
@@ -136,6 +137,8 @@ def convert_hf_model(
         return _convert_jamba(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "deepseek2":
         return _convert_deepseek2(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "bert":
+        return _convert_bert(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -694,5 +697,53 @@ def _convert_deepseek2(model, out_path: str, ftype: str, tokenizer=None,
             _emit(w, b + "ffn_gate.weight", sd[mlp + "gate_proj.weight"], ftype)
             _emit(w, b + "ffn_up.weight", sd[mlp + "up_proj.weight"], ftype)
             _emit(w, b + "ffn_down.weight", sd[mlp + "down_proj.weight"], ftype)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_bert(model, out_path: str, ftype: str, tokenizer=None,
+                  vocab_override=None) -> str:
+    """BERT encoder HF -> GGUF (reference conversion/bert.py layout)."""
+    cfg = model.config
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "bert")
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "bert")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "bert."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(cfg.max_position_embeddings))
+    w.add(P + "embedding_length", np.uint32(cfg.hidden_size))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_attention_heads))
+    w.add(P + "attention.layer_norm_epsilon", float(cfg.layer_norm_eps))
+    w.add(P + "attention.causal", False)
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    w.add(P + "pooling_type", np.uint32(2))  # CLS
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    base = model.bert if hasattr(model, "bert") else model
+    sd = {k: v.detach().cpu().float().numpy() for k, v in base.state_dict().items()}
+    _emit(w, "token_embd.weight", sd["embeddings.word_embeddings.weight"], ftype)
+    _emit(w, "position_embd.weight", sd["embeddings.position_embeddings.weight"], ftype)
+    _emit(w, "token_types.weight", sd["embeddings.token_type_embeddings.weight"], ftype)
+    _emit(w, "token_embd_norm.weight", sd["embeddings.LayerNorm.weight"], ftype)
+    _emit(w, "token_embd_norm.bias", sd["embeddings.LayerNorm.bias"], ftype)
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"encoder.layer.{i}.", f"blk.{i}."
+        for hf, gg in (("attention.self.query", "attn_q"),
+                       ("attention.self.key", "attn_k"),
+                       ("attention.self.value", "attn_v"),
+                       ("attention.output.dense", "attn_output"),
+                       ("intermediate.dense", "ffn_up"),
+                       ("output.dense", "ffn_down")):
+            _emit(w, b + gg + ".weight", sd[p + hf + ".weight"], ftype)
+            _emit(w, b + gg + ".bias", sd[p + hf + ".bias"], ftype)
+        _emit(w, b + "attn_output_norm.weight", sd[p + "attention.output.LayerNorm.weight"], ftype)
+        _emit(w, b + "attn_output_norm.bias", sd[p + "attention.output.LayerNorm.bias"], ftype)
+        _emit(w, b + "layer_output_norm.weight", sd[p + "output.LayerNorm.weight"], ftype)
+        _emit(w, b + "layer_output_norm.bias", sd[p + "output.LayerNorm.bias"], ftype)
     w.write(out_path)
     return out_path

@@ -1,0 +1,114 @@
+"""BERT-family encoder (embeddings / reranking models).
+
+Analog of reference src/models/bert.cpp: post-norm encoder blocks with
+bidirectional attention, learned absolute positions, token-type embeddings,
+and optional CLS/rank heads. Runs full-sequence (llama_encode semantics) —
+no KV cache; the `kv` argument passes through untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.basic import layer_norm
+from ..ops.qtensor import embed_lookup, matmul
+from .config import ModelConfig
+from .transformer import AttnInputs, _rope_params
+from ..ops.rope import ROPE_TYPE_NONE, apply_rope
+
+
+def forward(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B, T]
+    inputs: AttnInputs,
+    kv,  # unused (encoder); returned unchanged
+    output_rows: jnp.ndarray | None = None,
+    return_hidden: bool = False,
+    inputs_embeds: jnp.ndarray | None = None,
+):
+    B, T = tokens.shape
+    H, Hkv = cfg.n_heads, cfg.n_kv_heads
+    Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
+    eps = cfg.norm_eps
+
+    if inputs_embeds is not None:
+        x = inputs_embeds.astype(jnp.float32)
+    else:
+        x = embed_lookup(params["token_embd"], tokens, dtype=jnp.float32)
+    if "token_types" in params:  # type 0 embedding (reference bert.cpp)
+        x = x + params["token_types"][0].astype(jnp.float32)
+    if "pos_embd" in params:
+        x = x + embed_lookup(params["pos_embd"],
+                             jnp.maximum(inputs.positions, 0), jnp.float32)
+    x = layer_norm(x, params.get("token_embd_norm"),
+                   params.get("token_embd_norm_bias"), eps)
+
+    valid = (inputs.positions >= 0)  # [B, T] padding mask
+    mask = valid[:, None, :] & valid[:, :, None]  # [B, T, T] bidirectional
+
+    for il, lw in enumerate(params["layers"]):
+        if "attn_qkv" in lw:
+            qkv = matmul(x, lw["attn_qkv"], dtype=jnp.float32)
+            if "attn_qkv_bias" in lw:
+                qkv = qkv + lw["attn_qkv_bias"]
+            q = qkv[..., : H * Dk]
+            k = qkv[..., H * Dk : H * Dk + Hkv * Dk]
+            v = qkv[..., H * Dk + Hkv * Dk :]
+        else:
+            q = matmul(x, lw["attn_q"], dtype=jnp.float32)
+            k = matmul(x, lw["attn_k"], dtype=jnp.float32)
+            v = matmul(x, lw["attn_v"], dtype=jnp.float32)
+            if "attn_q_bias" in lw:
+                q = q + lw["attn_q_bias"]
+                k = k + lw["attn_k_bias"]
+                v = v + lw["attn_v_bias"]
+        q = q.reshape(B, T, H, Dk)
+        k = k.reshape(B, T, Hkv, Dk)
+        v = v.reshape(B, T, Hkv, Dv)
+        if cfg.rope_type != ROPE_TYPE_NONE:  # nomic-bert / jina-v3
+            rp = _rope_params(cfg, il)
+            q = apply_rope(q, inputs.positions, rp)
+            k = apply_rope(k, inputs.positions, rp)
+        g = H // Hkv
+        if g > 1:
+            k = jnp.repeat(k, g, axis=2)
+            v = jnp.repeat(v, g, axis=2)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32) / Dk ** 0.5
+        scores = jnp.where(mask[:, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+        attn = jnp.einsum("bhts,bshd->bthd", probs, v,
+                          preferred_element_type=jnp.float32)
+        attn = attn.reshape(B, T, H * Dv)
+        attn = matmul(attn, lw["attn_output"], dtype=jnp.float32)
+        if "attn_output_bias" in lw:
+            attn = attn + lw["attn_output_bias"]
+
+        # post-norm: LN(x + attn)
+        x = layer_norm(x + attn, lw.get("attn_output_norm"),
+                       lw.get("attn_output_norm_bias"), eps)
+
+        ffn_inp = x
+        up = matmul(x, lw["ffn_up"], dtype=jnp.float32)
+        if "ffn_up_bias" in lw:
+            up = up + lw["ffn_up_bias"]
+        if "ffn_gate" in lw:  # jina GLU variants
+            gate = matmul(x, lw["ffn_gate"], dtype=jnp.float32)
+            h = jax.nn.gelu(gate, approximate=True) * up
+        else:
+            h = jax.nn.gelu(up, approximate=True)
+        y = matmul(h, lw["ffn_down"], dtype=jnp.float32)
+        if "ffn_down_bias" in lw:
+            y = y + lw["ffn_down_bias"]
+        x = layer_norm(ffn_inp + y, lw.get("layer_output_norm"),
+                       lw.get("layer_output_norm_bias"), eps)
+
+    x = x.reshape(B * T, -1)
+    if output_rows is not None:
+        x = x[output_rows]
+    return (x, kv) if return_hidden else (x, kv)

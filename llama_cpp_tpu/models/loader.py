@@ -112,6 +112,11 @@ LAYER_TENSORS = {
     "channel_mix_key.weight": "channel_mix_key",
     "channel_mix_value.weight": "channel_mix_value",
     "channel_mix_receptance.weight": "channel_mix_receptance",
+    # BERT encoder (reference src/llama-arch.cpp:422-431)
+    "attn_output_norm.weight": "attn_output_norm",
+    "attn_output_norm.bias": "attn_output_norm_bias",
+    "layer_output_norm.weight": "layer_output_norm",
+    "layer_output_norm.bias": "layer_output_norm_bias",
 }
 
 GLOBAL_TENSORS = {
@@ -124,6 +129,11 @@ GLOBAL_TENSORS = {
     "output.weight": "output",
     "output.bias": "output_bias",
     "rope_freqs.weight": "rope_factors",
+    "token_types.weight": "token_types",
+    "cls.weight": "cls",
+    "cls.bias": "cls_bias",
+    "cls.output.weight": "cls_out",
+    "cls.output.bias": "cls_out_bias",
 }
 
 # 1-D tensors stay dense fp32; everything else follows its storage type
@@ -142,7 +152,10 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "time_mix_lerp_k", "time_mix_lerp_v", "time_mix_lerp_r",
                "time_mix_lerp_g", "time_mix_lerp_fused", "time_mix_first",
                "time_mix_decay", "time_mix_ln", "time_mix_ln_bias",
-               "time_mix_w2", "channel_mix_lerp_k", "channel_mix_lerp_r"}
+               "time_mix_w2", "channel_mix_lerp_k", "channel_mix_lerp_r",
+               "attn_output_norm", "attn_output_norm_bias",
+               "layer_output_norm", "layer_output_norm_bias", "token_types",
+               "cls_bias", "cls_out_bias"}
 
 
 class Model:
@@ -159,6 +172,10 @@ class Model:
     @property
     def forward_fn(self):
         """Per-family graph builder (build_arch_graph dispatch analog)."""
+        if self.cfg.extra.get("encoder"):
+            from . import bert
+
+            return bert.forward
         if self.cfg.extra.get("rwkv"):
             from . import rwkv
 
@@ -238,7 +255,9 @@ def load_model(
             progress(n_done / total)
 
     # fuse per-head norm weights shape: gguf stores [head_dim]
-    if cfg.extra.get("rwkv"):
+    if cfg.extra.get("encoder"):
+        req = ("attn_output_norm", "ffn_up")
+    elif cfg.extra.get("rwkv"):
         req = ("attn_norm", "time_mix_key", "channel_mix_key")
     elif cfg.extra.get("memory") == "recurrent":
         req = ("attn_norm", "ssm_in", "ssm_out")

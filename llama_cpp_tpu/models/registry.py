@@ -260,6 +260,22 @@ def _mamba2(cfg: ModelConfig, md) -> ModelConfig:
     return cfg
 
 
+@register("bert")
+def _bert(cfg: ModelConfig, md) -> ModelConfig:
+    """BERT encoder (reference src/models/bert.cpp): post-norm bidirectional
+    blocks, learned positions, token types; used for embeddings/rerank."""
+    cfg.extra["encoder"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, use_rms_norm=False,
+                     act="gelu", glu=False)
+
+
+@register("nomic-bert")
+def _nomic_bert(cfg: ModelConfig, md) -> ModelConfig:
+    cfg.extra["encoder"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="gelu", glu=False)
+
+
 @register("rwkv6")
 def _rwkv6(cfg: ModelConfig, md) -> ModelConfig:
     """RWKV6 (reference src/models/rwkv6.cpp): token-shift states in the

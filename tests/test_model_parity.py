@@ -450,3 +450,35 @@ def test_moe_gather_dispatch_matches_dense(tmp_path):
         gctx.decode_one(t)
     got = gctx.decode_one(gtoks[-1])
     np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
+
+
+def test_bert_encoder(tmp_path):
+    """BERT: post-norm bidirectional encoder (reference src/models/bert.cpp)
+    — hidden states must match HF BertModel."""
+    cfg = transformers.BertConfig(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, hidden_act="gelu",
+    )
+    torch.manual_seed(31)
+    hf = transformers.BertModel(cfg).eval()
+    path = str(tmp_path / "bert.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).last_hidden_state[0].numpy()
+
+    from llama_cpp_tpu.models.transformer import AttnInputs
+
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra.get("encoder")
+    N = len(tokens)
+    inputs = AttnInputs(
+        seq_idx=jnp.zeros(1, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+        positions=jnp.arange(N, dtype=jnp.int32)[None, :],
+    )
+    hidden, _ = m.forward_fn(m.params, m.cfg,
+                             jnp.asarray(tokens, jnp.int32)[None, :],
+                             inputs, None, return_hidden=True)
+    np.testing.assert_allclose(np.asarray(hidden), ref, rtol=3e-4, atol=3e-4)
