@@ -113,6 +113,14 @@ def convert_hf_model(
         "gemma": "gemma",
         "gemma2": "gemma2",
         "gemma3_text": "gemma3",
+        "phi3": "phi3",
+        "starcoder2": "starcoder2",
+        "qwen2_moe": "qwen2moe",
+        "granite": "granite",
+        "olmo2": "olmo2",
+        "cohere": "command-r",
+        "glm4": "glm4",
+        "nemotron": "nemotron",
         "gpt_oss": "gpt-oss",
         "mamba": "mamba",
         "falcon_mamba": "mamba",
@@ -173,6 +181,33 @@ def convert_hf_model(
         w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
         w.add(P + "expert_feed_forward_length", np.uint32(cfg.intermediate_size))
         w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window))
+    if mtype == "qwen2_moe":
+        w.add(P + "expert_count", np.uint32(cfg.num_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
+        w.add(P + "expert_shared_count", np.uint32(1))
+    if mtype == "gemma2":
+        w.add(P + "attn_logit_softcapping", float(cfg.attn_logit_softcapping))
+        w.add(P + "final_logit_softcapping", float(cfg.final_logit_softcapping))
+        w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window))
+        w.add(P + "attention.scale",
+              float(cfg.query_pre_attn_scalar) ** -0.5)
+    if mtype == "granite":
+        w.add(P + "embedding_scale", float(cfg.embedding_multiplier))
+        w.add(P + "residual_scale", float(cfg.residual_multiplier))
+        w.add(P + "attention.scale", float(cfg.attention_multiplier))
+        w.add(P + "logit_scale", 1.0 / float(cfg.logits_scaling))
+    if mtype == "cohere":
+        w.add(P + "logit_scale", float(cfg.logit_scale))
+        w.add(P + "attention.layer_norm_epsilon", float(cfg.layer_norm_eps))
+    if mtype in ("glm4", "nemotron", "phi3"):
+        prf = getattr(cfg, "partial_rotary_factor", 1.0)
+        hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // cfg.num_attention_heads
+        # overwrite rope dims for partial rotary
+        w.add(P + "rope.dimension_count", np.uint32(int(hd * prf)))
+    if mtype in ("starcoder2", "nemotron"):
+        w.add(P + "attention.layer_norm_epsilon",
+              float(getattr(cfg, "norm_eps", getattr(cfg, "layer_norm_epsilon", 1e-5))))
 
     if tokenizer is not None:
         _add_vocab_from_hf_tokenizer(w, tokenizer)
@@ -180,14 +215,26 @@ def convert_hf_model(
         w.add_all(vocab_override)
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
-    permute = arch in ("llama",)  # NORM-rope archs need the q/k permute
+    # NORM-rope archs with HF rotate_half layout need the q/k permute
+    # (cohere/glm4 use interleaved rotary natively: NORM with no permute)
+    permute = arch in ("llama", "granite")
+    # gemma stores rmsnorm weights as (w - 1); nemotron uses layernorm1p
+    norm_p1 = mtype in ("gemma", "gemma2", "gemma3_text", "nemotron")
 
     def get(name):
         return sd.get(name)
 
+    def emit_norm(gname, hname):
+        arr = get(hname)
+        if arr is None:
+            return
+        _emit(w, gname, arr + 1.0 if norm_p1 else arr, ftype)
+
     emb = get("model.embed_tokens.weight")
     _emit(w, "token_embd.weight", emb, ftype)
-    _emit(w, "output_norm.weight", get("model.norm.weight"), ftype)
+    emit_norm("output_norm.weight", "model.norm.weight")
+    if get("model.norm.bias") is not None:
+        _emit(w, "output_norm.bias", get("model.norm.bias"), ftype)
     lm_head = get("lm_head.weight")
     if lm_head is not None and not getattr(cfg, "tie_word_embeddings", False):
         _emit(w, "output.weight", lm_head, ftype)
@@ -195,7 +242,19 @@ def convert_hf_model(
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
         b = f"blk.{i}."
-        _emit(w, b + "attn_norm.weight", get(p + "input_layernorm.weight"), ftype)
+        emit_norm(b + "attn_norm.weight", p + "input_layernorm.weight")
+        if get(p + "input_layernorm.bias") is not None:
+            _emit(w, b + "attn_norm.bias", get(p + "input_layernorm.bias"), ftype)
+        if mtype == "phi3":
+            _emit(w, b + "attn_qkv.weight", get(p + "self_attn.qkv_proj.weight"), ftype)
+            _emit(w, b + "attn_output.weight", get(p + "self_attn.o_proj.weight"), ftype)
+            emit_norm(b + "ffn_norm.weight", p + "post_attention_layernorm.weight")
+            gu = get(p + "mlp.gate_up_proj.weight")
+            nf = gu.shape[0] // 2
+            _emit(w, b + "ffn_gate.weight", np.ascontiguousarray(gu[:nf]), ftype)
+            _emit(w, b + "ffn_up.weight", np.ascontiguousarray(gu[nf:]), ftype)
+            _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+            continue
         q = get(p + "self_attn.q_proj.weight")
         k = get(p + "self_attn.k_proj.weight")
         if permute:
@@ -216,8 +275,8 @@ def convert_hf_model(
             _emit(w, b + "attn_output.bias", ob, ftype)
         qn = get(p + "self_attn.q_norm.weight")
         if qn is not None:
-            _emit(w, b + "attn_q_norm.weight", qn, ftype)
-            _emit(w, b + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"), ftype)
+            emit_norm(b + "attn_q_norm.weight", p + "self_attn.q_norm.weight")
+            emit_norm(b + "attn_k_norm.weight", p + "self_attn.k_norm.weight")
         if mtype == "gpt_oss":
             # reference GGUF layout (conversion/gpt_oss.py): pre-FFN norm is
             # attn_post_norm; gate/up interleaved in gate_up_proj (::2 / 1::2)
@@ -235,7 +294,56 @@ def convert_hf_model(
             _emit(w, b + "ffn_down_exps.weight", np.ascontiguousarray(down), ftype)
             _emit(w, b + "ffn_down_exps.bias", get(p + "mlp.experts.down_proj_bias"), ftype)
             continue
-        _emit(w, b + "ffn_norm.weight", get(p + "post_attention_layernorm.weight"), ftype)
+        if mtype == "gemma2":
+            # post-norm set: post_attention -> attn_post, pre_ff -> ffn_norm
+            emit_norm(b + "attn_post_norm.weight", p + "post_attention_layernorm.weight")
+            emit_norm(b + "ffn_norm.weight", p + "pre_feedforward_layernorm.weight")
+            emit_norm(b + "ffn_post_norm.weight", p + "post_feedforward_layernorm.weight")
+        elif mtype == "olmo2":
+            # norm-after arch: no pre-norms at all
+            emit_norm(b + "attn_post_norm.weight", p + "post_attention_layernorm.weight")
+            emit_norm(b + "ffn_post_norm.weight", p + "post_feedforward_layernorm.weight")
+        elif mtype == "glm4":
+            emit_norm(b + "attn_post_norm.weight", p + "post_self_attn_layernorm.weight")
+            emit_norm(b + "ffn_norm.weight", p + "post_attention_layernorm.weight")
+            emit_norm(b + "ffn_post_norm.weight", p + "post_mlp_layernorm.weight")
+        elif mtype == "cohere":
+            pass  # shared pre-norm only (parallel residual)
+        else:
+            emit_norm(b + "ffn_norm.weight", p + "post_attention_layernorm.weight")
+            if get(p + "post_attention_layernorm.bias") is not None:
+                _emit(w, b + "ffn_norm.bias",
+                      get(p + "post_attention_layernorm.bias"), ftype)
+        if mtype == "glm4":
+            gu = get(p + "mlp.gate_up_proj.weight")
+            nf = gu.shape[0] // 2
+            _emit(w, b + "ffn_gate.weight", np.ascontiguousarray(gu[:nf]), ftype)
+            _emit(w, b + "ffn_up.weight", np.ascontiguousarray(gu[nf:]), ftype)
+            _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+            continue
+        if mtype == "starcoder2":
+            _emit(w, b + "ffn_up.weight", get(p + "mlp.c_fc.weight"), ftype)
+            _emit(w, b + "ffn_up.bias", get(p + "mlp.c_fc.bias"), ftype)
+            _emit(w, b + "ffn_down.weight", get(p + "mlp.c_proj.weight"), ftype)
+            _emit(w, b + "ffn_down.bias", get(p + "mlp.c_proj.bias"), ftype)
+            continue
+        if mtype == "nemotron":
+            _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
+            _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+            continue
+        if mtype == "qwen2_moe":
+            moe = p + "mlp."
+            _emit(w, b + "ffn_gate_inp.weight", get(moe + "gate.weight"), ftype)
+            n_exp = cfg.num_experts
+            for part, hf in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+                stack = np.stack([get(moe + f"experts.{e}.{hf}.weight")
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
+            _emit(w, b + "ffn_gate_shexp.weight", get(moe + "shared_expert.gate_proj.weight"), ftype)
+            _emit(w, b + "ffn_up_shexp.weight", get(moe + "shared_expert.up_proj.weight"), ftype)
+            _emit(w, b + "ffn_down_shexp.weight", get(moe + "shared_expert.down_proj.weight"), ftype)
+            _emit(w, b + "ffn_gate_inp_shexp.weight", get(moe + "shared_expert_gate.weight"), ftype)
+            continue
         if mtype == "mixtral":
             moe = p + "block_sparse_moe."
             _emit(w, b + "ffn_gate_inp.weight", get(moe + "gate.weight"), ftype)

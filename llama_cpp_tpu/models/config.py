@@ -54,6 +54,8 @@ class ModelConfig:
     attn_bias: bool = False
     post_norms: bool = False  # gemma: post-attention/post-ffn norms
     parallel_residual: bool = False  # gptneox/phi2: x + attn(n(x)) + ffn(n(x))
+    norm_after: bool = False  # olmo2: x + norm(attn(x)), no pre-norm
+    residual_scale: float = 1.0  # granite
     shared_parallel_norm: bool = False  # phi2: one norm feeds both branches
     alibi_bias: float = 0.0  # bloom/mpt max_alibi_bias (0 = rope/none)
 

@@ -67,6 +67,7 @@ LAYER_TENSORS = {
     "ffn_up_exps.bias": "ffn_up_exps_bias",
     "ffn_down_exps.bias": "ffn_down_exps_bias",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_gate_inp_shexp.weight": "ffn_gate_inp_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "exp_probs_b",
@@ -265,6 +266,8 @@ def load_model(
         req = ("attn_norm",)  # per-layer mixer checked below
     elif cfg.shared_parallel_norm:
         req = ("attn_norm", "attn_output")  # phi2: one norm feeds both branches
+    elif cfg.norm_after:
+        req = ("attn_output", "attn_post_norm", "ffn_post_norm")
     else:
         req = ("attn_norm", "attn_output", "ffn_norm")
     missing = [

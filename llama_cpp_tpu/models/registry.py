@@ -99,6 +99,7 @@ def _gemma2(cfg: ModelConfig, md) -> ModelConfig:
         post_norms=True,
         tie_embeddings=True,
         swa_pattern=2,
+        attn_scale=float(md.get("gemma2.attention.scale", 0.0)),
     )
 
 
@@ -130,7 +131,8 @@ def _stablelm(cfg: ModelConfig, md) -> ModelConfig:
 
 @register("starcoder2")
 def _starcoder2(cfg: ModelConfig, md) -> ModelConfig:
-    return cfg.with_(rope_type=ROPE_TYPE_NEOX, act="gelu", glu=False, attn_bias=True)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="gelu", glu=False, attn_bias=True)
 
 
 @register("smollm3")
@@ -145,8 +147,29 @@ def _granite(cfg: ModelConfig, md) -> ModelConfig:
         rope_type=ROPE_TYPE_NORM,
         embd_scale=float(md.get(f"{a}.embedding_scale", 1.0)),
         attn_scale=float(md.get(f"{a}.attention.scale", 0.0)),
-        extra={"residual_scale": float(md.get(f"{a}.residual_scale", 1.0))},
+        residual_scale=float(md.get(f"{a}.residual_scale", 1.0)),
+        logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
     )
+
+
+@register("olmo2")
+def _olmo2(cfg: ModelConfig, md) -> ModelConfig:
+    """OLMo-2 (reference src/models/olmo2.cpp): norm-after blocks + full-width
+    q/k rmsnorm (normalized over n_embd, not per head)."""
+    cfg.extra["qk_norm_full"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, norm_after=True, qk_norm=True)
+
+
+@register("glm4")
+def _glm4(cfg: ModelConfig, md) -> ModelConfig:
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, post_norms=True)
+
+
+@register("nemotron")
+def _nemotron(cfg: ModelConfig, md) -> ModelConfig:
+    # layernorm1p weights arrive +1-folded from the converter
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="relu2", glu=False)
 
 
 @register("deepseek2")

@@ -143,11 +143,16 @@ def attention_block(
         if "attn_v_bias" in lw:
             v = v + lw["attn_v_bias"]
 
+    if cfg.qk_norm and cfg.extra.get("qk_norm_full"):
+        # olmo2-style: rmsnorm over the full projected width
+        q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
+        k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
+
     q = q.reshape(B, T, H, Dk)
     k = k.reshape(B, T, Hkv, Dk)
     v = v.reshape(B, T, Hkv, Dv)
 
-    if cfg.qk_norm:
+    if cfg.qk_norm and not cfg.extra.get("qk_norm_full"):
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
         k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
@@ -441,7 +446,11 @@ def moe_block(
         out = _moe_gather(cfg, lw, x, topi, topw, act)
         if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
             h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
-            out = out + matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
+            sh = matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
+            if "ffn_gate_inp_shexp" in lw:
+                sh = sh * jax.nn.sigmoid(
+                    matmul(x, lw["ffn_gate_inp_shexp"], dtype=jnp.float32))
+            out = out + sh
         return out.astype(x.dtype)
 
     def expert_apply(e, e_gate, e_up, e_down):
@@ -477,7 +486,11 @@ def moe_block(
 
     if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
         h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
-        out = out + matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
+        sh = matmul(h, lw["ffn_down_shexp"]).astype(jnp.float32)
+        if "ffn_gate_inp_shexp" in lw:  # qwen2moe sigmoid-gated shared expert
+            sh = sh * jax.nn.sigmoid(
+                matmul(x, lw["ffn_gate_inp_shexp"], dtype=jnp.float32))
+        out = out + sh
     return out.astype(x.dtype)
 
 
@@ -577,7 +590,9 @@ def forward(
     first_attn = next(
         (i for i, lw in enumerate(params["layers"]) if "ssm_in" not in lw), 0)
     for il, lw in enumerate(params["layers"]):
-        h = norm(cfg, x, lw, "attn_norm")
+        # olmo2-style norm-after: the mixer sees the raw residual stream and
+        # its output is normalized before the residual add
+        h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
         if "ssm_in" in lw:
             # hybrid model: SSM mixer replaces attention on this layer
             # (reference src/models/jamba.cpp:121-140)
@@ -602,8 +617,9 @@ def forward(
                 kv = _replace(kv, kv=akv)
             else:
                 kv = akv
-        if cfg.post_norms and "attn_post_norm" in lw:
+        if (cfg.post_norms or cfg.norm_after) and "attn_post_norm" in lw:
             attn = rms_norm(attn, lw["attn_post_norm"], cfg.rms_eps)
+        rscale = cfg.residual_scale
 
         if cfg.parallel_residual:
             # x = x + attn(norm1(x)) + ffn(norm2(x)); phi2 shares one norm
@@ -611,18 +627,18 @@ def forward(
             ff = ffn_block(cfg, lw, h2, il)
             x = x + attn + ff
         else:
-            x = x + attn
+            x = x + (attn * rscale if rscale != 1.0 else attn)
 
-            h = norm(cfg, x, lw, "ffn_norm")
+            h = x if cfg.norm_after else norm(cfg, x, lw, "ffn_norm")
             if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
                 ff = moe_block(cfg, lw, h)
                 if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
                     ff = ff + ffn_block(cfg, lw, h, il)
             else:
                 ff = ffn_block(cfg, lw, h, il)
-            if cfg.post_norms and "ffn_post_norm" in lw:
+            if (cfg.post_norms or cfg.norm_after) and "ffn_post_norm" in lw:
                 ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
-            x = x + ff
+            x = x + (ff * rscale if rscale != 1.0 else ff)
 
         if "cvec" in params:  # control vector (build_cvec analog)
             x = x + params["cvec"][il].astype(x.dtype)

@@ -482,3 +482,112 @@ def test_bert_encoder(tmp_path):
                              jnp.asarray(tokens, jnp.int32)[None, :],
                              inputs, None, return_hidden=True)
     np.testing.assert_allclose(np.asarray(hidden), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_gemma2(tmp_path):
+    cfg = transformers.Gemma2Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, query_pre_attn_scalar=12, sliding_window=4,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(41)
+    m = _parity(transformers.Gemma2ForCausalLM(cfg).eval(), tmp_path, "g2",
+                tokens=(2, 5, 40, 96, 7, 130, 22, 9), tol=6e-4)
+    assert m.cfg.attn_logit_softcap == 50.0 and m.cfg.swa_pattern == 2
+
+
+def test_phi3(tmp_path):
+    cfg = transformers.Phi3Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    torch.manual_seed(42)
+    _parity(transformers.Phi3ForCausalLM(cfg).eval(), tmp_path, "phi3")
+
+
+def test_starcoder2(tmp_path):
+    cfg = transformers.Starcoder2Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, use_bias=True,
+    )
+    torch.manual_seed(43)
+    m = _parity(transformers.Starcoder2ForCausalLM(cfg).eval(), tmp_path, "sc2")
+    assert not m.cfg.use_rms_norm
+
+
+def test_qwen2moe_shared_expert(tmp_path):
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=150, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, shared_expert_intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        norm_topk_prob=False,
+    )
+    torch.manual_seed(44)
+    _parity(transformers.Qwen2MoeForCausalLM(cfg).eval(), tmp_path, "q2moe",
+            tol=6e-4)
+
+
+def test_granite(tmp_path):
+    cfg = transformers.GraniteConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        embedding_multiplier=6.0, residual_multiplier=0.5,
+        attention_multiplier=0.3, logits_scaling=2.0,
+    )
+    torch.manual_seed(45)
+    m = _parity(transformers.GraniteForCausalLM(cfg).eval(), tmp_path, "gr")
+    assert m.cfg.residual_scale == 0.5
+
+
+def test_olmo2(tmp_path):
+    cfg = transformers.Olmo2Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(46)
+    m = _parity(transformers.Olmo2ForCausalLM(cfg).eval(), tmp_path, "ol2")
+    assert m.cfg.norm_after
+
+
+def test_cohere_command_r(tmp_path):
+    cfg = transformers.CohereConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, logit_scale=0.25, use_qk_norm=False,
+    )
+    torch.manual_seed(47)
+    m = _parity(transformers.CohereForCausalLM(cfg).eval(), tmp_path, "cr")
+    assert m.cfg.parallel_residual and m.cfg.logit_scale == 0.25
+
+
+def test_glm4(tmp_path):
+    cfg = transformers.Glm4Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    torch.manual_seed(48)
+    _parity(transformers.Glm4ForCausalLM(cfg).eval(), tmp_path, "glm4")
+
+
+def test_nemotron(tmp_path):
+    cfg = transformers.NemotronConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(49)
+    m = _parity(transformers.NemotronForCausalLM(cfg).eval(), tmp_path, "nem")
+    assert m.cfg.act == "relu2"
