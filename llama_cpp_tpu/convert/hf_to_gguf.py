@@ -192,6 +192,14 @@ def convert_hf_model(
         w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window))
         w.add(P + "attention.scale",
               float(cfg.query_pre_attn_scalar) ** -0.5)
+    if mtype == "gemma3_text":
+        w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window or 0))
+        w.add(P + "attention.sliding_window_pattern",
+              np.uint32(getattr(cfg, "sliding_window_pattern", 6) or 6))
+        w.add(P + "rope.freq_base_swa",
+              float(getattr(cfg, "rope_local_base_freq", 10000.0)))
+        w.add(P + "attention.scale",
+              float(getattr(cfg, "query_pre_attn_scalar", 256)) ** -0.5)
     if mtype == "granite":
         w.add(P + "embedding_scale", float(cfg.embedding_multiplier))
         w.add(P + "residual_scale", float(cfg.residual_multiplier))
@@ -294,7 +302,7 @@ def convert_hf_model(
             _emit(w, b + "ffn_down_exps.weight", np.ascontiguousarray(down), ftype)
             _emit(w, b + "ffn_down_exps.bias", get(p + "mlp.experts.down_proj_bias"), ftype)
             continue
-        if mtype == "gemma2":
+        if mtype in ("gemma2", "gemma3_text"):
             # post-norm set: post_attention -> attn_post, pre_ff -> ffn_norm
             emit_norm(b + "attn_post_norm.weight", p + "post_attention_layernorm.weight")
             emit_norm(b + "ffn_norm.weight", p + "pre_feedforward_layernorm.weight")

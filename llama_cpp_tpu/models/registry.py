@@ -112,10 +112,12 @@ def _gemma3(cfg: ModelConfig, md) -> ModelConfig:
         post_norms=True,
         qk_norm=True,
         tie_embeddings=True,
-        swa_pattern=6,
-        attn_scale=1.0 / (float(cfg.head_dim_k) ** 0.5),
+        swa_pattern=int(md.get("gemma3.attention.sliding_window_pattern", 6)),
+        attn_scale=float(md.get("gemma3.attention.scale", 0.0))
+        or 1.0 / (float(cfg.head_dim_k) ** 0.5),
     )
-    c.extra["rope_freq_base_swa"] = 10000.0
+    c.extra["rope_freq_base_swa"] = float(
+        md.get("gemma3.rope.freq_base_swa", 10000.0))
     return c
 
 

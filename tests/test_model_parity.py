@@ -591,3 +591,32 @@ def test_nemotron(tmp_path):
     torch.manual_seed(49)
     m = _parity(transformers.NemotronForCausalLM(cfg).eval(), tmp_path, "nem")
     assert m.cfg.act == "relu2"
+
+
+def test_gemma1(tmp_path):
+    cfg = transformers.GemmaConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, max_position_embeddings=64,
+    )
+    torch.manual_seed(51)
+    _parity(transformers.GemmaForCausalLM(cfg).eval(), tmp_path, "g1", tol=6e-4)
+
+
+def test_gemma3(tmp_path):
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, query_pre_attn_scalar=12, sliding_window=4,
+        sliding_window_pattern=2, rope_theta=1000000.0,
+        rope_local_base_freq=10000.0, max_position_embeddings=64,
+    )
+    torch.manual_seed(52)
+    hf = transformers.Gemma3ForCausalLM(cfg).eval()
+    path = str(tmp_path / "g3.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 130, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
