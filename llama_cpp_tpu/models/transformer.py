@@ -176,7 +176,15 @@ def attention_block(
     scale = cfg.attn_scale or (1.0 / float(Dk) ** 0.5)
     window = cfg.sliding_window if (cfg.sliding_window > 0 and cfg.is_swa_layer(il)) else 0
     sinks = lw.get("attn_sinks")  # [H] gpt-oss attention sinks
-    slot_pos = kv.pos[inputs.seq_idx]  # [B, slots]
+
+    # single-sequence contexts: batch row 0 IS cache row 0 — skip the seq
+    # gather (it copies the whole layer cache per step)
+    one_seq = kv.k.shape[1] == 1 and B == 1
+
+    def seq_view(arr):  # arr [n_seqs, ...] -> [B, ...]
+        return arr if one_seq else arr[inputs.seq_idx]
+
+    slot_pos = seq_view(kv.pos)  # [B, slots]
 
     # sub-128 head dims underutilize the MXU lanes in the kernel; there the
     # XLA einsum path wins for tiny decode row counts (T*G < 16)
@@ -186,10 +194,10 @@ def attention_block(
         use_flash = False
     if use_flash:
         # fused Pallas flash attention straight off the (possibly int8) cache
-        k_raw = kv.k[il][inputs.seq_idx]  # [B, Hkv, S, Dk]
-        v_raw = kv.v[il][inputs.seq_idx]
-        ks = kv.k_scale[il][inputs.seq_idx] if kv.quantized else None
-        vs = kv.v_scale[il][inputs.seq_idx] if kv.quantized else None
+        k_raw = seq_view(kv.k[il])  # [B, Hkv, S, Dk]
+        v_raw = seq_view(kv.v[il])
+        ks = seq_view(kv.k_scale[il]) if kv.quantized else None
+        vs = seq_view(kv.v_scale[il]) if kv.quantized else None
         out = mha_flash(
             q, k_raw, v_raw, inputs.positions, slot_pos,
             sm_scale=scale, window=window, softcap=cfg.attn_logit_softcap,
@@ -199,8 +207,8 @@ def attention_block(
         ).astype(x.dtype)
     else:
         k_all, v_all = kv.read(il)  # [n_seqs, Hkv, slots, D]
-        k_seq = k_all[inputs.seq_idx]  # [B, Hkv, S, Dk]
-        v_seq = v_all[inputs.seq_idx]
+        k_seq = seq_view(k_all)  # [B, Hkv, S, Dk]
+        v_seq = seq_view(v_all)
 
         valid = slot_pos >= 0
         causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]

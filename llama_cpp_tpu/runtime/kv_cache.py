@@ -83,18 +83,33 @@ class KVCache:
         positions: jnp.ndarray,  # [B*T] int32
         update_pos: bool | None = None,  # default: only on layer 0
     ) -> "KVCache":
+        single = int(seq_idx.shape[0]) == 1  # decode fast path: dus > scatter
+
+        def put(buf, rows):
+            # rows [N, H, D]; buf [L, S, H, slots, D]
+            if single:
+                upd = rows[0].astype(buf.dtype)[None, None, :, None]  # [1,1,H,1,D]
+                return jax.lax.dynamic_update_slice(
+                    buf, upd,
+                    (layer, seq_idx[0], 0, slots[0], 0))
+            return buf.at[layer, seq_idx, :, slots].set(rows.astype(buf.dtype))
+
+        def put_scale(buf, s):
+            # s [N, H]; buf [L, S, H, slots]
+            if single:
+                return jax.lax.dynamic_update_slice(
+                    buf, s[0].astype(buf.dtype)[None, None, :, None],
+                    (layer, seq_idx[0], 0, slots[0]))
+            return buf.at[layer, seq_idx, :, slots].set(s)
+
         if self.quantized:
             k_q, k_s = _quant_rows(k_new)
             v_q, v_s = _quant_rows(v_new)
-            k = self.k.at[layer, seq_idx, :, slots].set(k_q)
-            v = self.v.at[layer, seq_idx, :, slots].set(v_q)
-            k_scale = self.k_scale.at[layer, seq_idx, :, slots].set(k_s)
-            v_scale = self.v_scale.at[layer, seq_idx, :, slots].set(v_s)
-            new = replace(self, k=k, v=v, k_scale=k_scale, v_scale=v_scale)
+            new = replace(self, k=put(self.k, k_q), v=put(self.v, v_q),
+                          k_scale=put_scale(self.k_scale, k_s),
+                          v_scale=put_scale(self.v_scale, v_s))
         else:
-            k = self.k.at[layer, seq_idx, :, slots].set(k_new.astype(self.k.dtype))
-            v = self.v.at[layer, seq_idx, :, slots].set(v_new.astype(self.v.dtype))
-            new = replace(self, k=k, v=v)
+            new = replace(self, k=put(self.k, k_new), v=put(self.v, v_new))
         if update_pos if update_pos is not None else layer == 0:
             new = replace(new, pos=self.pos.at[seq_idx, slots].set(positions))
         return new
