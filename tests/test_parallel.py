@@ -112,3 +112,34 @@ def test_ring_attention_matches_dense():
         jnp2.asarray(q), jnp2.asarray(k), jnp2.asarray(v), cp_mesh,
         axis="cp", scale=scale))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe stage executor over 4 devices == sequential layer stack
+    (the scheduler pipeline-parallelism analog, ggml-backend.cpp:1804)."""
+    import jax.numpy as jnp2
+
+    from llama_cpp_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    rng = np.random.default_rng(0)
+    S, M, mb, D = 4, 6, 8, 32
+    # each stage: y = gelu(x @ W) + x
+    per_stage = [{"w": jnp2.asarray(rng.standard_normal((D, D)) * 0.1,
+                                    jnp2.float32)} for _ in range(S)]
+
+    def stage_fn(p, x):
+        return jax.nn.gelu(x @ p["w"]) + x
+
+    x = jnp2.asarray(rng.standard_normal((M, mb, D)), jnp2.float32)
+    ref = x
+    for p in per_stage:
+        ref = jax.vmap(lambda xb, p=p: stage_fn(p, xb))(ref)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:S]).reshape(S), ("pp",))
+    got = pipeline_apply(stage_fn, stack_stage_params(per_stage), x, mesh,
+                         axis="pp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
