@@ -50,7 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    from .args import apply_env_and_preset
+
+    args = apply_env_and_preset(build_parser(), argv)
 
     from ..models.loader import load_model
     from ..runtime.context import Context

@@ -146,3 +146,31 @@ def test_memory_fit(tmp_path):
     tight = weights_bytes(m.params) + 3_000_000
     rep2 = fit_context(m, n_ctx=65536, n_seqs=4, free_bytes=tight)
     assert rep2.n_ctx < 65536
+
+
+def test_env_and_preset_args(tmp_path, monkeypatch):
+    import argparse
+
+    from llama_cpp_tpu.tools.args import apply_env_and_preset, env_name
+
+    assert env_name("--ctx-size") == "LLAMA_ARG_CTX_SIZE"
+
+    def parser():
+        ap = argparse.ArgumentParser()
+        ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+        ap.add_argument("--temp", type=float, default=0.8)
+        ap.add_argument("--kv-quant", action="store_true")
+        return ap
+
+    # env mirror
+    monkeypatch.setenv("LLAMA_ARG_CTX_SIZE", "512")
+    monkeypatch.setenv("LLAMA_ARG_KV_QUANT", "1")
+    a = apply_env_and_preset(parser(), [])
+    assert a.ctx_size == 512 and a.kv_quant is True
+
+    # preset file; explicit flag still wins
+    pf = tmp_path / "p.json"
+    pf.write_text('{"temp": 0.1, "ctx_size": 1024}')
+    monkeypatch.delenv("LLAMA_ARG_CTX_SIZE")
+    a = apply_env_and_preset(parser(), ["--preset", str(pf), "--temp", "0.5"])
+    assert a.ctx_size == 1024 and a.temp == 0.5
