@@ -161,17 +161,18 @@ def attention_block(
         q = apply_rope(q, inputs.positions, rp)
         k = apply_rope(k, inputs.positions, rp)
 
-    # scatter-write new K/V (SET_ROWS analog): flatten [B,T] token grid
+    # position-addressed write (SET_ROWS analog): flatten [B,T] token grid;
+    # the cache derives slots (iSWA ring layers wrap positions)
     seq_flat = jnp.repeat(inputs.seq_idx, T)
-    kv = kv.write(
+    kv = kv.write_layer(
         il,
         seq_flat,
-        inputs.slots.reshape(-1),
+        inputs.positions.reshape(-1),
         k.reshape(B * T, Hkv, Dk),
         v.reshape(B * T, Hkv, Dv),
-        inputs.positions.reshape(-1),
         update_pos=update_pos,
     )
+    kvc, li = kv.layer_view(il)
 
     scale = cfg.attn_scale or (1.0 / float(Dk) ** 0.5)
     window = cfg.sliding_window if (cfg.sliding_window > 0 and cfg.is_swa_layer(il)) else 0
@@ -179,25 +180,25 @@ def attention_block(
 
     # single-sequence contexts: batch row 0 IS cache row 0 — skip the seq
     # gather (it copies the whole layer cache per step)
-    one_seq = kv.k.shape[1] == 1 and B == 1
+    one_seq = kvc.k.shape[1] == 1 and B == 1
 
     def seq_view(arr):  # arr [n_seqs, ...] -> [B, ...]
         return arr if one_seq else arr[inputs.seq_idx]
 
-    slot_pos = seq_view(kv.pos)  # [B, slots]
+    slot_pos = seq_view(kvc.pos)  # [B, slots]
 
     # sub-128 head dims underutilize the MXU lanes in the kernel; there the
     # XLA einsum path wins for tiny decode row counts (T*G < 16)
     rows = T * (H // Hkv)
-    use_flash = flash_supported(Dk, Dv, kv.n_slots) and cfg.alibi_bias == 0.0
+    use_flash = flash_supported(Dk, Dv, kvc.n_slots) and cfg.alibi_bias == 0.0
     if use_flash and min(Dk, Dv) < 128 and rows < 16:
         use_flash = False
     if use_flash:
         # fused Pallas flash attention straight off the (possibly int8) cache
-        k_raw = seq_view(kv.k[il])  # [B, Hkv, S, Dk]
-        v_raw = seq_view(kv.v[il])
-        ks = seq_view(kv.k_scale[il]) if kv.quantized else None
-        vs = seq_view(kv.v_scale[il]) if kv.quantized else None
+        k_raw = seq_view(kvc.k[li])  # [B, Hkv, S, Dk]
+        v_raw = seq_view(kvc.v[li])
+        ks = seq_view(kvc.k_scale[li]) if kvc.quantized else None
+        vs = seq_view(kvc.v_scale[li]) if kvc.quantized else None
         out = mha_flash(
             q, k_raw, v_raw, inputs.positions, slot_pos,
             sm_scale=scale, window=window, softcap=cfg.attn_logit_softcap,
@@ -206,7 +207,7 @@ def attention_block(
             interpret=jax.default_backend() != "tpu",
         ).astype(x.dtype)
     else:
-        k_all, v_all = kv.read(il)  # [n_seqs, Hkv, slots, D]
+        k_all, v_all = kvc.read(li)  # [n_seqs, Hkv, slots, D]
         k_seq = seq_view(k_all)  # [B, Hkv, S, Dk]
         v_seq = seq_view(v_all)
 
@@ -325,10 +326,10 @@ def mla_attention_block(
     kq_scale = mscale * mscale / float(Dk) ** 0.5
 
     seq_flat = jnp.repeat(inputs.seq_idx, T)
-    kv = kv.write(
-        il, seq_flat, inputs.slots.reshape(-1),
+    kv = kv.write_layer(
+        il, seq_flat, inputs.positions.reshape(-1),
         kf.reshape(B * T, H, Dk), v.reshape(B * T, H, Dv),
-        inputs.positions.reshape(-1), update_pos=update_pos,
+        update_pos=update_pos,
     )
     slot_pos = kv.pos[inputs.seq_idx]
 
@@ -617,8 +618,9 @@ def forward(
         else:
             akv = kv.kv if hasattr(kv, "rs") else kv
             blk = mla_attention_block if "attn_kv_a_mqa" in lw else attention_block
-            attn, akv = blk(cfg, lw, h, inputs, akv, il,
-                            update_pos=il == first_attn)
+            # iSWA caches track pos per sub-cache; let them decide
+            up = None if hasattr(akv, "is_swa") else (il == first_attn)
+            attn, akv = blk(cfg, lw, h, inputs, akv, il, update_pos=up)
             if hasattr(kv, "rs"):
                 from dataclasses import replace as _replace
 

@@ -103,6 +103,20 @@ class Context:
                 dtype=self._kv_dtype, quantized=self._kv_quant,
             )
             return HybridMemory(kv=kvc, rs=rs)
+        cfg = self.cfg
+        if (cfg.sliding_window > 0 and cfg.swa_pattern > 0
+                and not cfg.extra.get("encoder")):
+            # interleaved SWA: window-sized ring for SWA layers
+            # (llama_kv_cache_iswa analog) — ring must hold the window plus
+            # the largest in-flight ubatch
+            from .kv_cache import ISWACache
+
+            ring = -(-(cfg.sliding_window + self.n_ubatch + 1) // 256) * 256
+            ring = min(ring, n_slots or self.n_slots)
+            return ISWACache.build(
+                cfg, n_seqs or self.n_seqs, n_slots or self.n_slots, ring,
+                dtype=self._kv_dtype, quantized=self._kv_quant,
+            )
         return KVCache.create(
             self.cfg.n_layers,
             n_seqs or self.n_seqs,
@@ -311,6 +325,8 @@ class Context:
             raise NotImplementedError("context shift needs an attention KV")
         if "kv_lora_rank" in self.cfg.extra:
             raise NotImplementedError("context shift unsupported for MLA rope")
+        if not isinstance(self.kv, KVCache):
+            raise NotImplementedError("context shift needs the unified cache")
         cur = int(self.seq_len[seq])
         if n_discard is None:
             n_discard = max((cur - n_keep) // 2, 1)

@@ -31,13 +31,29 @@ class KVCache:
     pos: jnp.ndarray  # [n_seqs, n_slots] int32, -1 = empty
     k_scale: jnp.ndarray | None = None  # [L, n_seqs, H, slots] for int8 KV
     v_scale: jnp.ndarray | None = None
+    ring: bool = False  # iSWA window cache: slot = pos % capacity
 
     def tree_flatten(self):
-        return (self.k, self.v, self.pos, self.k_scale, self.v_scale), None
+        return (self.k, self.v, self.pos, self.k_scale, self.v_scale), (self.ring,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, ring=aux[0])
+
+    # -- slot policy (replaces host-side slot computation) ---------------
+    @property
+    def capacity(self) -> int:
+        return self.n_slots - 1  # last slot is the padding trash slot
+
+    def slot_of(self, positions: jnp.ndarray) -> jnp.ndarray:
+        """Position -> slot (ring layers wrap; invalid -> trash slot)."""
+        cap = self.capacity
+        s = positions % cap if self.ring else jnp.minimum(positions, cap - 1)
+        return jnp.where(positions >= 0, s, self.n_slots - 1).astype(jnp.int32)
+
+    def layer_view(self, il: int):
+        """-> (cache, local layer index) — identity for the unified cache."""
+        return self, il
 
     # ------------------------------------------------------------------
     @classmethod
@@ -51,6 +67,7 @@ class KVCache:
         head_dim_v: int | None = None,
         dtype=jnp.bfloat16,
         quantized: bool = False,
+        ring: bool = False,
     ) -> "KVCache":
         head_dim_v = head_dim_v or head_dim_k
         kd = jnp.int8 if quantized else dtype
@@ -62,6 +79,7 @@ class KVCache:
             pos=jnp.full((n_seqs, n_slots), -1, dtype=jnp.int32),
             k_scale=jnp.zeros(shape_k[:4], jnp.float32) if quantized else None,
             v_scale=jnp.zeros(shape_v[:4], jnp.float32) if quantized else None,
+            ring=ring,
         )
 
     @property
@@ -73,6 +91,13 @@ class KVCache:
         return self.k.dtype == jnp.int8
 
     # -- write ----------------------------------------------------------
+    def write_layer(self, il, seq_idx, positions, k_new, v_new,
+                    update_pos=None) -> "KVCache":
+        """Position-addressed write: the cache derives its own slots
+        (full table: slot=pos; ring: slot=pos%capacity)."""
+        return self.write(il, seq_idx, self.slot_of(positions), k_new, v_new,
+                          positions, update_pos=update_pos)
+
     def write(
         self,
         layer: int,
@@ -216,3 +241,92 @@ def _quant_rows(x: jnp.ndarray):
     scale = amax / 127.0
     q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
     return q, scale[..., 0].astype(jnp.float32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ISWACache:
+    """Two-tier KV memory for interleaved SWA models (reference
+    llama_kv_cache_iswa, src/llama-kv-cache-iswa.h): full-attention layers
+    keep the whole context, sliding-window layers keep a small ring sized to
+    the window — memory stays O(window) for most layers."""
+
+    full: KVCache
+    swa: KVCache
+    is_swa: tuple  # static: per-model-layer bool
+    full_idx: tuple  # static: model layer -> sub-cache layer index
+    swa_idx: tuple
+
+    def tree_flatten(self):
+        return (self.full, self.swa), (self.is_swa, self.full_idx, self.swa_idx)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @classmethod
+    def build(cls, cfg, n_seqs: int, n_slots_full: int, n_slots_swa: int,
+              dtype=jnp.bfloat16, quantized: bool = False) -> "ISWACache":
+        is_swa = tuple(cfg.is_swa_layer(i) for i in range(cfg.n_layers))
+        fi, si = [], []
+        nf = ns = 0
+        for s in is_swa:
+            if s:
+                si.append(ns); fi.append(-1); ns += 1
+            else:
+                fi.append(nf); si.append(-1); nf += 1
+        mk = lambda n_l, n_s, ring: KVCache.create(
+            max(n_l, 1), n_seqs, n_s, cfg.n_kv_heads, cfg.head_dim_k,
+            cfg.head_dim_v, dtype=dtype, quantized=quantized, ring=ring)
+        return cls(
+            full=mk(nf, n_slots_full, False),
+            swa=mk(ns, n_slots_swa, True),
+            is_swa=is_swa,
+            full_idx=tuple(fi),
+            swa_idx=tuple(si),
+        )
+
+    # -- per-layer routing ----------------------------------------------
+    def layer_view(self, il: int):
+        if self.is_swa[il]:
+            return self.swa, self.swa_idx[il]
+        return self.full, self.full_idx[il]
+
+    def write_layer(self, il, seq_idx, positions, k_new, v_new,
+                    update_pos=None) -> "ISWACache":
+        # each sub-cache keeps its own pos table; update it on that cache's
+        # first layer (redundant writes elsewhere are skipped)
+        if self.is_swa[il]:
+            li = self.swa_idx[il]
+            up = update_pos if update_pos is not None else li == 0
+            return replace(self, swa=self.swa.write_layer(
+                li, seq_idx, positions, k_new, v_new, update_pos=up))
+        li = self.full_idx[il]
+        up = update_pos if update_pos is not None else li == 0
+        return replace(self, full=self.full.write_layer(
+            li, seq_idx, positions, k_new, v_new, update_pos=up))
+
+    # -- shared surface ---------------------------------------------------
+    @property
+    def quantized(self) -> bool:
+        return self.full.quantized
+
+    @property
+    def n_slots(self) -> int:
+        return self.full.n_slots
+
+    @property
+    def pos(self):
+        return self.full.pos
+
+    def seq_rm(self, seq, p0: int = 0, p1: int = 1 << 30) -> "ISWACache":
+        return replace(self, full=self.full.seq_rm(seq, p0, p1),
+                       swa=self.swa.seq_rm(seq, p0, p1))
+
+    def seq_cp(self, dst, src) -> "ISWACache":
+        return replace(self, full=self.full.seq_cp(dst, src),
+                       swa=self.swa.seq_cp(dst, src))
+
+    def seq_add(self, seq, p0, p1, delta) -> "ISWACache":
+        return replace(self, full=self.full.seq_add(seq, p0, p1, delta),
+                       swa=self.swa.seq_add(seq, p0, p1, delta))

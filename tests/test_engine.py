@@ -131,3 +131,70 @@ def test_ondevice_generation_matches_host(tiny_model):
     ctx2 = Context(tiny_model, n_ctx=64)
     dev = ctx2.generate_ondevice(prompt, max_new_tokens=10, chunk=4)
     assert host == dev
+
+
+def test_iswa_ring_cache_matches_unified(tmp_path):
+    """Interleaved-SWA models: window-sized ring caches for SWA layers must
+    produce the same tokens as the full-size unified cache
+    (llama_kv_cache_iswa analog, reference src/llama-kv-cache-iswa.h)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from llama_cpp_tpu.gguf.constants import Keys
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.context import Context
+    from llama_cpp_tpu.runtime.kv_cache import ISWACache, KVCache
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+    p = str(tmp_path / "swa.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=4, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    m = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    # force a gemma2-style interleave: window 16, every 2nd layer full
+    m.cfg = m.cfg.with_(sliding_window=16, swa_pattern=2)
+
+    prompt = list(np.random.default_rng(0).integers(4, 250, 40))
+    ctx = Context(m, n_ctx=1024, n_seqs=1, n_ubatch=32)
+    assert isinstance(ctx.kv, ISWACache)
+    assert ctx.kv.swa.n_slots < ctx.kv.full.n_slots
+    out_ring = ctx.generate(prompt, max_new_tokens=10)
+
+    # unified-cache reference: disable the pattern trigger by constructing
+    # a plain Context with swa masks still applied (same cfg but no ring)
+    ctx2 = Context(m, n_ctx=1024, n_seqs=1, n_ubatch=32)
+    ctx2.kv = KVCache.create(4, 1, ctx2.n_slots, 2, 16, 16, dtype=jnp.bfloat16)
+    ctx2._steps.clear()
+    out_full = ctx2.generate(prompt, max_new_tokens=10)
+    assert out_ring == out_full
+
+
+def test_iswa_ring_wrap(tmp_path):
+    """Ring smaller than the sequence: old window entries are overwritten in
+    place, outputs still match the unified cache (wrap correctness)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.context import Context
+    from llama_cpp_tpu.runtime.kv_cache import ISWACache, KVCache
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+    p = str(tmp_path / "swa2.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    m = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    m.cfg = m.cfg.with_(sliding_window=16, swa_pattern=2)
+
+    prompt = list(np.random.default_rng(1).integers(4, 250, 100))
+    ctx = Context(m, n_ctx=512, n_seqs=1, n_ubatch=32)
+    # shrink the ring below the sequence length to force wrapping
+    ctx.kv = ISWACache.build(m.cfg, 1, ctx.n_slots, 64,
+                             dtype=jnp.bfloat16)
+    ctx._steps.clear()
+    out_ring = ctx.generate(prompt, max_new_tokens=8)
+
+    ctx2 = Context(m, n_ctx=512, n_seqs=1, n_ubatch=32)
+    ctx2.kv = KVCache.create(2, 1, ctx2.n_slots, 2, 16, 16, dtype=jnp.bfloat16)
+    ctx2._steps.clear()
+    out_full = ctx2.generate(prompt, max_new_tokens=8)
+    assert out_ring == out_full
