@@ -197,3 +197,60 @@ def test_embeddings_endpoint(served):
             await client.close()
 
     _run(go())
+
+
+def test_anthropic_messages(served):
+    async def flow():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        r = await client.post("/v1/messages", json={
+            "model": "tiny", "max_tokens": 8,
+            "messages": [{"role": "user", "content": "hi"}],
+        })
+        assert r.status == 200
+        j = await r.json()
+        assert j["type"] == "message" and j["role"] == "assistant"
+        assert j["content"][0]["type"] == "text"
+        assert "usage" in j and j["usage"]["output_tokens"] >= 1
+        await client.close()
+
+    _run(flow())
+
+
+def test_rerank_endpoint(served):
+    async def flow():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        r = await client.post("/v1/rerank", json={
+            "query": "aa bb", "documents": ["aa bb", "zz yy xx"], "top_n": 2,
+        })
+        assert r.status == 200
+        j = await r.json()
+        assert len(j["results"]) == 2
+        scores = {x["index"]: x["relevance_score"] for x in j["results"]}
+        assert scores[0] >= scores[1]  # identical doc ranks first
+        await client.close()
+
+    _run(flow())
+
+
+def test_chat_tools_roundtrip(served):
+    """tools= requests parse tool calls out of the completion (tiny random
+    model rarely emits JSON; verify the response SHAPE is stable)."""
+    async def flow():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        r = await client.post("/v1/chat/completions", json={
+            "model": "tiny", "max_tokens": 6,
+            "messages": [{"role": "user", "content": "call a tool"}],
+            "tools": [{"type": "function", "function": {
+                "name": "f", "parameters": {"type": "object"}}}],
+        })
+        assert r.status == 200
+        j = await r.json()
+        msg = j["choices"][0]["message"]
+        assert msg["role"] == "assistant"
+        assert "tool_calls" in msg or msg["content"] is not None
+        await client.close()
+
+    _run(flow())
