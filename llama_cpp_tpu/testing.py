@@ -199,3 +199,93 @@ def make_tiny_rwkv6_gguf(
         emit(b + "channel_mix_receptance.weight", rand(n_embd, n_embd))
     w.write(path)
     return path
+
+
+def make_tiny_gpt_oss_gguf(
+    path: str,
+    vocab_size: int = 1024,
+    n_layers: int = 4,
+    n_embd: int = 512,
+    n_heads: int = 8,
+    n_kv_heads: int = 2,
+    head_dim: int = 64,
+    n_expert: int = 8,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 512,
+    sliding_window: int = 128,
+    expert_ftype: str = "mxfp4",
+    seed: int = 0,
+) -> str:
+    """Random gpt-oss-shaped GGUF: MXFP4 MoE experts, attention sinks,
+    alternating SWA, qkv/out biases (reference openai-moe layout)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "gpt-oss")
+    w.add(Keys.General.NAME, "tiny-gpt-oss")
+    w.add("gpt-oss.block_count", np.uint32(n_layers))
+    w.add("gpt-oss.context_length", np.uint32(4096))
+    w.add("gpt-oss.embedding_length", np.uint32(n_embd))
+    w.add("gpt-oss.feed_forward_length", np.uint32(n_ff_exp))
+    w.add("gpt-oss.expert_feed_forward_length", np.uint32(n_ff_exp))
+    w.add("gpt-oss.attention.head_count", np.uint32(n_heads))
+    w.add("gpt-oss.attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add("gpt-oss.attention.key_length", np.uint32(head_dim))
+    w.add("gpt-oss.attention.value_length", np.uint32(head_dim))
+    w.add("gpt-oss.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("gpt-oss.attention.sliding_window", np.uint32(sliding_window))
+    w.add("gpt-oss.rope.freq_base", 150000.0)
+    w.add("gpt-oss.rope.dimension_count", np.uint32(head_dim))
+    w.add("gpt-oss.expert_count", np.uint32(n_expert))
+    w.add("gpt-oss.expert_used_count", np.uint32(n_expert_used))
+    w.add("gpt-oss.vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    vocab[Keys.Tokenizer.TOKENS] = vocab[Keys.Tokenizer.TOKENS][:vocab_size]
+    vocab[Keys.Tokenizer.SCORES] = vocab[Keys.Tokenizer.SCORES][:vocab_size]
+    vocab[Keys.Tokenizer.TOKEN_TYPE] = vocab[Keys.Tokenizer.TOKEN_TYPE][:vocab_size]
+    w.add_all(vocab)
+
+    eft = {"mxfp4": GGMLType.MXFP4, "q8_0": GGMLType.Q8_0,
+           "f32": GGMLType.F32}[expert_ftype]
+
+    def emit(name, arr, t=GGMLType.F32):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        if t == GGMLType.F32 or arr.ndim == 1 or arr.shape[-1] % 256 != 0:
+            w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                         GGMLType.F32)
+        else:
+            w.add_tensor(name, quantize(arr, t).tobytes(),
+                         tuple(reversed(arr.shape)), t)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    q8 = GGMLType.Q8_0
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.02), q8)
+    emit("output_norm.weight", np.ones(n_embd))
+    emit("output.weight", rand(vocab_size, n_embd), q8)
+    kv_dim = n_kv_heads * head_dim
+    qd = n_heads * head_dim
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", np.ones(n_embd))
+        emit(b + "attn_q.weight", rand(qd, n_embd), q8)
+        emit(b + "attn_q.bias", rand(qd, scale=0.01))
+        emit(b + "attn_k.weight", rand(kv_dim, n_embd), q8)
+        emit(b + "attn_k.bias", rand(kv_dim, scale=0.01))
+        emit(b + "attn_v.weight", rand(kv_dim, n_embd), q8)
+        emit(b + "attn_v.bias", rand(kv_dim, scale=0.01))
+        emit(b + "attn_output.weight", rand(n_embd, qd), q8)
+        emit(b + "attn_output.bias", rand(n_embd, scale=0.01))
+        emit(b + "attn_sinks.weight", rand(n_heads, scale=1.0))
+        emit(b + "attn_post_norm.weight", np.ones(n_embd))
+        emit(b + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+        emit(b + "ffn_gate_inp.bias", rand(n_expert, scale=0.01))
+        emit(b + "ffn_gate_exps.weight", rand(n_expert, n_ff_exp, n_embd), eft)
+        emit(b + "ffn_gate_exps.bias", rand(n_expert, n_ff_exp, scale=0.01))
+        emit(b + "ffn_up_exps.weight", rand(n_expert, n_ff_exp, n_embd), eft)
+        emit(b + "ffn_up_exps.bias", rand(n_expert, n_ff_exp, scale=0.01))
+        emit(b + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff_exp), eft)
+        emit(b + "ffn_down_exps.bias", rand(n_expert, n_embd, scale=0.01))
+    w.write(path)
+    return path
