@@ -528,6 +528,27 @@ def _gather_expert(w: Weight, idx: jnp.ndarray, dtype=jnp.bfloat16):
     return jnp.take(w, idx, axis=0).astype(dtype)
 
 
+def _moe_expert_mm(w: Weight, h: jnp.ndarray, idx: jnp.ndarray):
+    """h [R, a] @ W[idx[r]] per row via the indexed-expert Pallas kernel
+    (mmid analog) when available; None when unsupported."""
+    if not (isinstance(w, QuantTensor) and w.transposed and w.q.ndim == 3):
+        return None
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+        from ..ops.pallas.qmm import qmm_planes_expert
+
+        R, K = h.shape
+        h8 = jnp.broadcast_to(h[:, None], (R, 8, K)).astype(jnp.bfloat16)
+        return qmm_planes_expert(
+            h8, idx, w.q, w.scales.astype(jnp.float32),
+            None if w.mins is None else w.mins.astype(jnp.float32),
+            group=w.group,
+        )
+    except Exception:  # pragma: no cover - kernel unsupported shape
+        return None
+
+
 def _moe_gather(cfg, lw, x, topi, topw, act):
     """Per-token gathered expert FFN: y = Σ_j w_j · FFN_{e_j}(x)."""
     lead = x.shape[:-1]
@@ -543,9 +564,12 @@ def _moe_gather(cfg, lw, x, topi, topw, act):
     trans = isinstance(gw, QuantTensor) and gw.transposed
 
     def emm(w, h):  # h [N,k,a] @ expert w [N*k, ...] -> [N,k,b]
-        wd = _gather_expert(w, idx, mdt)
-        M = wd.shape[0]
+        M = N * k
         ha = h.reshape(M, -1)
+        y = _moe_expert_mm(w, ha, idx)  # fused dequant kernel path
+        if y is not None:
+            return y.reshape(N, k, -1)
+        wd = _gather_expert(w, idx, mdt)
         if trans:
             y = jnp.einsum("ma,mab->mb", ha.astype(mdt), wd,
                            preferred_element_type=jnp.float32)

@@ -131,6 +131,104 @@ def qmm_planes(
     )(*args)
 
 
+def _qmm_id_kernel(ids_ref, x_ref, q_ref, sc_ref, out_ref, *, group: int):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    w = q_ref[0].astype(jnp.float32) * _expand_scales(sc_ref[0], group)
+    out_ref[:, :] += jnp.dot(
+        x_ref[:, :].astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _qmm_id_min_kernel(ids_ref, x_ref, q_ref, sc_ref, mn_ref, out_ref, *,
+                       group: int):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    w = q_ref[0].astype(jnp.float32) * _expand_scales(sc_ref[0], group)
+    x = x_ref[:, :]
+    out_ref[:, :] += jnp.dot(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    xf = x.astype(jnp.float32)
+    xg = jnp.dot(xf, _group_sum_matrix(xf.shape[1], group),
+                 preferred_element_type=jnp.float32)
+    out_ref[:, :] += jnp.dot(xg, mn_ref[0], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def qmm_planes_expert(
+    x: jnp.ndarray,  # [R, 8, K] — row r's activation replicated over sublanes
+    ids: jnp.ndarray,  # [R] int32 expert id per row
+    qT: jnp.ndarray,  # [E, K, O] int8 transposed expert planes
+    scalesT: jnp.ndarray,  # [E, K//g, O]
+    minsT: jnp.ndarray | None = None,
+    *,
+    group: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Indexed-expert fused dequant GEMM (GGML_OP_MUL_MAT_ID / mmid analog):
+    each grid row streams ONLY its selected expert's planes from HBM — the
+    expert id arrives via scalar prefetch and drives the weight index_map.
+    -> [R, O] f32 (row r = x[r] @ W[ids[r]]^T)."""
+    R, _, K = x.shape
+    E, _, O = qT.shape
+    to = _pick_tile(O, (512, 256, 128))
+    tk = _pick_tile(K, (2048, 1024, 512, 256))
+    grid = (R, O // to, K // tk)
+    kern = _qmm_id_min_kernel if minsT is not None else _qmm_id_kernel
+    in_specs = [
+        pl.BlockSpec((1, 8, tk), lambda i, j, k, ids: (i, 0, k)),
+        pl.BlockSpec((1, tk, to), lambda i, j, k, ids: (ids[i], k, j)),
+        pl.BlockSpec((1, tk // group, to), lambda i, j, k, ids: (ids[i], k, j)),
+    ]
+    args = [x, qT, scalesT]
+    if minsT is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tk // group, to), lambda i, j, k, ids: (ids[i], k, j)))
+        args.append(minsT)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, to), lambda i, j, k, ids: (i, 0, j)),
+    )
+
+    def wrap(kern_fn):
+        def body(ids_ref, *refs):
+            # refs: x(1,8,tk), q(1,tk,to), sc(1,tk//g,to)[, mn], out(1,8,to)
+            if minsT is not None:
+                x_ref, q_ref, sc_ref, mn_ref, out_ref = refs
+                kern_fn(ids_ref, x_ref.at[0], q_ref, sc_ref, mn_ref,
+                        out_ref.at[0], group=group)
+            else:
+                x_ref, q_ref, sc_ref, out_ref = refs
+                kern_fn(ids_ref, x_ref.at[0], q_ref, sc_ref, out_ref.at[0],
+                        group=group)
+        return body
+
+    out = pl.pallas_call(
+        wrap(_qmm_id_min_kernel if minsT is not None else _qmm_id_kernel),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 8, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ids, *args)
+    return out[:, 0]
+
+
 def qmm(x: jnp.ndarray, qt, interpret: bool = False) -> jnp.ndarray:
     """y = x @ W^T for a transposed-plane QuantTensor. Pads N to sublanes."""
     assert qt.transposed and qt.q.ndim == 2

@@ -58,3 +58,32 @@ def test_qmm_pads_odd_rows():
     assert got.shape == (3, 256)
     nmse = float(jnp.mean((got - ref) ** 2) / (jnp.mean(ref**2) + 1e-12))
     assert nmse < 1e-4
+
+
+def test_qmm_planes_expert_indexed():
+    """Indexed-expert GEMM (GGML_OP_MUL_MAT_ID analog): scalar-prefetched
+    expert ids drive the weight index_map; vs dense per-row reference."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from llama_cpp_tpu.ops.pallas.qmm import qmm_planes_expert
+
+    rng = np.random.default_rng(0)
+    E, K, O, R, g = 4, 512, 256, 6, 32
+    q = rng.integers(-127, 127, (E, K, O)).astype(np.int8)
+    sc = (rng.standard_normal((E, K // g, O)) * 0.02).astype(np.float32)
+    mn = (rng.standard_normal((E, K // g, O)) * 0.01).astype(np.float32)
+    x = rng.standard_normal((R, K)).astype(np.float32)
+    ids = rng.integers(0, E, R).astype(np.int32)
+    x8 = np.broadcast_to(x[:, None], (R, 8, K)).copy()
+
+    wde = q.astype(np.float32) * np.repeat(sc, g, axis=1)
+    for mins in (None, mn):
+        out = qmm_planes_expert(
+            jnp.asarray(x8, jnp.bfloat16), jnp.asarray(ids), jnp.asarray(q),
+            jnp.asarray(sc), None if mins is None else jnp.asarray(mins),
+            group=g, interpret=True)
+        wref = wde if mins is None else wde + np.repeat(mn, g, axis=1)
+        ref = np.stack([x[r] @ wref[ids[r]] for r in range(R)])
+        err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+        assert err < 5e-3, err
