@@ -143,3 +143,36 @@ def test_pipeline_parallel_matches_sequential():
                          axis="pp")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_moe_expert_sharded_parity(tmp_path):
+    """Experts sharded over the tp axis (expert-parallel placement) must
+    reproduce single-device MoE logits."""
+    import torch
+    import transformers
+
+    from llama_cpp_tpu.convert.hf_to_gguf import convert_hf_model
+    from llama_cpp_tpu.models.loader import load_model as _lm
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=8, num_experts_per_tok=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(7)
+    hf = transformers.MixtralForCausalLM(cfg).eval()
+    p = str(tmp_path / "mx.gguf")
+    convert_hf_model(hf, p, ftype="f32")
+
+    m = _lm(p, prefer_quant=False, dense_dtype=jnp.float32)
+    tokens = jnp.asarray([[2, 5, 40, 95, 7, 9, 11, 13]], jnp.int32)
+    kv = KVCache.create(2, 1, 32, 2, 8, 8, dtype=jnp.float32)
+    ref, _ = _run(m, m.params, kv, tokens)
+
+    mesh = make_mesh(dp=1, tp=8)
+    with mesh:
+        sp = shard_params(m.params, mesh)
+        skv = shard_kv(KVCache.create(2, 1, 32, 2, 8, 8, dtype=jnp.float32), mesh)
+        got, _ = _run(m, sp, skv, tokens)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
