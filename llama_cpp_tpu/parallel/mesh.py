@@ -113,9 +113,13 @@ def kv_pspec() -> P:
 def shard_kv(kv, mesh: Mesh):
     from ..runtime.kv_cache import KVCache
 
-    spec = NamedSharding(mesh, kv_pspec())
+    # shard heads over tp only when they divide (GQA co-location);
+    # otherwise replicate the head axis
+    tp = mesh.shape.get("tp", 1)
+    head_ax = "tp" if kv.k.shape[2] % max(tp, 1) == 0 else None
+    spec = NamedSharding(mesh, P(None, "dp", head_ax, None, None))
     pos_spec = NamedSharding(mesh, P("dp", None))
-    sc_spec = NamedSharding(mesh, P(None, "dp", "tp", None))
+    sc_spec = NamedSharding(mesh, P(None, "dp", head_ax, None))
     return KVCache(
         k=jax.device_put(kv.k, spec),
         v=jax.device_put(kv.v, spec),
