@@ -116,6 +116,10 @@ def convert_hf_model(
         "phi3": "phi3",
         "starcoder2": "starcoder2",
         "qwen2_moe": "qwen2moe",
+        "qwen3_moe": "qwen3moe",
+        "olmoe": "olmoe",
+        "falcon": "falcon",
+        "smollm3": "smollm3",
         "granite": "granite",
         "olmo2": "olmo2",
         "cohere": "command-r",
@@ -147,6 +151,8 @@ def convert_hf_model(
         return _convert_deepseek2(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "bert":
         return _convert_bert(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "falcon":
+        return _convert_falcon(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -186,6 +192,16 @@ def convert_hf_model(
         w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
         w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
         w.add(P + "expert_shared_count", np.uint32(1))
+    if mtype in ("qwen3_moe", "olmoe"):
+        w.add(P + "expert_count", np.uint32(cfg.num_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        if hasattr(cfg, "moe_intermediate_size"):
+            w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
+        w.add(P + "expert_weights_norm", bool(getattr(cfg, "norm_topk_prob", True)))
+    if mtype == "smollm3":
+        nl = getattr(cfg, "no_rope_layers", None)
+        if nl is not None:
+            w.add(P + "no_rope_layers", [int(x) for x in nl])
     if mtype == "gemma2":
         w.add(P + "attn_logit_softcapping", float(cfg.attn_logit_softcapping))
         w.add(P + "final_logit_softcapping", float(cfg.final_logit_softcapping))
@@ -225,7 +241,7 @@ def convert_hf_model(
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
     # NORM-rope archs with HF rotate_half layout need the q/k permute
     # (cohere/glm4 use interleaved rotary natively: NORM with no permute)
-    permute = arch in ("llama", "granite")
+    permute = arch in ("llama", "granite", "smollm3")
     # gemma stores rmsnorm weights as (w - 1); nemotron uses layernorm1p
     norm_p1 = mtype in ("gemma", "gemma2", "gemma3_text", "nemotron")
 
@@ -338,6 +354,15 @@ def convert_hf_model(
         if mtype == "nemotron":
             _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
             _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+            continue
+        if mtype in ("qwen3_moe", "olmoe"):
+            moe = p + "mlp."
+            _emit(w, b + "ffn_gate_inp.weight", get(moe + "gate.weight"), ftype)
+            n_exp = cfg.num_experts
+            for part, hf in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+                stack = np.stack([get(moe + f"experts.{e}.{hf}.weight")
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
             continue
         if mtype == "qwen2_moe":
             moe = p + "mlp."
@@ -861,5 +886,61 @@ def _convert_bert(model, out_path: str, ftype: str, tokenizer=None,
         _emit(w, b + "attn_output_norm.bias", sd[p + "attention.output.LayerNorm.bias"], ftype)
         _emit(w, b + "layer_output_norm.weight", sd[p + "output.LayerNorm.weight"], ftype)
         _emit(w, b + "layer_output_norm.bias", sd[p + "output.LayerNorm.bias"], ftype)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_falcon(model, out_path: str, ftype: str, tokenizer=None,
+                    vocab_override=None) -> str:
+    """Falcon (new decoder arch) HF -> GGUF: regroup the per-kv-group fused
+    QKV into contiguous [Q;K;V] (reference conversion/falcon.py)."""
+    cfg = model.config
+    n_head = cfg.num_attention_heads
+    n_kv = getattr(cfg, "num_kv_heads", None) or 1
+    n_embd = cfg.hidden_size
+    hd = n_embd // n_head
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "falcon")
+    w.add(Keys.General.NAME, "falcon")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "falcon."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(2048))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(4 * n_embd))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv))
+    w.add(P + "attention.layer_norm_epsilon",
+          float(getattr(cfg, "layer_norm_epsilon", 1e-5)))
+    w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+    w.add(P + "rope.dimension_count", np.uint32(hd))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    _emit(w, "token_embd.weight", sd["transformer.word_embeddings.weight"], ftype)
+    _emit(w, "output_norm.weight", sd["transformer.ln_f.weight"], ftype)
+    _emit(w, "output_norm.bias", sd["transformer.ln_f.bias"], ftype)
+    _emit(w, "output.weight", sd["lm_head.weight"], ftype)
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"transformer.h.{i}.", f"blk.{i}."
+        qkv = sd[p + "self_attention.query_key_value.weight"]
+        g = qkv.reshape(n_kv, n_head // n_kv + 2, hd, n_embd)
+        q = g[:, :-2].reshape(n_head * hd, n_embd)
+        k = g[:, [-2]].reshape(n_kv * hd, n_embd)
+        v = g[:, [-1]].reshape(n_kv * hd, n_embd)
+        _emit(w, b + "attn_qkv.weight", np.concatenate([q, k, v]), ftype)
+        _emit(w, b + "attn_output.weight", sd[p + "self_attention.dense.weight"], ftype)
+        # new-arch: ln_attn feeds attention, ln_mlp feeds the mlp branch
+        _emit(w, b + "attn_norm.weight", sd[p + "ln_attn.weight"], ftype)
+        _emit(w, b + "attn_norm.bias", sd[p + "ln_attn.bias"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "ln_mlp.weight"], ftype)
+        _emit(w, b + "ffn_norm.bias", sd[p + "ln_mlp.bias"], ftype)
+        _emit(w, b + "ffn_up.weight", sd[p + "mlp.dense_h_to_4h.weight"], ftype)
+        _emit(w, b + "ffn_down.weight", sd[p + "mlp.dense_4h_to_h.weight"], ftype)
     w.write(out_path)
     return out_path

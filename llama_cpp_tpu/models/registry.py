@@ -139,6 +139,11 @@ def _starcoder2(cfg: ModelConfig, md) -> ModelConfig:
 
 @register("smollm3")
 def _smollm3(cfg: ModelConfig, md) -> ModelConfig:
+    # every-4th layer runs without positional encoding (NoPE)
+    skip = md.get("smollm3.no_rope_layers")
+    if skip is not None:
+        cfg.extra["no_rope_layers"] = tuple(
+            i for i, use in enumerate(skip) if not int(use))
     return cfg.with_(rope_type=ROPE_TYPE_NORM)
 
 
@@ -246,6 +251,22 @@ def _command_r(cfg: ModelConfig, md) -> ModelConfig:
         parallel_residual=True, shared_parallel_norm=True,
         logit_scale=float(md.get("command-r.logit_scale", 1.0)),
     )
+
+
+@register("olmoe")
+def _olmoe(cfg: ModelConfig, md) -> ModelConfig:
+    """OLMoE: full-width q/k rmsnorm + top-k-normalized experts."""
+    cfg.extra["qk_norm_full"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     expert_weights_norm=bool(md.get("olmoe.expert_weights_norm", True)))
+
+
+@register("falcon")
+def _falcon(cfg: ModelConfig, md) -> ModelConfig:
+    """Falcon new-decoder arch: dual-norm parallel residual, regrouped
+    fused QKV (reference conversion/falcon.py layout fix)."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="gelu", glu=False, parallel_residual=True)
 
 
 @register("mamba")

@@ -156,7 +156,8 @@ def attention_block(
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
         k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
-    if cfg.rope_type != ROPE_TYPE_NONE:
+    if (cfg.rope_type != ROPE_TYPE_NONE
+            and il not in cfg.extra.get("no_rope_layers", ())):
         rp = _rope_params(cfg, il)
         q = apply_rope(q, inputs.positions, rp)
         k = apply_rope(k, inputs.positions, rp)

@@ -620,3 +620,53 @@ def test_gemma3(tmp_path):
         ref = hf(torch.tensor([tokens])).logits[0].numpy()
     m, ours, _ = run_ours(path, tokens)
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen3moe(tmp_path):
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=150, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=True, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(61)
+    _parity(transformers.Qwen3MoeForCausalLM(cfg).eval(), tmp_path, "q3moe",
+            tol=6e-4)
+
+
+def test_olmoe(tmp_path):
+    cfg = transformers.OlmoeConfig(
+        vocab_size=150, hidden_size=32, intermediate_size=24,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(62)
+    m = _parity(transformers.OlmoeForCausalLM(cfg).eval(), tmp_path, "olmoe",
+                tol=6e-4)
+    assert m.cfg.extra.get("qk_norm_full")
+
+
+def test_falcon(tmp_path):
+    cfg = transformers.FalconConfig(
+        vocab_size=150, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, new_decoder_architecture=True,
+        parallel_attn=True, bias=False,
+    )
+    torch.manual_seed(63)
+    m = _parity(transformers.FalconForCausalLM(cfg).eval(), tmp_path, "falcon")
+    assert m.cfg.parallel_residual
+
+
+def test_smollm3_nope_layers(tmp_path):
+    cfg = transformers.SmolLM3Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        no_rope_layer_interval=2, max_position_embeddings=64,
+        tie_word_embeddings=False, use_sliding_window=False, pad_token_id=0,
+    )
+    torch.manual_seed(64)
+    m = _parity(transformers.SmolLM3ForCausalLM(cfg).eval(), tmp_path, "sm3")
+    assert len(m.cfg.extra.get("no_rope_layers", ())) == 2
