@@ -106,6 +106,7 @@ def convert_hf_model(
     mtype = cfg.model_type
     arch = {
         "llama": "llama",
+        "llama4_text": "llama4",
         "mistral": "llama",
         "qwen2": "qwen2",
         "qwen3": "qwen3",
@@ -198,6 +199,16 @@ def convert_hf_model(
         if hasattr(cfg, "moe_intermediate_size"):
             w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
         w.add(P + "expert_weights_norm", bool(getattr(cfg, "norm_topk_prob", True)))
+    if mtype == "llama4_text":
+        w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.intermediate_size))
+        w.add(P + "interleave_moe_layer_step",
+              np.uint32(getattr(cfg, "interleave_moe_layer_step", 1)))
+        w.add(P + "use_qk_norm", bool(getattr(cfg, "use_qk_norm", False)))
+        nl = getattr(cfg, "no_rope_layers", None)
+        if nl:
+            w.add(P + "no_rope_layers", [int(x) for x in nl])
     if mtype == "smollm3":
         nl = getattr(cfg, "no_rope_layers", None)
         if nl is not None:
@@ -354,6 +365,26 @@ def convert_hf_model(
         if mtype == "nemotron":
             _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
             _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+            continue
+        if mtype == "llama4_text":
+            ff = p + "feed_forward."
+            if ff + "router.weight" in sd:
+                _emit(w, b + "ffn_gate_inp.weight", get(ff + "router.weight"), ftype)
+                gu = get(ff + "experts.gate_up_proj").swapaxes(-1, -2)  # [E, 2F, H]
+                nf2 = gu.shape[1] // 2
+                _emit(w, b + "ffn_gate_exps.weight",
+                      np.ascontiguousarray(gu[:, :nf2]), ftype)
+                _emit(w, b + "ffn_up_exps.weight",
+                      np.ascontiguousarray(gu[:, nf2:]), ftype)
+                _emit(w, b + "ffn_down_exps.weight",
+                      np.ascontiguousarray(get(ff + "experts.down_proj").swapaxes(-1, -2)), ftype)
+                _emit(w, b + "ffn_gate_shexp.weight", get(ff + "shared_expert.gate_proj.weight"), ftype)
+                _emit(w, b + "ffn_up_shexp.weight", get(ff + "shared_expert.up_proj.weight"), ftype)
+                _emit(w, b + "ffn_down_shexp.weight", get(ff + "shared_expert.down_proj.weight"), ftype)
+            else:
+                _emit(w, b + "ffn_gate.weight", get(ff + "gate_proj.weight"), ftype)
+                _emit(w, b + "ffn_up.weight", get(ff + "up_proj.weight"), ftype)
+                _emit(w, b + "ffn_down.weight", get(ff + "down_proj.weight"), ftype)
             continue
         if mtype in ("qwen3_moe", "olmoe"):
             moe = p + "mlp."

@@ -52,7 +52,21 @@ def _llama(cfg: ModelConfig, md) -> ModelConfig:
 
 @register("llama4")
 def _llama4(cfg: ModelConfig, md) -> ModelConfig:
-    return cfg.with_(rope_type=ROPE_TYPE_NORM, moe_every=int(md.get("llama4.interleave_moe_layer_step", 1)))
+    """Llama-4 (reference src/models/llama4 graph): interleaved MoE with the
+    gate applied to the expert INPUT, post-rope weightless qk l2-norm, NoPE
+    layers, always-on shared expert."""
+    skip = md.get("llama4.no_rope_layers")
+    if skip is not None:
+        cfg.extra["no_rope_layers"] = tuple(
+            i for i, use in enumerate(skip) if not int(use))
+    cfg.extra.update(moe_weight_before=True, qk_norm_after_rope=True)
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM,
+        qk_norm=bool(md.get("llama4.use_qk_norm", False)),
+        expert_gating="sigmoid",
+        n_expert_shared=1,
+        moe_every=int(md.get("llama4.interleave_moe_layer_step", 1)),
+    )
 
 
 @register("mistral")

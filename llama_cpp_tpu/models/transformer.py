@@ -152,15 +152,21 @@ def attention_block(
     k = k.reshape(B, T, Hkv, Dk)
     v = v.reshape(B, T, Hkv, Dv)
 
-    if cfg.qk_norm and not cfg.extra.get("qk_norm_full"):
+    after_rope = cfg.extra.get("qk_norm_after_rope", False)
+    if cfg.qk_norm and not cfg.extra.get("qk_norm_full") and not after_rope:
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
         k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
-    if (cfg.rope_type != ROPE_TYPE_NONE
-            and il not in cfg.extra.get("no_rope_layers", ())):
+    roped = (cfg.rope_type != ROPE_TYPE_NONE
+             and il not in cfg.extra.get("no_rope_layers", ()))
+    if roped:
         rp = _rope_params(cfg, il)
         q = apply_rope(q, inputs.positions, rp)
         k = apply_rope(k, inputs.positions, rp)
+    if cfg.qk_norm and after_rope and roped:
+        # llama4 l2-norm (weightless rms) applied post-rope on rope layers
+        q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
+        k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
     # position-addressed write (SET_ROWS analog): flatten [B,T] token grid;
     # the cache derives slots (iSWA ring layers wrap positions)
@@ -486,13 +492,18 @@ def moe_block(
             )
         return w[e]
 
+    weight_before = cfg.extra.get("moe_weight_before", False)
     out = jnp.zeros_like(x, dtype=jnp.float32)
+    x_orig = x
     for e in range(n_exp):  # static loop; XLA unrolls — fine for small n_exp
+        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [B, T]
+        if weight_before:  # llama4: scale the expert INPUT by the gate
+            x = (x_orig.astype(jnp.float32) * w_e[..., None]).astype(x_orig.dtype)
         contrib = expert_apply(
             e, dequant_e(gate_w, e), dequant_e(up_w, e), dequant_e(down_w, e)
         ).astype(jnp.float32)
-        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [B, T]
-        out = out + contrib * w_e[..., None]
+        out = out + (contrib if weight_before else contrib * w_e[..., None])
+    x = x_orig
 
     if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
         h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
@@ -579,7 +590,11 @@ def _moe_gather(cfg, lw, x, topi, topw, act):
                            preferred_element_type=jnp.float32)
         return y.reshape(N, k, -1)
 
-    xk = jnp.broadcast_to(xf[:, None], (N, k, E))
+    if cfg.extra.get("moe_weight_before", False):
+        xk = xf[:, None].astype(jnp.float32) * tw[:, :, None]
+        xk = xk.astype(xf.dtype)
+    else:
+        xk = jnp.broadcast_to(xf[:, None], (N, k, E))
     g = emm(lw["ffn_gate_exps"], xk)
     u = emm(lw["ffn_up_exps"], xk)
     if "ffn_gate_exps_bias" in lw:
@@ -590,7 +605,10 @@ def _moe_gather(cfg, lw, x, topi, topw, act):
     y = emm(lw["ffn_down_exps"], h)
     if "ffn_down_exps_bias" in lw:
         y = y + jnp.take(lw["ffn_down_exps_bias"], idx, axis=0).reshape(N, k, -1)
-    out = jnp.sum(y * tw[:, :, None], axis=1)  # [N, E]
+    if cfg.extra.get("moe_weight_before", False):
+        out = jnp.sum(y, axis=1)  # gate already applied to the input
+    else:
+        out = jnp.sum(y * tw[:, :, None], axis=1)  # [N, E]
     return out.reshape(*lead, E).astype(jnp.float32)
 
 

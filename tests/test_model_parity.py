@@ -670,3 +670,55 @@ def test_smollm3_nope_layers(tmp_path):
     torch.manual_seed(64)
     m = _parity(transformers.SmolLM3ForCausalLM(cfg).eval(), tmp_path, "sm3")
     assert len(m.cfg.extra.get("no_rope_layers", ())) == 2
+
+
+def test_deepseek_v3(tmp_path):
+    """DeepSeek-V3: sigmoid gating + expert-selection bias
+    (e_score_correction_bias) + routed scaling."""
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=99, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, q_lora_rank=16, kv_lora_rank=8,
+        qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        use_cache=False, norm_topk_prob=True, routed_scaling_factor=2.5,
+        topk_method="noaux_tc", n_group=1, topk_group=1,
+        scoring_func="sigmoid", rope_scaling=None,
+    )
+    torch.manual_seed(71)
+    hf = transformers.DeepseekV3ForCausalLM(cfg).eval()
+    path = str(tmp_path / "ds3.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 90, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.expert_gating == "sigmoid" and m.cfg.expert_weights_scale == 2.5
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_llama4(tmp_path):
+    """Llama-4: interleaved MoE (gate on the expert input), shared expert,
+    post-rope weightless qk norm, NoPE layers."""
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=120, hidden_size=32, intermediate_size=48,
+        intermediate_size_mlp=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, use_qk_norm=True,
+        attn_temperature_tuning=False, attention_chunk_size=64,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0, use_cache=False,
+    )
+    torch.manual_seed(81)
+    hf = transformers.Llama4ForCausalLM(cfg).eval()
+    path = str(tmp_path / "l4.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 90, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.extra.get("moe_weight_before")
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
