@@ -178,6 +178,7 @@ def attention_block(
         k.reshape(B * T, Hkv, Dk),
         v.reshape(B * T, Hkv, Dv),
         update_pos=update_pos,
+        contiguous=B == 1 and T > 1,
     )
     kvc, li = kv.layer_view(il)
 
@@ -212,6 +213,7 @@ def attention_block(
             sinks=None if sinks is None else sinks.astype(jnp.float32),
             k_scale=ks, v_scale=vs,
             interpret=jax.default_backend() != "tpu",
+            ring=kvc.ring,
         ).astype(x.dtype)
     else:
         k_all, v_all = kvc.read(li)  # [n_seqs, Hkv, slots, D]
@@ -336,7 +338,7 @@ def mla_attention_block(
     kv = kv.write_layer(
         il, seq_flat, inputs.positions.reshape(-1),
         kf.reshape(B * T, H, Dk), v.reshape(B * T, H, Dv),
-        update_pos=update_pos,
+        update_pos=update_pos, contiguous=B == 1 and T > 1,
     )
     slot_pos = kv.pos[inputs.seq_idx]
 
@@ -349,6 +351,7 @@ def mla_attention_block(
             qf, k_raw, v_raw, inputs.positions, slot_pos,
             sm_scale=kq_scale, k_scale=ks, v_scale=vs,
             interpret=jax.default_backend() != "tpu",
+            ring=kv.ring,
         ).astype(x.dtype)
     else:
         k_all, v_all = kv.read(il)

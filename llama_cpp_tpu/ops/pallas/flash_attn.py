@@ -41,6 +41,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fa_kernel(
+    lim_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -82,6 +83,43 @@ def _fa_kernel(
             l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # causal block-skip: KV tiles past this row-block's live limit were never
+    # DMA'd (their index_map re-references block lim-1), so computing on them
+    # would double-count — the strict s_idx < lim gate is a correctness
+    # requirement. The nested jnp.any(mask) gate additionally skips
+    # fully-masked live tiles (window left edge, empty slots) and keeps dead
+    # steps free of even the VPU mask work.
+    live = s_idx < lim_ref[pl.program_id(0), pl.program_id(2)]
+
+    @pl.when(live)
+    def _tile():
+        rp = rp_ref[0]  # [br, 1] int32
+        cp = cp_ref[0]  # [1, bs] int32
+        mask = (cp >= 0) & (cp <= rp)
+        if window > 0:
+            mask = mask & (cp > rp - window)
+
+        @pl.when(jnp.any(mask))
+        def _inner():
+            _fa_tile(q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                     m_ref, l_ref, acc_ref, mask,
+                     sm_scale=sm_scale, softcap=softcap,
+                     quantized=quantized, bs=bs, dv=dv)
+
+    def _to_dv(stat128):  # [br, 128] lane-replicated stat -> [br, Dv]
+        if dv >= LANES:
+            return pltpu.repeat(stat128, dv // LANES, axis=1)
+        return stat128[:, :dv]
+
+    @pl.when(s_idx == n_s - 1)
+    def _store():
+        l = l_ref[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out_ref[0, 0] = (acc_ref[...] * _to_dv(l_inv)).astype(out_ref.dtype)
+
+
+def _fa_tile(q_ref, k_ref, v_ref, ks_ref, vs_ref, m_ref, l_ref, acc_ref, mask,
+             *, sm_scale, softcap, quantized, bs, dv):
     q = q_ref[0, 0]  # [br, D]
     k = k_ref[0, 0]  # [bs, D]
     s = jax.lax.dot_general(
@@ -95,12 +133,6 @@ def _fa_kernel(
     s = s * sm_scale
     if softcap:
         s = softcap * jnp.tanh(s / softcap)
-
-    rp = rp_ref[0]  # [br, 1] int32
-    cp = cp_ref[0]  # [1, bs] int32
-    mask = (cp >= 0) & (cp <= rp)
-    if window > 0:
-        mask = mask & (cp > rp - window)
     s = jnp.where(mask, s, MASK_VALUE)
 
     m_prev = m_ref[...]  # [br, 128] (all lanes equal)
@@ -114,7 +146,7 @@ def _fa_kernel(
     m_ref[...] = m_next
 
     if quantized:
-        p = p * vs_ref[0, 0].astype(jnp.float32)  # fold v scales into P cols
+        p = p * vs_ref[0, 0].astype(jnp.float32)  # fold v scales in P cols
     v = v_ref[0, 0]
     o_curr = jnp.dot(
         p.astype(jnp.bfloat16),
@@ -129,17 +161,12 @@ def _fa_kernel(
 
     acc_ref[...] = acc_ref[...] * _to_dv(alpha) + o_curr
 
-    @pl.when(s_idx == n_s - 1)
-    def _store():
-        l = l_ref[...]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out_ref[0, 0] = (acc_ref[...] * _to_dv(l_inv)).astype(out_ref.dtype)
-
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "window", "softcap", "block_r", "block_s", "interpret",
+        "ring",
     ),
 )
 def flash_attention(
@@ -158,16 +185,20 @@ def flash_attention(
     block_r: int = 0,
     block_s: int = 0,
     interpret: bool = False,
+    ring: bool = False,
 ) -> jnp.ndarray:
     """-> [B, Hkv, R, Dv] f32. Requires D, Dv multiples of 128 and S a
-    multiple of 128 (Context sizes the slot table accordingly)."""
+    multiple of 128 (Context sizes the slot table accordingly). `ring` marks
+    a wrapped slot table (slot != position order) — disables the causal
+    tile clamp, keeping only the in-kernel mask skip."""
     B, Hkv, R, D = q.shape
     S = k.shape[2]
     Dv = v.shape[3]
     assert (D % LANES == 0 or D in (32, 64)) and S % LANES == 0, (D, S)
     assert Dv % LANES == 0 or Dv in (32, 64), Dv
 
-    br = block_r or min(128, _round_up(R, 16))
+    br = block_r or (256 if R % 256 == 0 and R >= 1024
+         else min(128, _round_up(R, 16)))
     Rp = _round_up(R, br)
     bs = block_s or next(b for b in (512, 256, 128) if S % b == 0)
 
@@ -183,24 +214,55 @@ def flash_attention(
     quantized = k_scale is not None
     has_sinks = sinks is not None
 
-    grid = (B, Hkv, Rp // br, bs and S // bs)
+    # per-(batch, row-block) live KV-tile count: causally, no column past the
+    # block's max row position can be live, so tiles beyond it are neither
+    # DMA'd (index_map clamps to the last live block -> copy elided) nor
+    # computed (kernel gates on s_idx < lim)
+    if ring:  # wrapped slots: any tile may hold live columns
+        lim = jnp.full((B, Rp // br), S // bs, jnp.int32)
+    else:
+        rmax = row_pos.reshape(B, Rp // br, br).max(axis=-1)  # [B, nr]
+        lim = jnp.clip(rmax // bs + 1, 1, S // bs).astype(jnp.int32)
+
+    grid = (B, Hkv, Rp // br, S // bs)
+
+    def kv_map(b, h, r, s, lim):
+        return (b, h, jnp.minimum(s, lim[b, r] - 1), 0)
+
+    def cp_map(b, h, r, s, lim):
+        return (b, 0, jnp.minimum(s, lim[b, r] - 1))
+
+    def sc_map(b, h, r, s, lim):
+        return (b, h, 0, jnp.minimum(s, lim[b, r] - 1))
+
     in_specs = [
-        pl.BlockSpec((1, 1, br, D), lambda b, h, r, s: (b, h, r, 0)),
-        pl.BlockSpec((1, 1, bs, D), lambda b, h, r, s: (b, h, s, 0)),
-        pl.BlockSpec((1, 1, bs, Dv), lambda b, h, r, s: (b, h, s, 0)),
-        pl.BlockSpec((1, br, 1), lambda b, h, r, s: (b, r, 0)),
-        pl.BlockSpec((1, 1, bs), lambda b, h, r, s: (b, 0, s)),
+        pl.BlockSpec((1, 1, br, D), lambda b, h, r, s, lim: (b, h, r, 0)),
+        pl.BlockSpec((1, 1, bs, D), kv_map),
+        pl.BlockSpec((1, 1, bs, Dv), kv_map),
+        pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim: (b, r, 0)),
+        pl.BlockSpec((1, 1, bs), cp_map),
     ]
     args = [q, k, v, rp3, cp3]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, 1, bs), lambda b, h, r, s: (b, h, 0, s)))
-        in_specs.append(pl.BlockSpec((1, 1, 1, bs), lambda b, h, r, s: (b, h, 0, s)))
+        in_specs.append(pl.BlockSpec((1, 1, 1, bs), sc_map))
+        in_specs.append(pl.BlockSpec((1, 1, 1, bs), sc_map))
         args.append(k_scale.reshape(B, Hkv, 1, S))
         args.append(v_scale.reshape(B, Hkv, 1, S))
     if has_sinks:
-        in_specs.append(pl.BlockSpec((1, br, 1), lambda b, h, r, s: (h, r, 0)))
+        in_specs.append(pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim: (h, r, 0)))
         args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, br, Dv), lambda b, h, r, s, lim: (b, h, r, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((br, LANES), jnp.float32),
+            pltpu.VMEM((br, LANES), jnp.float32),
+            pltpu.VMEM((br, Dv), jnp.float32),
+        ],
+    )
     out = pl.pallas_call(
         functools.partial(
             _fa_kernel,
@@ -212,15 +274,8 @@ def flash_attention(
             bs=bs,
             dv=Dv,
         ),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, br, Dv), lambda b, h, r, s: (b, h, r, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, Dv), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((br, LANES), jnp.float32),
-            pltpu.VMEM((br, LANES), jnp.float32),
-            pltpu.VMEM((br, Dv), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -232,7 +287,7 @@ def flash_attention(
             transcendentals=B * Hkv * Rp * S,
         ),
         interpret=interpret,
-    )(*args)
+    )(lim, *args)
     return out[:, :, :R]
 
 
@@ -271,6 +326,7 @@ def mha_flash(
     k_scale: jnp.ndarray | None = None,  # [B, Hkv, S]
     v_scale: jnp.ndarray | None = None,
     interpret: bool = False,
+    ring: bool = False,
 ) -> jnp.ndarray:
     """GQA wrapper: folds the group axis into q rows -> [B, T, H*Dv]."""
     B, T, H, Dk = q.shape
@@ -296,6 +352,7 @@ def mha_flash(
         window=window,
         softcap=softcap,
         interpret=interpret,
+        ring=ring,
     )  # [B, Hkv, G*T, Dv]
     return (
         out.reshape(B, Hkv, G, T, Dv).transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)

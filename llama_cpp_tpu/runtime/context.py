@@ -71,8 +71,13 @@ class Context:
         self._kv_dtype = kv_dtype
         self._kv_quant = quantized_kv
         # slot table sized to a 256 multiple so the flash-attn kernel can
-        # tile it; the final slot is the trash slot absorbing padding writes
-        self.n_slots = max(256, -(-(n_ctx + 1) // 256) * 256)
+        # tile it, with headroom for one padded prefill bucket (contiguous
+        # dus writes never clamp); the final slot is the padding trash slot
+        headroom = min(max(n_ubatch, 8), 2048)
+        want = n_ctx + 1 + headroom
+        # 512-multiples beyond 512 keep the flash kernel at its widest KV
+        # tile (bs=512 -> 4x fewer grid steps than bs=128)
+        self.n_slots = 256 if want <= 256 else -(-want // 512) * 512
         self.kv = self._make_memory()
         self.trash_slot = self.n_slots - 1
         self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths

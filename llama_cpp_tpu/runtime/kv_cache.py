@@ -92,11 +92,14 @@ class KVCache:
 
     # -- write ----------------------------------------------------------
     def write_layer(self, il, seq_idx, positions, k_new, v_new,
-                    update_pos=None) -> "KVCache":
+                    update_pos=None, contiguous: bool = False) -> "KVCache":
         """Position-addressed write: the cache derives its own slots
-        (full table: slot=pos; ring: slot=pos%capacity)."""
+        (full table: slot=pos; ring: slot=pos%capacity). `contiguous` asserts
+        the rows are one sequence's consecutive positions (prefill), enabling
+        a dynamic-update-slice instead of a scatter."""
         return self.write(il, seq_idx, self.slot_of(positions), k_new, v_new,
-                          positions, update_pos=update_pos)
+                          positions, update_pos=update_pos,
+                          contiguous=contiguous and not self.ring)
 
     def write(
         self,
@@ -107,8 +110,10 @@ class KVCache:
         v_new: jnp.ndarray,  # [B*T, H, Dv]
         positions: jnp.ndarray,  # [B*T] int32
         update_pos: bool | None = None,  # default: only on layer 0
+        contiguous: bool = False,  # caller-asserted single-seq position run
     ) -> "KVCache":
         single = int(seq_idx.shape[0]) == 1  # decode fast path: dus > scatter
+        contig = contiguous and not single
 
         def put(buf, rows):
             # rows [N, H, D]; buf [L, S, H, slots, D]
@@ -117,6 +122,10 @@ class KVCache:
                 return jax.lax.dynamic_update_slice(
                     buf, upd,
                     (layer, seq_idx[0], 0, slots[0], 0))
+            if contig:
+                upd = rows.astype(buf.dtype).transpose(1, 0, 2)[None, None]
+                return jax.lax.dynamic_update_slice(
+                    buf, upd, (layer, seq_idx[0], 0, slots[0], 0))
             return buf.at[layer, seq_idx, :, slots].set(rows.astype(buf.dtype))
 
         def put_scale(buf, s):
@@ -124,6 +133,10 @@ class KVCache:
             if single:
                 return jax.lax.dynamic_update_slice(
                     buf, s[0].astype(buf.dtype)[None, None, :, None],
+                    (layer, seq_idx[0], 0, slots[0]))
+            if contig:
+                return jax.lax.dynamic_update_slice(
+                    buf, s.astype(buf.dtype).T[None, None],
                     (layer, seq_idx[0], 0, slots[0]))
             return buf.at[layer, seq_idx, :, slots].set(s)
 
@@ -136,7 +149,13 @@ class KVCache:
         else:
             new = replace(self, k=put(self.k, k_new), v=put(self.v, v_new))
         if update_pos if update_pos is not None else layer == 0:
-            new = replace(new, pos=self.pos.at[seq_idx, slots].set(positions))
+            if single or contig:
+                newpos = jax.lax.dynamic_update_slice(
+                    self.pos, positions[None].astype(self.pos.dtype),
+                    (seq_idx[0], slots[0]))
+            else:
+                newpos = self.pos.at[seq_idx, slots].set(positions)
+            new = replace(new, pos=newpos)
         return new
 
     # -- read -----------------------------------------------------------
@@ -293,18 +312,20 @@ class ISWACache:
         return self.full, self.full_idx[il]
 
     def write_layer(self, il, seq_idx, positions, k_new, v_new,
-                    update_pos=None) -> "ISWACache":
+                    update_pos=None, contiguous: bool = False) -> "ISWACache":
         # each sub-cache keeps its own pos table; update it on that cache's
         # first layer (redundant writes elsewhere are skipped)
         if self.is_swa[il]:
             li = self.swa_idx[il]
             up = update_pos if update_pos is not None else li == 0
             return replace(self, swa=self.swa.write_layer(
-                li, seq_idx, positions, k_new, v_new, update_pos=up))
+                li, seq_idx, positions, k_new, v_new, update_pos=up,
+                contiguous=contiguous))
         li = self.full_idx[il]
         up = update_pos if update_pos is not None else li == 0
         return replace(self, full=self.full.write_layer(
-            li, seq_idx, positions, k_new, v_new, update_pos=up))
+            li, seq_idx, positions, k_new, v_new, update_pos=up,
+            contiguous=contiguous))
 
     # -- shared surface ---------------------------------------------------
     @property
