@@ -138,6 +138,18 @@ def convert_hf_model(
         "gpt_neox": "gptneox",
         "phi": "phi2",
         "bloom": "bloom",
+        "cohere2": "cohere2",
+        "olmo": "olmo",
+        "exaone4": "exaone4",
+        "seed_oss": "seed_oss",
+        "hunyuan_v1_dense": "hunyuan-dense",
+        "ernie4_5": "ernie4_5",
+        "ernie4_5_moe": "ernie4_5-moe",
+        "dbrx": "dbrx",
+        "granitemoe": "granitemoe",
+        "dots1": "dots1",
+        "glm4_moe": "glm4moe",
+        "phimoe": "phimoe",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -154,6 +166,8 @@ def convert_hf_model(
         return _convert_bert(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "falcon":
         return _convert_falcon(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "dbrx":
+        return _convert_dbrx(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -227,7 +241,63 @@ def convert_hf_model(
               float(getattr(cfg, "rope_local_base_freq", 10000.0)))
         w.add(P + "attention.scale",
               float(getattr(cfg, "query_pre_attn_scalar", 256)) ** -0.5)
-    if mtype == "granite":
+    if mtype in ("granitemoe",):
+        w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.intermediate_size))
+    if mtype == "phimoe":
+        w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.intermediate_size))
+        w.add(P + "router_jitter", float(getattr(cfg, "router_jitter_noise", 0.01)))
+        w.add(P + "attention.layer_norm_epsilon",
+              float(getattr(cfg, "rms_norm_eps", 1e-5)))
+    if mtype in ("dots1", "glm4_moe"):
+        w.add(P + "expert_count", np.uint32(cfg.n_routed_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
+        w.add(P + "expert_shared_count", np.uint32(cfg.n_shared_experts or 0))
+        w.add(P + "expert_weights_scale", float(getattr(cfg, "routed_scaling_factor", 1.0)))
+        w.add(P + "expert_weights_norm", bool(getattr(cfg, "norm_topk_prob", True)))
+        w.add(P + "leading_dense_block_count",
+              np.uint32(getattr(cfg, "first_k_dense_replace", 0)))
+    if mtype == "glm4_moe":
+        prf = getattr(cfg, "partial_rotary_factor", 0.5)
+        w.add(P + "rope.dimension_count", np.uint32(int(head_dim * prf)))
+        w.add(P + "attention.use_qk_norm", bool(getattr(cfg, "use_qk_norm", False)))
+    if mtype == "ernie4_5_moe":
+        w.add(P + "expert_count", np.uint32(cfg.moe_num_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.moe_k))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.moe_intermediate_size))
+        w.add(P + "expert_shared_count",
+              np.uint32(getattr(cfg, "moe_num_shared_experts", 0) or 0))
+    if mtype in ("cohere2",):
+        w.add(P + "logit_scale", float(cfg.logit_scale))
+        w.add(P + "attention.layer_norm_epsilon", float(cfg.layer_norm_eps))
+        if getattr(cfg, "sliding_window", None):
+            w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window))
+            w.add(P + "attention.sliding_window_pattern",
+                  np.uint32(getattr(cfg, "sliding_window_pattern", 4)))
+    if mtype == "exaone4":
+        sw = getattr(cfg, "sliding_window", None)
+        if sw:
+            pat = getattr(cfg, "sliding_window_pattern", 4)
+            if isinstance(pat, str):  # e.g. "LLLG": global every len(pat)
+                pat = len(pat)
+            w.add(P + "attention.sliding_window", np.uint32(sw))
+            w.add(P + "attention.sliding_window_pattern", np.uint32(pat))
+    if mtype == "olmo":
+        w.add(P + "attention.layer_norm_epsilon", 1e-5)
+        if getattr(cfg, "clip_qkv", None):
+            w.add(P + "attention.clamp_kqv", float(cfg.clip_qkv))
+    if mtype == "hunyuan_v1_dense":
+        rs = getattr(cfg, "rope_scaling", None) or {}
+        alpha = rs.get("alpha") if isinstance(rs, dict) else None
+        if alpha:  # NTK-aware: base' = base * alpha^(d/(d-2))
+            base = float(getattr(cfg, "rope_theta", 10000.0))
+            w.add(P + "rope.freq_base",
+                  float(base * alpha ** (head_dim / (head_dim - 2))))
+    if mtype in ("granite", "granitemoe"):
         w.add(P + "embedding_scale", float(cfg.embedding_multiplier))
         w.add(P + "residual_scale", float(cfg.residual_multiplier))
         w.add(P + "attention.scale", float(cfg.attention_multiplier))
@@ -252,7 +322,7 @@ def convert_hf_model(
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
     # NORM-rope archs with HF rotate_half layout need the q/k permute
     # (cohere/glm4 use interleaved rotary natively: NORM with no permute)
-    permute = arch in ("llama", "granite", "smollm3")
+    permute = arch in ("llama", "granite", "granitemoe", "smollm3", "olmo")
     # gemma stores rmsnorm weights as (w - 1); nemotron uses layernorm1p
     norm_p1 = mtype in ("gemma", "gemma2", "gemma3_text", "nemotron")
 
@@ -273,6 +343,8 @@ def convert_hf_model(
     lm_head = get("lm_head.weight")
     if lm_head is not None and not getattr(cfg, "tie_word_embeddings", False):
         _emit(w, "output.weight", lm_head, ftype)
+        if get("lm_head.bias") is not None:
+            _emit(w, "output.bias", get("lm_head.bias"), ftype)
 
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
@@ -312,6 +384,9 @@ def convert_hf_model(
         if qn is not None:
             emit_norm(b + "attn_q_norm.weight", p + "self_attn.q_norm.weight")
             emit_norm(b + "attn_k_norm.weight", p + "self_attn.k_norm.weight")
+        if get(p + "self_attn.query_layernorm.weight") is not None:  # hunyuan
+            emit_norm(b + "attn_q_norm.weight", p + "self_attn.query_layernorm.weight")
+            emit_norm(b + "attn_k_norm.weight", p + "self_attn.key_layernorm.weight")
         if mtype == "gpt_oss":
             # reference GGUF layout (conversion/gpt_oss.py): pre-FFN norm is
             # attn_post_norm; gate/up interleaved in gate_up_proj (::2 / 1::2)
@@ -334,15 +409,15 @@ def convert_hf_model(
             emit_norm(b + "attn_post_norm.weight", p + "post_attention_layernorm.weight")
             emit_norm(b + "ffn_norm.weight", p + "pre_feedforward_layernorm.weight")
             emit_norm(b + "ffn_post_norm.weight", p + "post_feedforward_layernorm.weight")
-        elif mtype == "olmo2":
-            # norm-after arch: no pre-norms at all
+        elif mtype in ("olmo2", "exaone4"):
+            # norm-after archs: no pre-norms at all
             emit_norm(b + "attn_post_norm.weight", p + "post_attention_layernorm.weight")
             emit_norm(b + "ffn_post_norm.weight", p + "post_feedforward_layernorm.weight")
         elif mtype == "glm4":
             emit_norm(b + "attn_post_norm.weight", p + "post_self_attn_layernorm.weight")
             emit_norm(b + "ffn_norm.weight", p + "post_attention_layernorm.weight")
             emit_norm(b + "ffn_post_norm.weight", p + "post_mlp_layernorm.weight")
-        elif mtype == "cohere":
+        elif mtype in ("cohere", "cohere2"):
             pass  # shared pre-norm only (parallel residual)
         else:
             emit_norm(b + "ffn_norm.weight", p + "post_attention_layernorm.weight")
@@ -408,9 +483,43 @@ def convert_hf_model(
             _emit(w, b + "ffn_down_shexp.weight", get(moe + "shared_expert.down_proj.weight"), ftype)
             _emit(w, b + "ffn_gate_inp_shexp.weight", get(moe + "shared_expert_gate.weight"), ftype)
             continue
-        if mtype == "mixtral":
+        if mtype == "granitemoe":
+            moe = p + "block_sparse_moe."
+            _emit(w, b + "ffn_gate_inp.weight", get(moe + "router.layer.weight"), ftype)
+            il_w = get(moe + "input_linear.weight")  # [E, 2*ff, d]: gate; up
+            ff2 = il_w.shape[1] // 2
+            _emit(w, b + "ffn_gate_exps.weight",
+                  np.ascontiguousarray(il_w[:, :ff2]), ftype)
+            _emit(w, b + "ffn_up_exps.weight",
+                  np.ascontiguousarray(il_w[:, ff2:]), ftype)
+            _emit(w, b + "ffn_down_exps.weight",
+                  get(moe + "output_linear.weight"), ftype)  # [E, d, ff]
+            continue
+        if (mtype in ("dots1", "glm4_moe", "ernie4_5_moe")
+                and get(p + "mlp.gate.weight") is not None):
+            moe = p + "mlp."
+            _emit(w, b + "ffn_gate_inp.weight", get(moe + "gate.weight"), ftype)
+            pb = get(moe + "gate.e_score_correction_bias")
+            if pb is None:  # ernie stores it under moe_statics
+                pb = get(moe + "moe_statics.e_score_correction_bias")
+            if pb is not None:
+                _emit(w, b + "exp_probs_b.bias", pb.reshape(-1), ftype)
+            n_exp = (getattr(cfg, "n_routed_experts", 0)
+                     or getattr(cfg, "moe_num_experts", 0))
+            for part, hf in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+                stack = np.stack([get(moe + f"experts.{e}.{hf}.weight")
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
+            if get(moe + "shared_experts.gate_proj.weight") is not None:
+                _emit(w, b + "ffn_gate_shexp.weight", get(moe + "shared_experts.gate_proj.weight"), ftype)
+                _emit(w, b + "ffn_up_shexp.weight", get(moe + "shared_experts.up_proj.weight"), ftype)
+                _emit(w, b + "ffn_down_shexp.weight", get(moe + "shared_experts.down_proj.weight"), ftype)
+            continue
+        if mtype in ("mixtral", "phimoe"):
             moe = p + "block_sparse_moe."
             _emit(w, b + "ffn_gate_inp.weight", get(moe + "gate.weight"), ftype)
+            if get(moe + "gate.weight") is None:  # phimoe router name
+                _emit(w, b + "ffn_gate_inp.weight", get(moe + "router.weight"), ftype)
             gates = np.stack([get(moe + f"experts.{e}.w1.weight") for e in range(cfg.num_local_experts)])
             downs = np.stack([get(moe + f"experts.{e}.w2.weight") for e in range(cfg.num_local_experts)])
             ups = np.stack([get(moe + f"experts.{e}.w3.weight") for e in range(cfg.num_local_experts)])
@@ -917,6 +1026,67 @@ def _convert_bert(model, out_path: str, ftype: str, tokenizer=None,
         _emit(w, b + "attn_output_norm.bias", sd[p + "attention.output.LayerNorm.bias"], ftype)
         _emit(w, b + "layer_output_norm.weight", sd[p + "output.LayerNorm.weight"], ftype)
         _emit(w, b + "layer_output_norm.bias", sd[p + "output.LayerNorm.bias"], ftype)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_dbrx(model, out_path: str, ftype: str, tokenizer=None,
+                  vocab_override=None) -> str:
+    """DBRX HF -> GGUF (reference conversion/dbrx.py): fused clamped Wqkv
+    kept fused; expert mats w1/v1 [E*ff, d] -> [E, ff, d] gate/up, w2
+    -> [E, d, ff] down."""
+    cfg = model.config
+    n_head = cfg.n_heads
+    n_kv = cfg.attn_config.kv_n_heads
+    n_embd = cfg.d_model
+    hd = n_embd // n_head
+    ffn = cfg.ffn_config
+    n_ff = ffn.ffn_hidden_size
+    n_exp = ffn.moe_num_experts
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "dbrx")
+    w.add(Keys.General.NAME, "dbrx")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "dbrx."
+    w.add(P + "block_count", np.uint32(cfg.n_layers))
+    w.add(P + "context_length", np.uint32(cfg.max_seq_len))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(n_ff))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv))
+    w.add(P + "attention.layer_norm_epsilon", 1e-5)
+    w.add(P + "attention.clamp_kqv", float(cfg.attn_config.clip_qkv))
+    w.add(P + "rope.freq_base", float(cfg.attn_config.rope_theta))
+    w.add(P + "rope.dimension_count", np.uint32(hd))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    w.add(P + "expert_count", np.uint32(n_exp))
+    w.add(P + "expert_used_count", np.uint32(ffn.moe_top_k))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    _emit(w, "token_embd.weight", sd["transformer.wte.weight"], ftype)
+    _emit(w, "output_norm.weight", sd["transformer.norm_f.weight"], ftype)
+    _emit(w, "output.weight", sd["lm_head.weight"], ftype)
+    for i in range(cfg.n_layers):
+        p, b = f"transformer.blocks.{i}.", f"blk.{i}."
+        nan = p + "norm_attn_norm."
+        _emit(w, b + "attn_norm.weight", sd[nan + "norm_1.weight"], ftype)
+        _emit(w, b + "attn_qkv.weight", sd[nan + "attn.Wqkv.weight"], ftype)
+        _emit(w, b + "attn_output.weight", sd[nan + "attn.out_proj.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[nan + "norm_2.weight"], ftype)
+        _emit(w, b + "ffn_gate_inp.weight", sd[p + "ffn.router.layer.weight"], ftype)
+        _emit(w, b + "ffn_gate_exps.weight",
+              sd[p + "ffn.experts.mlp.w1"].reshape(n_exp, n_ff, n_embd), ftype)
+        _emit(w, b + "ffn_up_exps.weight",
+              sd[p + "ffn.experts.mlp.v1"].reshape(n_exp, n_ff, n_embd), ftype)
+        _emit(w, b + "ffn_down_exps.weight",
+              np.ascontiguousarray(
+                  sd[p + "ffn.experts.mlp.w2"].reshape(n_exp, n_ff, n_embd)
+                  .transpose(0, 2, 1)), ftype)
     w.write(out_path)
     return out_path
 

@@ -264,6 +264,8 @@ def load_model(
         req = ("attn_norm", "ssm_in", "ssm_out")
     elif cfg.extra.get("memory") == "hybrid":
         req = ("attn_norm",)  # per-layer mixer checked below
+    elif cfg.extra.get("weightless_norm"):
+        req = ("attn_output",)  # olmo: non-parametric norms carry no tensors
     elif cfg.shared_parallel_norm:
         req = ("attn_norm", "attn_output")  # phi2: one norm feeds both branches
     elif cfg.norm_after:

@@ -371,6 +371,140 @@ def _jamba(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NONE, expert_weights_norm=False)
 
 
+@register("cohere2")
+def _cohere2(cfg: ModelConfig, md) -> ModelConfig:
+    """Command-R7B (reference src/models/cohere2.cpp): command-r parallel
+    residual + iSWA (period-4 pattern) with rope applied on SWA layers only."""
+    pat = int(md.get("cohere2.attention.sliding_window_pattern", 4))
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NORM, use_rms_norm=False,
+        parallel_residual=True, shared_parallel_norm=True,
+        logit_scale=float(md.get("cohere2.logit_scale", 1.0)),
+        sliding_window=int(md.get("cohere2.attention.sliding_window", 0)),
+        swa_pattern=pat,
+        tie_embeddings=True,
+    )
+    if c.sliding_window > 0:
+        c.extra["no_rope_layers"] = tuple(
+            il for il in range(c.n_layers) if not c.is_swa_layer(il))
+    return c
+
+
+@register("olmo")
+def _olmo(cfg: ModelConfig, md) -> ModelConfig:
+    """OLMo-1 (reference src/models/olmo.cpp): non-parametric layernorm
+    (no norm weights at all) + optional clamped qkv."""
+    cfg.extra["weightless_norm"] = True
+    clamp = md.get("olmo.attention.clamp_kqv")
+    if clamp:
+        cfg.extra["clamp_kqv"] = float(clamp)
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, use_rms_norm=False)
+
+
+@register("exaone4")
+def _exaone4(cfg: ModelConfig, md) -> ModelConfig:
+    """EXAONE-4.0 (reference src/models/exaone4.cpp): post-norm blocks
+    (x + post_norm(mixer(x))), per-head qk rmsnorm before rope, iSWA with
+    rope on SWA layers only."""
+    pat = int(md.get("exaone4.attention.sliding_window_pattern", 4))
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, norm_after=True, qk_norm=True,
+        sliding_window=int(md.get("exaone4.attention.sliding_window", 0)),
+        swa_pattern=pat,
+    )
+    if c.sliding_window > 0:
+        c.extra["no_rope_layers"] = tuple(
+            il for il in range(c.n_layers) if not c.is_swa_layer(il))
+    return c
+
+
+@register("seed_oss")
+def _seed_oss(cfg: ModelConfig, md) -> ModelConfig:
+    """Seed-OSS (reference src/models/seed-oss.cpp): llama-family graph with
+    an optional fixed attention scale."""
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        attn_scale=float(md.get("seed_oss.attention.scale", 0.0)),
+    )
+
+
+@register("hunyuan-dense")
+def _hunyuan_dense(cfg: ModelConfig, md) -> ModelConfig:
+    """HunYuan dense (reference src/models/hunyuan-vl.cpp graph): per-head
+    weighted qk rmsnorm applied AFTER rope."""
+    cfg.extra["qk_norm_after_rope"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
+
+
+@register("ernie4_5")
+def _ernie4_5(cfg: ModelConfig, md) -> ModelConfig:
+    """ERNIE 4.5 dense (reference src/models/ernie4-5.cpp): llama-family."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("ernie4_5-moe")
+def _ernie4_5_moe(cfg: ModelConfig, md) -> ModelConfig:
+    """ERNIE 4.5 MoE (reference src/models/ernie4-5-moe.cpp): softmax top-k
+    with normalized weights; dense lead / interval layers carry plain FFN
+    tensors (converter decides per layer); shared experts as dense ffn."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, expert_weights_norm=True)
+
+
+@register("dbrx")
+def _dbrx(cfg: ModelConfig, md) -> ModelConfig:
+    """DBRX (reference src/models/dbrx.cpp): layernorm, fused clamped qkv,
+    16-expert top-4 softmax MoE with normalized weights."""
+    clamp = md.get("dbrx.attention.clamp_kqv")
+    if clamp:
+        cfg.extra["clamp_kqv"] = float(clamp)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     expert_weights_norm=True)
+
+
+@register("granitemoe")
+def _granitemoe(cfg: ModelConfig, md) -> ModelConfig:
+    """Granite MoE (reference src/models/granite-moe.cpp): granite scalar
+    multipliers + mixtral-style MoE (norm_w=true)."""
+    return _granite(cfg, md).with_(expert_weights_norm=True)
+
+
+@register("dots1")
+def _dots1(cfg: ModelConfig, md) -> ModelConfig:
+    """dots.llm1 (reference src/models/dots1.cpp): deepseek-v3-style MoE
+    (sigmoid gating + selection bias + normalized weights, dense lead
+    layers, shared experts) with per-head qk norm."""
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_gating="sigmoid"
+        if int(md.get("dots1.expert_gating_func", 2)) == 2 else "softmax",
+        expert_weights_norm=bool(md.get("dots1.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get("dots1.expert_weights_scale", 1.0)),
+    )
+
+
+@register("glm4moe")
+def _glm4moe(cfg: ModelConfig, md) -> ModelConfig:
+    """GLM-4.5 MoE (reference src/models/glm4-moe.cpp): partial-rotary NEOX,
+    optional qk norm, sigmoid gating with selection bias, shared expert,
+    dense lead layers; NextN/MTP tail layers are skipped at conversion."""
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        qk_norm=bool(md.get("glm4moe.attention.use_qk_norm", False)),
+        expert_gating="sigmoid",
+        expert_weights_norm=bool(md.get("glm4moe.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get("glm4moe.expert_weights_scale", 1.0)),
+    )
+
+
+@register("phimoe")
+def _phimoe(cfg: ModelConfig, md) -> ModelConfig:
+    """PhiMoE (reference src/models/phimoe.cpp): phi3-family layernorm+bias
+    blocks with the HF sparsemixer router."""
+    cfg.extra["router_jitter"] = float(md.get("phimoe.router_jitter", 0.01))
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     expert_gating="sparsemixer")
+
+
 @register("gpt-oss")
 def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
     """gpt-oss-20B/120B (reference src/models/openai-moe.cpp): alternating

@@ -143,6 +143,12 @@ def attention_block(
         if "attn_v_bias" in lw:
             v = v + lw["attn_v_bias"]
 
+    clamp = cfg.extra.get("clamp_kqv", 0.0)
+    if clamp:  # olmo/dbrx f_clamp_kqv on the projected q/k/v
+        q = jnp.clip(q, -clamp, clamp)
+        k = jnp.clip(k, -clamp, clamp)
+        v = jnp.clip(v, -clamp, clamp)
+
     if cfg.qk_norm and cfg.extra.get("qk_norm_full"):
         # olmo2-style: rmsnorm over the full projected width
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
@@ -435,22 +441,31 @@ def moe_block(
         probs = logits  # softmax applied over the selected k below
     elif gating == "sqrt_softplus":
         probs = jnp.sqrt(jax.nn.softplus(logits))
+    elif gating == "sparsemixer":
+        # phimoe inference-path sparsemixer (HF modeling_phimoe.sparsemixer):
+        # two sequential masked-argmax picks; each pick's weight is the
+        # softmax over jitter-plausible experts at the picked index
+        probs = None
     else:  # pragma: no cover - config error
         raise ValueError(f"unknown expert gating {gating!r}")
 
-    # expert-selection bias (DeepSeek V3) biases the top-k choice only
-    sel = probs
-    if "exp_probs_b" in lw:
-        sel = probs + lw["exp_probs_b"].astype(jnp.float32)
-    _, topi = jax.lax.top_k(sel, k)  # [N, k]
-    topw = jnp.take_along_axis(probs, topi, axis=-1)  # weights stay unbiased
-    if gating == "softmax_weight":
-        topw = jax.nn.softmax(topw, axis=-1)
-    if cfg.expert_weights_norm:
-        topw = topw / jnp.clip(
-            jnp.sum(topw, axis=-1, keepdims=True), 6.103515625e-5, None
-        )
-    topw = topw * cfg.expert_weights_scale
+    if gating == "sparsemixer":
+        topi, topw = _sparsemixer_route(
+            logits, cfg.extra.get("router_jitter", 0.01))
+    else:
+        # expert-selection bias (DeepSeek V3) biases the top-k choice only
+        sel = probs
+        if "exp_probs_b" in lw:
+            sel = probs + lw["exp_probs_b"].astype(jnp.float32)
+        _, topi = jax.lax.top_k(sel, k)  # [N, k]
+        topw = jnp.take_along_axis(probs, topi, axis=-1)  # stay unbiased
+        if gating == "softmax_weight":
+            topw = jax.nn.softmax(topw, axis=-1)
+        if cfg.expert_weights_norm:
+            topw = topw / jnp.clip(
+                jnp.sum(topw, axis=-1, keepdims=True), 6.103515625e-5, None
+            )
+        topw = topw * cfg.expert_weights_scale
 
     gate_w = lw["ffn_gate_exps"]
     up_w = lw["ffn_up_exps"]
@@ -562,6 +577,27 @@ def _moe_expert_mm(w: Weight, h: jnp.ndarray, idx: jnp.ndarray):
         )
     except Exception:  # pragma: no cover - kernel unsupported shape
         return None
+
+
+def _sparsemixer_route(logits, eps):
+    """-> (topi [N,2], topw [N,2]) per HF sparsemixer inference semantics."""
+
+    def pick(scores):
+        mx = jnp.max(scores, axis=-1, keepdims=True)
+        factor = jnp.maximum(jnp.abs(logits), mx)
+        masked = jnp.where((mx - scores) / factor > 2 * eps, -jnp.inf, scores)
+        idx = jnp.argmax(scores, axis=-1)
+        p = jax.nn.softmax(masked, axis=-1)
+        wgt = jnp.take_along_axis(p, idx[..., None], axis=-1)[..., 0]
+        return idx, wgt
+
+    i1, w1 = pick(logits)
+    scores2 = jnp.where(
+        jax.nn.one_hot(i1, logits.shape[-1], dtype=bool), -jnp.inf, logits)
+    i2, w2 = pick(scores2)
+    topi = jnp.stack([i1, i2], axis=-1)  # [N, 2]
+    topw = jnp.stack([w1, w2], axis=-1).astype(jnp.float32)
+    return topi, topw
 
 
 def _moe_gather(cfg, lw, x, topi, topw, act):

@@ -193,6 +193,8 @@ class BPETokenizer:
 
     def decode_piece(self, token_id: int) -> bytes:
         v = self.vocab
+        if not 0 <= token_id < len(v.tokens):  # out-of-range id: no piece
+            return b""
         t = v.tokens[token_id]
         # USER_DEFINED / CONTROL tokens are stored as raw text, not byte-level
         if v.token_types is not None:

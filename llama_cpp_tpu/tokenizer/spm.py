@@ -106,6 +106,8 @@ class SPMTokenizer:
 
     def decode_piece(self, token_id: int) -> bytes:
         v = self.vocab
+        if not 0 <= token_id < len(v.tokens):  # out-of-range id: no piece
+            return b""
         t = v.tokens[token_id]
         if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
             try:

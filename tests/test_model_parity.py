@@ -722,3 +722,177 @@ def test_llama4(tmp_path):
     m, ours, _ = run_ours(path, tokens)
     assert m.cfg.extra.get("moe_weight_before")
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# round-1 batch 2: cohere2 / olmo / exaone4 / seed-oss / hunyuan / ernie4.5 /
+# dbrx / granitemoe / dots1 / glm4-moe / ernie4.5-moe / phimoe
+# ---------------------------------------------------------------------------
+
+
+def test_cohere2(tmp_path):
+    from transformers.models.cohere2 import Cohere2Config, Cohere2ForCausalLM
+    cfg = Cohere2Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, logit_scale=0.25,
+        sliding_window=4, sliding_window_pattern=2, pad_token_id=0,
+    )
+    torch.manual_seed(60)
+    m = _parity(Cohere2ForCausalLM(cfg).eval(), tmp_path, "c2")
+    assert m.cfg.swa_pattern == 2 and m.cfg.extra["no_rope_layers"] == (1, 3)
+
+
+def test_olmo(tmp_path):
+    from transformers.models.olmo import OlmoConfig, OlmoForCausalLM
+    cfg = OlmoConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, clip_qkv=0.2,
+    )
+    torch.manual_seed(61)
+    m = _parity(OlmoForCausalLM(cfg).eval(), tmp_path, "olmo")
+    assert m.cfg.extra["weightless_norm"]
+    assert abs(m.cfg.extra["clamp_kqv"] - 0.2) < 1e-6
+
+
+def test_exaone4(tmp_path):
+    from transformers.models.exaone4 import Exaone4Config, Exaone4ForCausalLM
+    cfg = Exaone4Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, max_position_embeddings=64,
+        sliding_window=4, sliding_window_pattern=4, pad_token_id=0,
+    )
+    torch.manual_seed(62)
+    m = _parity(Exaone4ForCausalLM(cfg).eval(), tmp_path, "ex4")
+    assert m.cfg.norm_after and m.cfg.qk_norm
+    assert m.cfg.extra["no_rope_layers"] == (3,)
+
+
+def test_seed_oss(tmp_path):
+    from transformers.models.seed_oss import SeedOssConfig, SeedOssForCausalLM
+    cfg = SeedOssConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(63)
+    _parity(SeedOssForCausalLM(cfg).eval(), tmp_path, "soss")
+
+
+def test_hunyuan_dense(tmp_path):
+    from transformers.models.hunyuan_v1_dense import (
+        HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM)
+    cfg = HunYuanDenseV1Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(64)
+    m = _parity(HunYuanDenseV1ForCausalLM(cfg).eval(), tmp_path, "hy")
+    assert m.cfg.qk_norm and m.cfg.extra["qk_norm_after_rope"]
+
+
+def test_ernie45(tmp_path):
+    from transformers.models.ernie4_5 import Ernie4_5Config, Ernie4_5ForCausalLM
+    cfg = Ernie4_5Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(65)
+    _parity(Ernie4_5ForCausalLM(cfg).eval(), tmp_path, "e45")
+
+
+def test_dbrx(tmp_path):
+    from transformers.models.dbrx import DbrxConfig, DbrxForCausalLM
+    cfg = DbrxConfig(
+        d_model=48, n_heads=4, n_layers=2, max_seq_len=64, vocab_size=150,
+        ffn_config={"ffn_hidden_size": 32, "moe_num_experts": 4, "moe_top_k": 2},
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0},
+        pad_token_id=0,
+    )
+    torch.manual_seed(66)
+    m = _parity(DbrxForCausalLM(cfg).eval(), tmp_path, "dbrx")
+    assert m.cfg.n_expert == 4 and m.cfg.extra["clamp_kqv"] == 8.0
+
+
+def test_granitemoe(tmp_path):
+    from transformers.models.granitemoe import (
+        GraniteMoeConfig, GraniteMoeForCausalLM)
+    cfg = GraniteMoeConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, pad_token_id=0,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+    )
+    torch.manual_seed(67)
+    m = _parity(GraniteMoeForCausalLM(cfg).eval(), tmp_path, "gmoe")
+    # HF topk-then-softmax == softmax+renormalize over the selected k
+    assert m.cfg.expert_weights_norm
+
+
+def test_dots1(tmp_path):
+    from transformers.models.dots1 import Dots1Config, Dots1ForCausalLM
+    cfg = Dots1Config(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        norm_topk_prob=True, n_group=1, topk_group=1,
+        max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(68)
+    m = _parity(Dots1ForCausalLM(cfg).eval(), tmp_path, "dots1")
+    assert m.cfg.expert_gating == "sigmoid" and m.cfg.qk_norm
+
+
+def test_glm4_moe(tmp_path):
+    from transformers.models.glm4_moe import Glm4MoeConfig, Glm4MoeForCausalLM
+    cfg = Glm4MoeConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        norm_topk_prob=True, use_qk_norm=True, num_nextn_predict_layers=0,
+        n_group=1, topk_group=1,
+        max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(69)
+    m = _parity(Glm4MoeForCausalLM(cfg).eval(), tmp_path, "g4m")
+    assert m.cfg.qk_norm and m.cfg.rope_dims == 8
+
+
+def test_ernie45_moe(tmp_path):
+    from transformers.models.ernie4_5_moe import (
+        Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM)
+    cfg = Ernie4_5_MoeConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        moe_num_experts=8, moe_k=2, moe_num_shared_experts=1,
+        moe_layer_start_index=1, moe_layer_interval=1,
+        max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(70)
+    m = _parity(Ernie4_5_MoeForCausalLM(cfg).eval(), tmp_path, "e45m")
+    assert m.cfg.expert_weights_norm
+
+
+def test_phimoe(tmp_path):
+    from transformers.models.phimoe import PhimoeConfig, PhimoeForCausalLM
+    cfg = PhimoeConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        router_jitter_noise=0.01, max_position_embeddings=64,
+        original_max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(71)
+    m = _parity(PhimoeForCausalLM(cfg).eval(), tmp_path, "phm")
+    assert m.cfg.expert_gating == "sparsemixer"
