@@ -150,6 +150,8 @@ def convert_hf_model(
         "dots1": "dots1",
         "glm4_moe": "glm4moe",
         "phimoe": "phimoe",
+        "t5": "t5",
+        "mt5": "t5",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -168,6 +170,8 @@ def convert_hf_model(
         return _convert_falcon(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "dbrx":
         return _convert_dbrx(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "t5":
+        return _convert_t5(model, out_path, ftype, tokenizer, vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -1026,6 +1030,96 @@ def _convert_bert(model, out_path: str, ftype: str, tokenizer=None,
         _emit(w, b + "attn_output_norm.bias", sd[p + "attention.output.LayerNorm.bias"], ftype)
         _emit(w, b + "layer_output_norm.weight", sd[p + "output.LayerNorm.weight"], ftype)
         _emit(w, b + "layer_output_norm.bias", sd[p + "output.LayerNorm.bias"], ftype)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_t5(model, out_path: str, ftype: str, tokenizer=None,
+                vocab_override=None) -> str:
+    """T5/flan HF -> GGUF (reference conversion/t5.py): enc./dec. tensor
+    namespaces; tied lm_head emitted pre-scaled by d_model**-0.5 (the HF
+    tied-head convention, modeling_t5.py T5ForConditionalGeneration)."""
+    cfg = model.config
+    d = cfg.d_model
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    enc_only = not any(k.startswith("decoder.") for k in sd)
+    arch = "t5encoder" if enc_only else "t5"
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, "t5")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = arch + "."
+    w.add(P + "block_count", np.uint32(cfg.num_layers))
+    if not enc_only:
+        w.add(P + "decoder_block_count",
+              np.uint32(getattr(cfg, "num_decoder_layers", cfg.num_layers)))
+        w.add(P + "decoder_start_token_id",
+              np.uint32(getattr(cfg, "decoder_start_token_id", 0) or 0))
+    w.add(P + "context_length", np.uint32(512))
+    w.add(P + "embedding_length", np.uint32(d))
+    w.add(P + "feed_forward_length", np.uint32(cfg.d_ff))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(cfg.num_heads))
+    w.add(P + "attention.key_length", np.uint32(cfg.d_kv))
+    w.add(P + "attention.value_length", np.uint32(cfg.d_kv))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(cfg.layer_norm_epsilon))
+    w.add(P + "attention.relative_buckets_count",
+          np.uint32(cfg.relative_attention_num_buckets))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    _emit(w, "token_embd.weight", sd["shared.weight"], ftype)
+    tied = bool(getattr(cfg, "tie_word_embeddings", True))
+    if not enc_only:
+        if not tied and "lm_head.weight" in sd:
+            _emit(w, "output.weight", sd["lm_head.weight"], ftype)
+        else:  # tied head: HF scales the decoder output by d**-0.5
+            _emit(w, "output.weight", sd["shared.weight"] * d ** -0.5, ftype)
+
+    def ffn(src, dst):
+        if src + "DenseReluDense.wi_0.weight" in sd:  # gated (flan)
+            _emit(w, dst + "ffn_gate.weight", sd[src + "DenseReluDense.wi_0.weight"], ftype)
+            _emit(w, dst + "ffn_up.weight", sd[src + "DenseReluDense.wi_1.weight"], ftype)
+        else:
+            _emit(w, dst + "ffn_up.weight", sd[src + "DenseReluDense.wi.weight"], ftype)
+        _emit(w, dst + "ffn_down.weight", sd[src + "DenseReluDense.wo.weight"], ftype)
+        _emit(w, dst + "ffn_norm.weight", sd[src + "layer_norm.weight"], ftype)
+
+    _emit(w, "enc.output_norm.weight", sd["encoder.final_layer_norm.weight"], ftype)
+    for i in range(cfg.num_layers):
+        p, b = f"encoder.block.{i}.layer.", f"enc.blk.{i}."
+        sa = p + "0.SelfAttention."
+        for hf, gg in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v"), ("o", "attn_o")):
+            _emit(w, b + gg + ".weight", sd[sa + hf + ".weight"], ftype)
+        if sa + "relative_attention_bias.weight" in sd:
+            _emit(w, b + "attn_rel_b.weight",
+                  sd[sa + "relative_attention_bias.weight"], ftype)
+        _emit(w, b + "attn_norm.weight", sd[p + "0.layer_norm.weight"], ftype)
+        ffn(p + "1.", b)
+    if enc_only:
+        w.write(out_path)
+        return out_path
+
+    _emit(w, "dec.output_norm.weight", sd["decoder.final_layer_norm.weight"], ftype)
+    for i in range(getattr(cfg, "num_decoder_layers", cfg.num_layers)):
+        p, b = f"decoder.block.{i}.layer.", f"dec.blk.{i}."
+        sa = p + "0.SelfAttention."
+        for hf, gg in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v"), ("o", "attn_o")):
+            _emit(w, b + gg + ".weight", sd[sa + hf + ".weight"], ftype)
+        if sa + "relative_attention_bias.weight" in sd:
+            _emit(w, b + "attn_rel_b.weight",
+                  sd[sa + "relative_attention_bias.weight"], ftype)
+        _emit(w, b + "attn_norm.weight", sd[p + "0.layer_norm.weight"], ftype)
+        ca = p + "1.EncDecAttention."
+        for hf, gg in (("q", "cross_attn_q"), ("k", "cross_attn_k"),
+                       ("v", "cross_attn_v"), ("o", "cross_attn_o")):
+            _emit(w, b + gg + ".weight", sd[ca + hf + ".weight"], ftype)
+        _emit(w, b + "cross_attn_norm.weight", sd[p + "1.layer_norm.weight"], ftype)
+        ffn(p + "2.", b)
     w.write(out_path)
     return out_path
 

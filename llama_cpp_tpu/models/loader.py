@@ -120,6 +120,24 @@ LAYER_TENSORS = {
     "layer_output_norm.bias": "layer_output_norm_bias",
 }
 
+T5_LAYER_TENSORS = {
+    "attn_q.weight": "attn_q",
+    "attn_k.weight": "attn_k",
+    "attn_v.weight": "attn_v",
+    "attn_o.weight": "attn_output",
+    "attn_rel_b.weight": "attn_rel_b",
+    "attn_norm.weight": "attn_norm",
+    "cross_attn_q.weight": "cross_attn_q",
+    "cross_attn_k.weight": "cross_attn_k",
+    "cross_attn_v.weight": "cross_attn_v",
+    "cross_attn_o.weight": "cross_attn_output",
+    "cross_attn_norm.weight": "cross_attn_norm",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+    "ffn_norm.weight": "ffn_norm",
+}
+
 GLOBAL_TENSORS = {
     "token_embd.weight": "token_embd",
     "position_embd.weight": "pos_embd",
@@ -156,7 +174,8 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "time_mix_w2", "channel_mix_lerp_k", "channel_mix_lerp_r",
                "attn_output_norm", "attn_output_norm_bias",
                "layer_output_norm", "layer_output_norm_bias", "token_types",
-               "cls_bias", "cls_out_bias"}
+               "cls_bias", "cls_out_bias"
+    "attn_rel_b",}
 
 
 class Model:
@@ -177,6 +196,14 @@ class Model:
             from . import bert
 
             return bert.forward
+        if self.cfg.extra.get("t5"):
+            from . import t5
+
+            if self.cfg.extra.get("t5_encoder_only"):
+                def enc_only(params, cfg, tokens, inputs, kv, output_rows=None):
+                    return t5.t5_encode(params, cfg, tokens), kv
+                return enc_only
+            return t5.t5_forward
         if self.cfg.extra.get("rwkv"):
             from . import rwkv
 
@@ -213,6 +240,10 @@ def load_model(
 
     layers: list[dict[str, Weight]] = [dict() for _ in range(cfg.n_layers)]
     params: dict[str, Any] = {"layers": layers}
+    if cfg.extra.get("t5"):
+        # enc/dec namespaces (reference llama-arch.cpp LLM_TENSOR_ENC_*/DEC_*)
+        params["enc_layers"] = [
+            dict() for _ in range(cfg.extra.get("enc_n_layers", cfg.n_layers))]
 
     n_done = 0
     total = len(f.tensors)
@@ -229,6 +260,18 @@ def load_model(
             key = LAYER_TENSORS.get(suffix)
             if key is not None and il < cfg.n_layers:
                 target = layers[il]
+        elif name.startswith(("enc.blk.", "dec.blk.")):
+            parts = name.split(".", 3)
+            il = int(parts[2])
+            key = T5_LAYER_TENSORS.get(parts[3])
+            if key is not None:
+                group = params.get("enc_layers", []) if parts[0] == "enc" else layers
+                if il < len(group):
+                    target = group[il]
+        elif name == "enc.output_norm.weight":
+            key, target = "enc_output_norm", params
+        elif name == "dec.output_norm.weight":
+            key, target = "output_norm", params
         if key is None or target is None:
             log.debug("skipping unmapped tensor %s", name)
             continue
@@ -256,7 +299,10 @@ def load_model(
             progress(n_done / total)
 
     # fuse per-head norm weights shape: gguf stores [head_dim]
-    if cfg.extra.get("encoder"):
+    if cfg.extra.get("t5_encoder_only"):
+        req = ()
+        layers = params["enc_layers"]
+    elif cfg.extra.get("encoder"):
         req = ("attn_output_norm", "ffn_up")
     elif cfg.extra.get("rwkv"):
         req = ("attn_norm", "time_mix_key", "channel_mix_key")

@@ -505,6 +505,33 @@ def _phimoe(cfg: ModelConfig, md) -> ModelConfig:
                      expert_gating="sparsemixer")
 
 
+@register("t5")
+def _t5(cfg: ModelConfig, md) -> ModelConfig:
+    """T5/flan-t5/mt5 encoder-decoder (reference src/models/t5.cpp).
+    cfg.n_layers becomes the DECODER depth (that is what the KV cache and
+    the layers list cover); encoder depth lands in extra."""
+    cfg.extra.update(
+        t5=True, encoder_decoder=True,
+        rel_buckets=int(md.get("t5.attention.relative_buckets_count", 32)),
+        enc_n_layers=cfg.n_layers,
+        decoder_start_token=int(md.get("t5.decoder_start_token_id", 0)),
+    )
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NONE,
+        n_layers=int(md.get("t5.decoder_block_count", cfg.n_layers)),
+    )
+
+
+@register("t5encoder")
+def _t5encoder(cfg: ModelConfig, md) -> ModelConfig:
+    cfg.extra.update(
+        t5=True, t5_encoder_only=True,
+        rel_buckets=int(md.get("t5encoder.attention.relative_buckets_count", 32)),
+        enc_n_layers=cfg.n_layers,
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NONE)
+
+
 @register("gpt-oss")
 def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
     """gpt-oss-20B/120B (reference src/models/openai-moe.cpp): alternating

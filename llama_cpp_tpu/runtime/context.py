@@ -66,6 +66,8 @@ class Context:
         self.n_seqs = n_seqs
         self.n_ubatch = n_ubatch
         self._fwd = model.forward_fn
+        self.enc_dec = bool(self.cfg.extra.get("encoder_decoder"))
+        self._cross: dict[int, np.ndarray] = {}  # seq -> encoder output [Ne, d]
         # recurrent/hybrid states can't absorb padding -> exact-shape ubatches
         self.recurrent = self.cfg.extra.get("memory") in ("recurrent", "hybrid")
         self._kv_dtype = kv_dtype
@@ -142,10 +144,19 @@ class Context:
         cfg = self.cfg
         fwd = self._fwd
 
-        @partial(jax.jit, donate_argnums=(2,))
-        def step(params, tokens, kv, seq_idx, slots, positions, output_rows):
-            inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
-            return fwd(params, cfg, tokens, inputs, kv, output_rows)
+        if self.enc_dec:
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, kv, seq_idx, slots, positions,
+                     output_rows, cross, cross_pos):
+                inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
+                                    positions=positions)
+                return fwd(params, cfg, tokens, inputs, kv, output_rows,
+                           cross=cross, cross_pos=cross_pos)
+        else:
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, kv, seq_idx, slots, positions, output_rows):
+                inputs = AttnInputs(seq_idx=seq_idx, slots=slots, positions=positions)
+                return fwd(params, cfg, tokens, inputs, kv, output_rows)
 
         self._steps[shape] = step
         return step
@@ -187,7 +198,25 @@ class Context:
         # remap flat output rows from [B, T] to the padded [Bb, Tb] grid
         rows = np.asarray(output_rows, dtype=np.int32)
         out_rows = (rows // T) * Tb + (rows % T)
-        step = self._step_fn((Bb, Tb))
+        extra_args = ()
+        shape_key = (Bb, Tb)
+        if self.enc_dec:
+            # cross-attention state: each row attends its sequence's encoder
+            # output, padded to a shared bucketed length
+            d = self.cfg.n_embd
+            ne = max((len(self._cross.get(int(q), ())) for q in sidx[:B]),
+                     default=1)
+            ne_b = max(8, -(-ne // 64) * 64)
+            cross = np.zeros((Bb, ne_b, d), np.float32)
+            cross_pos = np.full((Bb, ne_b), -1, np.int32)
+            for r in range(B):
+                ce = self._cross.get(int(sidx[r]))
+                if ce is not None:
+                    cross[r, : len(ce)] = ce
+                    cross_pos[r, : len(ce)] = np.arange(len(ce))
+            extra_args = (jnp.asarray(cross), jnp.asarray(cross_pos))
+            shape_key = (Bb, Tb, ne_b)
+        step = self._step_fn(shape_key)
         logits, self.kv = step(
             self.model.params,
             jnp.asarray(toks),
@@ -196,6 +225,7 @@ class Context:
             jnp.asarray(slots),
             jnp.asarray(pos),
             jnp.asarray(out_rows),
+            *extra_args,
         )
         return np.asarray(logits[:m])
 
@@ -241,9 +271,49 @@ class Context:
         return np.asarray(logits)[0]
 
     # ------------------------------------------------------------------
+    def encode(self, prompt: list[int], seq: int = 0) -> np.ndarray:
+        """Run the encoder over the prompt (llama_encode analog); stores the
+        cross-attention state for the decoder and returns it [Ne, d]."""
+        from ..models import t5 as t5mod
+
+        Tb = _bucket(len(prompt), self.prefill_buckets)
+        key = ("encode", Tb)
+        fn = self._steps.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(params, tokens, valid):
+                return t5mod.t5_encode(params, cfg, tokens, valid=valid)
+
+            self._steps[key] = fn
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, : len(prompt)] = prompt
+        valid = np.zeros((1, Tb), bool)
+        valid[0, : len(prompt)] = True
+        out = np.asarray(fn(self.model.params, jnp.asarray(toks),
+                            jnp.asarray(valid)))[0]
+        # padded encoder rows see pad tokens; keep only the real columns
+        out = out[: len(prompt)]
+        self._cross[seq] = out
+        return out
+
     def prefill(self, prompt: list[int], seq: int = 0) -> np.ndarray:
         """Feed a prompt; returns last-token logits [vocab]."""
         t0 = time.perf_counter()
+        if self.enc_dec and seq not in self._cross:
+            # encoder-decoder flow (reference llama_encode + decoder start
+            # token): encode the prompt, then begin decoding from
+            # decoder_start_token_id
+            self.encode(prompt, seq=seq)
+            start = int(self.cfg.extra.get("decoder_start_token", 0))
+            logits = self.decode(
+                np.asarray([[start]]), np.asarray([seq]),
+                np.asarray([[0]]), np.asarray([0]))
+            self.seq_len[seq] = 1
+            self.perf.n_prefill += len(prompt)
+            self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1e3
+            return logits[0]
         pos0 = int(self.seq_len[seq])
         logits = None
         for off in range(0, len(prompt), self.n_ubatch):
@@ -353,6 +423,7 @@ class Context:
     def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30):
         self.kv = self.kv.seq_rm(seq, p0, p1)
         if p0 == 0:
+            self._cross.pop(seq, None)
             self.seq_len[seq] = 0
         else:
             self.seq_len[seq] = min(self.seq_len[seq], p0)

@@ -896,3 +896,112 @@ def test_phimoe(tmp_path):
     torch.manual_seed(71)
     m = _parity(PhimoeForCausalLM(cfg).eval(), tmp_path, "phm")
     assert m.cfg.expert_gating == "sparsemixer"
+
+
+def _t5_parity(hf, tmp_path, name, gated):
+    from llama_cpp_tpu.models import t5 as t5mod
+    path = str(tmp_path / f"{name}.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    enc_toks = [4, 19, 7, 33, 2]
+    dec_toks = [0, 8, 15, 3]
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([enc_toks]),
+                 decoder_input_ids=torch.tensor([dec_toks])).logits[0].numpy()
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    lw0 = m.params["layers"][0]
+    assert m.cfg.extra["t5"]
+    assert ("ffn_gate" in lw0 or "ffn_gateup" in lw0) == gated
+    cross = t5mod.t5_encode(m.params, m.cfg, jnp.asarray([enc_toks], jnp.int32))
+    N = len(dec_toks)
+    kv = KVCache.create(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads,
+                        m.cfg.head_dim_k, m.cfg.head_dim_v, dtype=jnp.float32)
+    inputs = AttnInputs(
+        seq_idx=jnp.zeros(1, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+        positions=jnp.arange(N, dtype=jnp.int32)[None, :],
+    )
+    logits, kv = t5mod.t5_forward(
+        m.params, m.cfg, jnp.asarray([dec_toks], jnp.int32), inputs, kv,
+        cross=cross)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=6e-4, atol=6e-4)
+
+    # decode path: one token at a time through the KV cache must agree
+    outs = []
+    kv2 = KVCache.create(m.cfg.n_layers, 1, 32, m.cfg.n_kv_heads,
+                         m.cfg.head_dim_k, m.cfg.head_dim_v, dtype=jnp.float32)
+    for i, t in enumerate(dec_toks):
+        inp = AttnInputs(seq_idx=jnp.zeros(1, jnp.int32),
+                         slots=jnp.array([[i]], jnp.int32),
+                         positions=jnp.array([[i]], jnp.int32))
+        lg, kv2 = t5mod.t5_forward(
+            m.params, m.cfg, jnp.array([[t]], jnp.int32), inp, kv2, cross=cross)
+        outs.append(np.asarray(lg)[0])
+    np.testing.assert_allclose(np.stack(outs), ref, rtol=6e-4, atol=6e-4)
+    return m
+
+
+def test_t5(tmp_path):
+    cfg = transformers.T5Config(
+        vocab_size=150, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        feed_forward_proj="relu", tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(80)
+    _t5_parity(transformers.T5ForConditionalGeneration(cfg).eval(),
+               tmp_path, "t5", gated=False)
+
+
+def test_flan_t5_gated(tmp_path):
+    cfg = transformers.T5Config(
+        vocab_size=150, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(81)
+    _t5_parity(transformers.T5ForConditionalGeneration(cfg).eval(),
+               tmp_path, "flant5", gated=True)
+
+
+def test_t5_encoder_only(tmp_path):
+    cfg = transformers.T5Config(
+        vocab_size=150, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        feed_forward_proj="relu", pad_token_id=0,
+    )
+    torch.manual_seed(82)
+    hf = transformers.T5EncoderModel(cfg).eval()
+    path = str(tmp_path / "t5enc.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    toks = [4, 19, 7, 33, 2]
+    with torch.no_grad():
+        ref = hf(torch.tensor([toks])).last_hidden_state[0].numpy()
+    from llama_cpp_tpu.models import t5 as t5mod
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra["t5_encoder_only"]
+    out = t5mod.t5_encode(m.params, m.cfg, jnp.asarray([toks], jnp.int32))
+    np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=6e-4, atol=6e-4)
+
+
+def test_t5_generate_matches_hf(tmp_path):
+    """Full runtime path: Context encode + decoder-start + greedy decode."""
+    from llama_cpp_tpu.runtime.context import Context
+    cfg = transformers.T5Config(
+        vocab_size=150, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        feed_forward_proj="relu", tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=149,
+    )
+    torch.manual_seed(80)
+    hf = transformers.T5ForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "t5g.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    enc_toks = [4, 19, 7, 33, 2]
+    ctx = Context(load_model(path, prefer_quant=False, dense_dtype=jnp.float32),
+                  n_ctx=64, n_seqs=1)
+    ours = ctx.generate(enc_toks, max_new_tokens=10)
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([enc_toks]), max_new_tokens=10,
+                          do_sample=False)[0][1:].tolist()
+    assert ours == ref
