@@ -152,6 +152,8 @@ def convert_hf_model(
         "phimoe": "phimoe",
         "t5": "t5",
         "mt5": "t5",
+        "falcon_h1": "falcon-h1",
+        "granitemoehybrid": "granitehybrid",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -172,6 +174,11 @@ def convert_hf_model(
         return _convert_dbrx(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "t5":
         return _convert_t5(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "falcon-h1":
+        return _convert_falcon_h1(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "granitehybrid":
+        return _convert_granite_hybrid(model, out_path, ftype, tokenizer,
+                                       vocab_override)
     if arch in ("gpt2", "gptneox", "bloom", "phi2"):
         return _convert_ln_family(model, arch, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -1120,6 +1127,192 @@ def _convert_t5(model, out_path: str, ftype: str, tokenizer=None,
             _emit(w, b + gg + ".weight", sd[ca + hf + ".weight"], ftype)
         _emit(w, b + "cross_attn_norm.weight", sd[p + "1.layer_norm.weight"], ftype)
         ffn(p + "2.", b)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_falcon_h1(model, out_path: str, ftype: str, tokenizer=None,
+                       vocab_override=None) -> str:
+    """Falcon-H1 HF -> GGUF (reference conversion/falcon_h1.py): parallel
+    attention + mamba2 per layer; all channel multipliers folded into the
+    emitted weights."""
+    cfg = model.config
+    d_model = cfg.hidden_size
+    d_inner = cfg.mamba_d_ssm or cfg.mamba_expand * d_model
+    d_state = cfg.mamba_d_state
+    n_group = cfg.mamba_n_groups
+    nh = cfg.mamba_n_heads
+    head_dim = getattr(cfg, "head_dim", None) or d_model // cfg.num_attention_heads
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "falcon-h1")
+    w.add(Keys.General.NAME, "falcon-h1")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "falcon-h1."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(P + "embedding_length", np.uint32(d_model))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_attention_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(cfg.num_key_value_heads))
+    w.add(P + "attention.key_length", np.uint32(head_dim))
+    w.add(P + "attention.value_length", np.uint32(head_dim))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(cfg.rms_norm_eps))
+    w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+    w.add(P + "rope.dimension_count", np.uint32(head_dim))
+    w.add(P + "ssm.conv_kernel", np.uint32(cfg.mamba_d_conv))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(d_state))
+    w.add(P + "ssm.time_step_rank", np.uint32(nh))
+    w.add(P + "ssm.group_count", np.uint32(n_group))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    m_attn_in = float(getattr(cfg, "attention_in_multiplier", 1.0))
+    m_attn_out = float(getattr(cfg, "attention_out_multiplier", 1.0))
+    m_key = float(getattr(cfg, "key_multiplier", 1.0))
+    m_ssm_in = float(getattr(cfg, "ssm_in_multiplier", 1.0))
+    m_ssm_out = float(getattr(cfg, "ssm_out_multiplier", 1.0))
+    m_mlp = list(getattr(cfg, "mlp_multipliers", (1.0, 1.0)))
+    m_zxbcdt = list(getattr(cfg, "ssm_multipliers", (1.0,) * 5))
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    emb = sd["model.embed_tokens.weight"]
+    m_emb = float(getattr(cfg, "embedding_multiplier", 1.0))
+    m_head = float(getattr(cfg, "lm_head_multiplier", 1.0))
+    _emit(w, "token_embd.weight", emb * m_emb, ftype)
+    _emit(w, "output_norm.weight", sd["model.final_layernorm.weight"], ftype)
+    head = sd.get("lm_head.weight", emb)
+    _emit(w, "output.weight", head * m_head, ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "input_layernorm.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "pre_ff_layernorm.weight"], ftype)
+        _emit(w, b + "attn_q.weight", sd[p + "self_attn.q_proj.weight"] * m_attn_in, ftype)
+        _emit(w, b + "attn_k.weight", sd[p + "self_attn.k_proj.weight"] * m_key * m_attn_in, ftype)
+        _emit(w, b + "attn_v.weight", sd[p + "self_attn.v_proj.weight"] * m_attn_in, ftype)
+        _emit(w, b + "attn_output.weight", sd[p + "self_attn.o_proj.weight"] * m_attn_out, ftype)
+        m = p + "mamba."
+        inp = sd[m + "in_proj.weight"] * m_ssm_in
+        gts = n_group * d_state
+        inp[:d_inner] *= m_zxbcdt[0]
+        inp[d_inner:2 * d_inner] *= m_zxbcdt[1]
+        inp[2 * d_inner:2 * d_inner + gts] *= m_zxbcdt[2]
+        inp[2 * d_inner + gts:2 * d_inner + 2 * gts] *= m_zxbcdt[3]
+        inp[2 * d_inner + 2 * gts:] *= m_zxbcdt[4]
+        _emit(w, b + "ssm_in.weight", inp, ftype)
+        _emit(w, b + "ssm_conv1d.weight", sd[m + "conv1d.weight"].squeeze(1), ftype)
+        if m + "conv1d.bias" in sd:
+            _emit(w, b + "ssm_conv1d.bias", sd[m + "conv1d.bias"], ftype)
+        _emit(w, b + "ssm_dt.bias", sd[m + "dt_bias"], ftype)
+        _emit(w, b + "ssm_a", -np.exp(sd[m + "A_log"]).reshape(-1, 1), ftype)
+        _emit(w, b + "ssm_d", sd[m + "D"].reshape(-1, 1), ftype)
+        if m + "norm.weight" in sd:
+            _emit(w, b + "ssm_norm.weight",
+                  sd[m + "norm.weight"].reshape(n_group, d_inner // n_group), ftype)
+        _emit(w, b + "ssm_out.weight", sd[m + "out_proj.weight"] * m_ssm_out, ftype)
+        ff = p + "feed_forward."
+        _emit(w, b + "ffn_gate.weight", sd[ff + "gate_proj.weight"] * m_mlp[0], ftype)
+        _emit(w, b + "ffn_up.weight", sd[ff + "up_proj.weight"], ftype)
+        _emit(w, b + "ffn_down.weight", sd[ff + "down_proj.weight"] * m_mlp[1], ftype)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_granite_hybrid(model, out_path: str, ftype: str, tokenizer=None,
+                            vocab_override=None) -> str:
+    """Granite-4 hybrid HF -> GGUF: per-layer mamba2/attention, granitemoe
+    router + fused expert mats, gated shared FFN as *_shexp."""
+    cfg = model.config
+    d_model = cfg.hidden_size
+    d_inner = cfg.mamba_expand * d_model
+    d_state = cfg.mamba_d_state
+    n_group = cfg.mamba_n_groups
+    nh = cfg.mamba_n_heads
+    head_dim = getattr(cfg, "head_dim", None) or d_model // cfg.num_attention_heads
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "granitehybrid")
+    w.add(Keys.General.NAME, "granitehybrid")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "granitehybrid."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(P + "embedding_length", np.uint32(d_model))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_attention_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(cfg.num_key_value_heads))
+    w.add(P + "attention.key_length", np.uint32(head_dim))
+    w.add(P + "attention.value_length", np.uint32(head_dim))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(cfg.rms_norm_eps))
+    w.add(P + "embedding_scale", float(getattr(cfg, "embedding_multiplier", 1.0)))
+    w.add(P + "residual_scale", float(getattr(cfg, "residual_multiplier", 1.0)))
+    w.add(P + "attention.scale", float(getattr(cfg, "attention_multiplier", 0.0)))
+    w.add(P + "logit_scale", 1.0 / float(getattr(cfg, "logits_scaling", 1.0)))
+    w.add(P + "ssm.conv_kernel", np.uint32(cfg.mamba_d_conv))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(d_state))
+    w.add(P + "ssm.time_step_rank", np.uint32(nh))
+    w.add(P + "ssm.group_count", np.uint32(n_group))
+    if getattr(cfg, "num_local_experts", 0):
+        w.add(P + "expert_count", np.uint32(cfg.num_local_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length", np.uint32(cfg.intermediate_size))
+    if getattr(cfg, "shared_intermediate_size", 0):
+        w.add(P + "expert_shared_count", np.uint32(1))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    emb = sd["model.embed_tokens.weight"]
+    _emit(w, "token_embd.weight", emb, ftype)
+    _emit(w, "output_norm.weight", sd["model.norm.weight"], ftype)
+    lm_head = sd.get("lm_head.weight")
+    if lm_head is not None and not getattr(cfg, "tie_word_embeddings", False):
+        _emit(w, "output.weight", lm_head, ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "input_layernorm.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "post_attention_layernorm.weight"], ftype)
+        m = p + "mamba."
+        if m + "in_proj.weight" in sd:
+            _emit(w, b + "ssm_in.weight", sd[m + "in_proj.weight"], ftype)
+            _emit(w, b + "ssm_conv1d.weight", sd[m + "conv1d.weight"].squeeze(1), ftype)
+            if m + "conv1d.bias" in sd:
+                _emit(w, b + "ssm_conv1d.bias", sd[m + "conv1d.bias"], ftype)
+            _emit(w, b + "ssm_dt.bias", sd[m + "dt_bias"], ftype)
+            _emit(w, b + "ssm_a", -np.exp(sd[m + "A_log"]).reshape(-1, 1), ftype)
+            _emit(w, b + "ssm_d", sd[m + "D"].reshape(-1, 1), ftype)
+            _emit(w, b + "ssm_norm.weight",
+                  sd[m + "norm.weight"].reshape(n_group, d_inner // n_group), ftype)
+            _emit(w, b + "ssm_out.weight", sd[m + "out_proj.weight"], ftype)
+        else:
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+                _emit(w, b + f"{gg}.weight", sd[p + f"self_attn.{hf}.weight"], ftype)
+        moe = p + "block_sparse_moe."
+        if moe + "router.layer.weight" in sd:
+            _emit(w, b + "ffn_gate_inp.weight", sd[moe + "router.layer.weight"], ftype)
+            il_w = sd[moe + "input_linear.weight"]  # [E, 2ff, d]
+            ff2 = il_w.shape[1] // 2
+            _emit(w, b + "ffn_gate_exps.weight", np.ascontiguousarray(il_w[:, :ff2]), ftype)
+            _emit(w, b + "ffn_up_exps.weight", np.ascontiguousarray(il_w[:, ff2:]), ftype)
+            _emit(w, b + "ffn_down_exps.weight", sd[moe + "output_linear.weight"], ftype)
+        sh = p + "shared_mlp."
+        if sh + "input_linear.weight" in sd:
+            shw = sd[sh + "input_linear.weight"]  # [2*sf, d]: gate; up
+            sf = shw.shape[0] // 2
+            _emit(w, b + "ffn_gate_shexp.weight", np.ascontiguousarray(shw[:sf]), ftype)
+            _emit(w, b + "ffn_up_shexp.weight", np.ascontiguousarray(shw[sf:]), ftype)
+            _emit(w, b + "ffn_down_shexp.weight", sd[sh + "output_linear.weight"], ftype)
     w.write(out_path)
     return out_path
 

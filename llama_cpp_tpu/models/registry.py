@@ -371,6 +371,55 @@ def _jamba(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NONE, expert_weights_norm=False)
 
 
+@register("falcon-h1")
+def _falcon_h1(cfg: ModelConfig, md) -> ModelConfig:
+    """Falcon-H1 (reference src/models/falcon-h1.cpp): EVERY layer runs
+    attention and a mamba-2 SSM in parallel on the same normed input and
+    sums them; channel multipliers are folded into weights at conversion."""
+    a = cfg.arch
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd))
+    d_state = int(md.get(f"{a}.ssm.state_size", 128))
+    n_group = int(md.get(f"{a}.ssm.group_count", 1))
+    cfg.extra.update(
+        memory="hybrid", dual_mixer=True, ssm_version=2,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner, ssm_d_state=d_state,
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", d_inner // 64)),
+        ssm_n_group=n_group,
+        ssm_conv_dim=d_inner + 2 * n_group * d_state,
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("granitehybrid")
+def _granitehybrid(cfg: ModelConfig, md) -> ModelConfig:
+    """Granite-4 hybrid (reference src/models/granite-hybrid.cpp): per-layer
+    mamba-2 or attention (NoPE unless rope.finetuned), granite multipliers,
+    granitemoe-style MoE with an always-on gated shared FFN."""
+    a = cfg.arch
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd))
+    d_state = int(md.get(f"{a}.ssm.state_size", 128))
+    n_group = int(md.get(f"{a}.ssm.group_count", 1))
+    cfg.extra.update(
+        memory="hybrid", ssm_version=2,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner, ssm_d_state=d_state,
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", d_inner // 64)),
+        ssm_n_group=n_group,
+        ssm_conv_dim=d_inner + 2 * n_group * d_state,
+    )
+    if not bool(md.get(f"{a}.rope.finetuned", False)):
+        cfg.extra["no_rope_layers"] = tuple(range(cfg.n_layers))
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM,
+        embd_scale=float(md.get(f"{a}.embedding_scale", 1.0)),
+        attn_scale=float(md.get(f"{a}.attention.scale", 0.0)),
+        residual_scale=float(md.get(f"{a}.residual_scale", 1.0)),
+        logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
+        expert_weights_norm=True,
+    )
+
+
 @register("cohere2")
 def _cohere2(cfg: ModelConfig, md) -> ModelConfig:
     """Command-R7B (reference src/models/cohere2.cpp): command-r parallel

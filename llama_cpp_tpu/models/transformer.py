@@ -697,6 +697,16 @@ def forward(
             attn, new_conv, s_last = mixer(cfg, lw, h, kv.rs, inputs.seq_idx, il)
             attn = attn.astype(x.dtype)
             kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))
+            if "attn_output" in lw:
+                # falcon-h1 dual mixer: attention runs in PARALLEL with the
+                # SSM on the same normed input; outputs sum (reference
+                # src/models/falcon-h1.cpp graph: cur = attn_out + ssm_out)
+                akv = kv.kv
+                up = None if hasattr(akv, "is_swa") else (il == first_attn)
+                attn2, akv = attention_block(cfg, lw, h, inputs, akv, il,
+                                             update_pos=up)
+                kv = _replace(kv, kv=akv)
+                attn = attn + attn2.astype(attn.dtype)
         else:
             akv = kv.kv if hasattr(kv, "rs") else kv
             blk = mla_attention_block if "attn_kv_a_mqa" in lw else attention_block

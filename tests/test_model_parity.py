@@ -1005,3 +1005,74 @@ def test_t5_generate_matches_hf(tmp_path):
         ref = hf.generate(torch.tensor([enc_toks]), max_new_tokens=10,
                           do_sample=False)[0][1:].tolist()
     assert ours == ref
+
+
+def test_falcon_h1(tmp_path):
+    """Falcon-H1: parallel attention + mamba2 per layer, channel multipliers
+    folded at conversion (reference src/models/falcon-h1.cpp)."""
+    from transformers.models.falcon_h1 import FalconH1Config, FalconH1ForCausalLM
+    cfg = FalconH1Config(
+        vocab_size=96, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, mamba_d_ssm=64, mamba_n_heads=4, mamba_d_head=16,
+        mamba_n_groups=1, mamba_d_state=16, mamba_d_conv=4, mamba_expand=2,
+        key_multiplier=0.5, attention_out_multiplier=1.5,
+        mlp_multipliers=[2.0, 0.5], ssm_multipliers=[1.0, 0.5, 2.0, 1.0, 0.7],
+        embedding_multiplier=2.0, lm_head_multiplier=0.25,
+        tie_word_embeddings=False, use_cache=False, pad_token_id=0,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(90)
+    hf = FalconH1ForCausalLM(cfg).eval()
+    path = str(tmp_path / "fh1.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 9, 7, 90, 22, 3]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    from llama_cpp_tpu.runtime.context import Context
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra["dual_mixer"] and m.cfg.extra["memory"] == "hybrid"
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    ours = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                      np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
+
+    ctx.seq_len[0] = len(tokens)
+    step = ctx.decode_one(11)
+    ctx2 = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    both = ctx2.decode(np.asarray(tokens + [11])[None, :], np.asarray([0]),
+                       np.arange(len(tokens) + 1)[None, :],
+                       np.asarray([len(tokens)]))
+    np.testing.assert_allclose(step, both[0], rtol=4e-4, atol=4e-4)
+
+
+def test_granite_hybrid(tmp_path):
+    """Granite-4 hybrid: per-layer mamba2/attention (NoPE), granite
+    multipliers, MoE + gated shared FFN (reference granite-hybrid.cpp)."""
+    from transformers.models.granitemoehybrid import (
+        GraniteMoeHybridConfig, GraniteMoeHybridForCausalLM)
+    cfg = GraniteMoeHybridConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["mamba", "attention"],
+        mamba_d_state=16, mamba_d_conv=4, mamba_expand=2, mamba_n_heads=4,
+        mamba_n_groups=1, num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=32, embedding_multiplier=2.0,
+        residual_multiplier=0.8, attention_multiplier=0.2,
+        logits_scaling=2.0, tie_word_embeddings=False, use_cache=False,
+        pad_token_id=0, max_position_embeddings=64,
+    )
+    torch.manual_seed(91)
+    hf = GraniteMoeHybridForCausalLM(cfg).eval()
+    path = str(tmp_path / "gh.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 9, 7, 90, 22, 3]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    from llama_cpp_tpu.runtime.context import Context
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra["memory"] == "hybrid"
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    ours = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                      np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
