@@ -154,6 +154,8 @@ def convert_hf_model(
         "mt5": "t5",
         "falcon_h1": "falcon-h1",
         "granitemoehybrid": "granitehybrid",
+        "lfm2": "lfm2",
+        "lfm2_moe": "lfm2moe",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -174,6 +176,9 @@ def convert_hf_model(
         return _convert_dbrx(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "t5":
         return _convert_t5(model, out_path, ftype, tokenizer, vocab_override)
+    if arch in ("lfm2", "lfm2moe"):
+        return _convert_lfm2(model, arch, out_path, ftype, tokenizer,
+                             vocab_override)
     if arch == "falcon-h1":
         return _convert_falcon_h1(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "granitehybrid":
@@ -1127,6 +1132,83 @@ def _convert_t5(model, out_path: str, ftype: str, tokenizer=None,
             _emit(w, b + gg + ".weight", sd[ca + hf + ".weight"], ftype)
         _emit(w, b + "cross_attn_norm.weight", sd[p + "1.layer_norm.weight"], ftype)
         ffn(p + "2.", b)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_lfm2(model, arch: str, out_path: str, ftype: str, tokenizer=None,
+                  vocab_override=None) -> str:
+    """LFM2 HF -> GGUF: conv layers emit shortconv.* tensors; the final norm
+    keeps the reference's token_embd_norm name (llama-arch.cpp:385)."""
+    cfg = model.config
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, arch)
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = arch + "."
+    n_head = cfg.num_attention_heads
+    n_kv = cfg.num_key_value_heads
+    hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // n_head
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(P + "embedding_length", np.uint32(cfg.hidden_size))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv))
+    w.add(P + "attention.key_length", np.uint32(hd))
+    w.add(P + "attention.value_length", np.uint32(hd))
+    w.add(P + "attention.layer_norm_rms_epsilon",
+          float(getattr(cfg, "norm_eps", 1e-5)))
+    w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 1e6)))
+    w.add(P + "rope.dimension_count", np.uint32(hd))
+    w.add(P + "shortconv.l_cache", np.uint32(cfg.conv_L_cache))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if getattr(cfg, "num_experts", 0):
+        w.add(P + "expert_count", np.uint32(cfg.num_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length",
+              np.uint32(getattr(cfg, "moe_intermediate_size", cfg.intermediate_size)))
+        w.add(P + "expert_weights_norm", bool(getattr(cfg, "norm_topk_prob", True)))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    _emit(w, "token_embd.weight", sd["model.embed_tokens.weight"], ftype)
+    _emit(w, "token_embd_norm.weight", sd["model.embedding_norm.weight"], ftype)
+    if not getattr(cfg, "tie_word_embeddings", True) and "lm_head.weight" in sd:
+        _emit(w, "output.weight", sd["lm_head.weight"], ftype)
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "operator_norm.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "ffn_norm.weight"], ftype)
+        if p + "conv.in_proj.weight" in sd:
+            _emit(w, b + "shortconv.in_proj.weight", sd[p + "conv.in_proj.weight"], ftype)
+            _emit(w, b + "shortconv.out_proj.weight", sd[p + "conv.out_proj.weight"], ftype)
+            _emit(w, b + "shortconv.conv.weight",
+                  sd[p + "conv.conv.weight"].squeeze(1), ftype)
+        else:
+            _emit(w, b + "attn_q.weight", sd[p + "self_attn.q_proj.weight"], ftype)
+            _emit(w, b + "attn_k.weight", sd[p + "self_attn.k_proj.weight"], ftype)
+            _emit(w, b + "attn_v.weight", sd[p + "self_attn.v_proj.weight"], ftype)
+            _emit(w, b + "attn_output.weight", sd[p + "self_attn.out_proj.weight"], ftype)
+            _emit(w, b + "attn_q_norm.weight", sd[p + "self_attn.q_layernorm.weight"], ftype)
+            _emit(w, b + "attn_k_norm.weight", sd[p + "self_attn.k_layernorm.weight"], ftype)
+        ff = p + "feed_forward."
+        if ff + "gate.weight" in sd:  # lfm2moe router
+            _emit(w, b + "ffn_gate_inp.weight", sd[ff + "gate.weight"], ftype)
+            if ff + "expert_bias" in sd:
+                _emit(w, b + "exp_probs_b.bias", sd[ff + "expert_bias"], ftype)
+            n_exp = cfg.num_experts
+            for part, hf in (("gate", "w1"), ("up", "w3"), ("down", "w2")):
+                stack = np.stack([sd[ff + f"experts.{e}.{hf}.weight"]
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
+        else:
+            _emit(w, b + "ffn_gate.weight", sd[ff + "w1.weight"], ftype)
+            _emit(w, b + "ffn_up.weight", sd[ff + "w3.weight"], ftype)
+            _emit(w, b + "ffn_down.weight", sd[ff + "w2.weight"], ftype)
     w.write(out_path)
     return out_path
 

@@ -138,6 +138,12 @@ T5_LAYER_TENSORS = {
     "ffn_norm.weight": "ffn_norm",
 }
 
+LAYER_TENSORS.update({
+    "shortconv.conv.weight": "shortconv_conv",
+    "shortconv.in_proj.weight": "shortconv_in",
+    "shortconv.out_proj.weight": "shortconv_out",
+})
+
 GLOBAL_TENSORS = {
     "token_embd.weight": "token_embd",
     "position_embd.weight": "pos_embd",
@@ -326,9 +332,10 @@ def load_model(
     ]
     if cfg.extra.get("memory") == "hybrid":
         missing += [
-            f"layer {i} has neither attention nor ssm mixer"
+            f"layer {i} has neither attention nor ssm/conv mixer"
             for i, lw in enumerate(layers)
             if "ssm_in" not in lw and "attn_output" not in lw
+            and "shortconv_in" not in lw
         ]
     if missing:
         raise ValueError(f"model load incomplete: {missing[:4]}")

@@ -65,6 +65,26 @@ def _causal_conv(mem: RecurrentState, il: int, seq_idx, xs: jnp.ndarray,
     return jax.nn.silu(xc), cx[:, T:, :]
 
 
+def lfm2_shortconv_layer(cfg, lw, h, mem, seq_idx, il: int):
+    """LFM2 short convolution mixer (reference src/models/lfm2.cpp
+    build_shortconv_block): in_proj -> (B, C, x); y = C * conv(B*x);
+    rolling window state like the mamba conv (no activation, no gate).
+    -> (out, new_conv, ssm_state_unchanged)."""
+    E = cfg.n_embd
+    L = cfg.extra["shortconv_l"]
+    bcx = matmul(h, lw["shortconv_in"])  # [B, T, 3E]
+    b, c, x = jnp.split(bcx.astype(jnp.float32), 3, axis=-1)
+    bx = b * x
+    B_, T = bx.shape[:2]
+    conv0 = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, L-1, E]
+    cx = jnp.concatenate([conv0, bx], axis=1)
+    w = lw["shortconv_conv"].astype(jnp.float32)  # [E, L]
+    xc = sum(w[:, j] * cx[:, j : j + T, :] for j in range(L))
+    y = c * xc
+    out = matmul(y.astype(h.dtype), lw["shortconv_out"])
+    return out, cx[:, T:, :], mem.ssm[il][seq_idx]
+
+
 def mamba1_layer(cfg, lw, h, mem: RecurrentState, seq_idx, il: int):
     """Mamba-1 mixer (reference build_mamba_layer) -> (out, new_conv, s_T)."""
     ex = cfg.extra

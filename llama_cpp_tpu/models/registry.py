@@ -371,6 +371,34 @@ def _jamba(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NONE, expert_weights_norm=False)
 
 
+@register("lfm2")
+def _lfm2(cfg: ModelConfig, md) -> ModelConfig:
+    """LFM2 (reference src/models/lfm2.cpp): short-conv mixer layers +
+    full-attention layers (per-head qk norm); the final norm is stored
+    under the token_embd_norm name (reference llama-arch.cpp:385 quirk)."""
+    a = cfg.arch
+    L = int(md.get(f"{a}.shortconv.l_cache", 3))
+    cfg.extra.update(
+        memory="hybrid", shortconv_l=L,
+        ssm_d_conv=L, ssm_d_inner=cfg.n_embd, ssm_d_state=1,
+        ssm_conv_dim=cfg.n_embd,
+        tensor_remap={"token_embd_norm": "output_norm"},
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     tie_embeddings=True)
+
+
+@register("lfm2moe")
+def _lfm2moe(cfg: ModelConfig, md) -> ModelConfig:
+    c = _lfm2(cfg, md)
+    return c.with_(
+        expert_gating="sigmoid"
+        if int(md.get("lfm2moe.expert_gating_func", 2)) == 2 else "softmax",
+        expert_weights_norm=bool(md.get("lfm2moe.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get("lfm2moe.expert_weights_scale", 1.0)),
+    )
+
+
 @register("falcon-h1")
 def _falcon_h1(cfg: ModelConfig, md) -> ModelConfig:
     """Falcon-H1 (reference src/models/falcon-h1.cpp): EVERY layer runs

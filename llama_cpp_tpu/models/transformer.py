@@ -679,12 +679,23 @@ def forward(
                        params.get("token_embd_norm_bias"), cfg.norm_eps)
 
     first_attn = next(
-        (i for i, lw in enumerate(params["layers"]) if "ssm_in" not in lw), 0)
+        (i for i, lw in enumerate(params["layers"])
+         if "ssm_in" not in lw and "shortconv_in" not in lw), 0)
     for il, lw in enumerate(params["layers"]):
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
-        if "ssm_in" in lw:
+        if "shortconv_in" in lw:
+            # LFM2 short-conv mixer (hybrid memory, conv window state only)
+            from dataclasses import replace as _replace
+
+            from . import mamba as _mamba
+
+            attn, new_conv, s_last = _mamba.lfm2_shortconv_layer(
+                cfg, lw, h, kv.rs, inputs.seq_idx, il)
+            attn = attn.astype(x.dtype)
+            kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))
+        elif "ssm_in" in lw:
             # hybrid model: SSM mixer replaces attention on this layer
             # (reference src/models/jamba.cpp:121-140)
             from dataclasses import replace as _replace

@@ -1076,3 +1076,39 @@ def test_granite_hybrid(tmp_path):
     ours = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
                       np.arange(len(tokens))[None, :], np.arange(len(tokens)))
     np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_lfm2(tmp_path):
+    """LFM2: short-conv mixer + attention hybrid with per-head qk norm
+    (reference src/models/lfm2.cpp build_shortconv_block)."""
+    from transformers.models.lfm2 import Lfm2Config, Lfm2ForCausalLM
+    cfg = Lfm2Config(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        conv_L_cache=3, layer_types=["conv", "full_attention"],
+        block_multiple_of=16, use_cache=False, pad_token_id=0,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(92)
+    hf = Lfm2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "lfm2.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 9, 7, 90, 22, 3]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    from llama_cpp_tpu.runtime.context import Context
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra["shortconv_l"] == 3
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    ours = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                      np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
+
+    # decode continuation through the conv window state
+    ctx.seq_len[0] = len(tokens)
+    step = ctx.decode_one(11)
+    ctx2 = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    both = ctx2.decode(np.asarray(tokens + [11])[None, :], np.asarray([0]),
+                       np.arange(len(tokens) + 1)[None, :],
+                       np.asarray([len(tokens)]))
+    np.testing.assert_allclose(step, both[0], rtol=4e-4, atol=4e-4)
