@@ -156,6 +156,7 @@ def convert_hf_model(
         "granitemoehybrid": "granitehybrid",
         "lfm2": "lfm2",
         "lfm2_moe": "lfm2moe",
+        "qwen3_next": "qwen3next",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -176,6 +177,9 @@ def convert_hf_model(
         return _convert_dbrx(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "t5":
         return _convert_t5(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "qwen3next":
+        return _convert_qwen3next(model, out_path, ftype, tokenizer,
+                                  vocab_override)
     if arch in ("lfm2", "lfm2moe"):
         return _convert_lfm2(model, arch, out_path, ftype, tokenizer,
                              vocab_override)
@@ -1132,6 +1136,106 @@ def _convert_t5(model, out_path: str, ftype: str, tokenizer=None,
             _emit(w, b + gg + ".weight", sd[ca + hf + ".weight"], ftype)
         _emit(w, b + "cross_attn_norm.weight", sd[p + "1.layer_norm.weight"], ftype)
         ffn(p + "2.", b)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_qwen3next(model, out_path: str, ftype: str, tokenizer=None,
+                       vocab_override=None) -> str:
+    """Qwen3-Next HF -> GGUF: gated DeltaNet linear layers (raw qkvz/ba
+    projections, conv, -exp(A_log)) + gated full-attention layers (q/gate
+    de-interleaved per head); zero-centered norms emitted +1-folded."""
+    cfg = model.config
+    E = cfg.hidden_size
+    Hk = cfg.linear_num_key_heads
+    Hv = cfg.linear_num_value_heads
+    Dk = cfg.linear_key_head_dim
+    Dv = cfg.linear_value_head_dim
+    d_inner = Hv * Dv
+    hd = cfg.head_dim
+    n_head = cfg.num_attention_heads
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "qwen3next")
+    w.add(Keys.General.NAME, "qwen3next")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "qwen3next."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(P + "embedding_length", np.uint32(E))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(cfg.num_key_value_heads))
+    w.add(P + "attention.key_length", np.uint32(hd))
+    w.add(P + "attention.value_length", np.uint32(hd))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(cfg.rms_norm_eps))
+    w.add(P + "rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+    w.add(P + "rope.dimension_count",
+          np.uint32(int(hd * getattr(cfg, "partial_rotary_factor", 0.25))))
+    w.add(P + "ssm.conv_kernel", np.uint32(cfg.linear_conv_kernel_dim))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(Dk))
+    w.add(P + "ssm.time_step_rank", np.uint32(Hv))
+    w.add(P + "ssm.group_count", np.uint32(Hk))
+    if getattr(cfg, "num_experts", 0):
+        w.add(P + "expert_count", np.uint32(cfg.num_experts))
+        w.add(P + "expert_used_count", np.uint32(cfg.num_experts_per_tok))
+        w.add(P + "expert_feed_forward_length",
+              np.uint32(cfg.moe_intermediate_size))
+        w.add(P + "expert_weights_norm", bool(getattr(cfg, "norm_topk_prob", True)))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    _emit(w, "token_embd.weight", sd["model.embed_tokens.weight"], ftype)
+    _emit(w, "output_norm.weight", sd["model.norm.weight"] + 1.0, ftype)
+    if not getattr(cfg, "tie_word_embeddings", False) and "lm_head.weight" in sd:
+        _emit(w, "output.weight", sd["lm_head.weight"], ftype)
+
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"model.layers.{i}.", f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", sd[p + "input_layernorm.weight"] + 1.0, ftype)
+        _emit(w, b + "ffn_norm.weight",
+              sd[p + "post_attention_layernorm.weight"] + 1.0, ftype)
+        la = p + "linear_attn."
+        if la + "in_proj_qkvz.weight" in sd:
+            _emit(w, b + "ssm_in.weight", sd[la + "in_proj_qkvz.weight"], ftype)
+            _emit(w, b + "ssm_ba.weight", sd[la + "in_proj_ba.weight"], ftype)
+            _emit(w, b + "ssm_conv1d.weight", sd[la + "conv1d.weight"].squeeze(1), ftype)
+            _emit(w, b + "ssm_dt.bias", sd[la + "dt_bias"], ftype)
+            _emit(w, b + "ssm_a", -np.exp(sd[la + "A_log"]), ftype)
+            _emit(w, b + "ssm_norm.weight", sd[la + "norm.weight"], ftype)
+            _emit(w, b + "ssm_out.weight", sd[la + "out_proj.weight"], ftype)
+        else:
+            qg = sd[p + "self_attn.q_proj.weight"].reshape(n_head, 2 * hd, E)
+            _emit(w, b + "attn_q.weight",
+                  np.ascontiguousarray(qg[:, :hd].reshape(n_head * hd, E)), ftype)
+            _emit(w, b + "attn_gate.weight",
+                  np.ascontiguousarray(qg[:, hd:].reshape(n_head * hd, E)), ftype)
+            _emit(w, b + "attn_k.weight", sd[p + "self_attn.k_proj.weight"], ftype)
+            _emit(w, b + "attn_v.weight", sd[p + "self_attn.v_proj.weight"], ftype)
+            _emit(w, b + "attn_output.weight", sd[p + "self_attn.o_proj.weight"], ftype)
+            _emit(w, b + "attn_q_norm.weight", sd[p + "self_attn.q_norm.weight"] + 1.0, ftype)
+            _emit(w, b + "attn_k_norm.weight", sd[p + "self_attn.k_norm.weight"] + 1.0, ftype)
+        moe = p + "mlp."
+        if moe + "gate.weight" in sd:
+            _emit(w, b + "ffn_gate_inp.weight", sd[moe + "gate.weight"], ftype)
+            n_exp = cfg.num_experts
+            for part, hf in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+                stack = np.stack([sd[moe + f"experts.{e}.{hf}.weight"]
+                                  for e in range(n_exp)])
+                _emit(w, b + f"ffn_{part}_exps.weight", stack, ftype)
+            _emit(w, b + "ffn_gate_shexp.weight", sd[moe + "shared_expert.gate_proj.weight"], ftype)
+            _emit(w, b + "ffn_up_shexp.weight", sd[moe + "shared_expert.up_proj.weight"], ftype)
+            _emit(w, b + "ffn_down_shexp.weight", sd[moe + "shared_expert.down_proj.weight"], ftype)
+            _emit(w, b + "ffn_gate_inp_shexp.weight", sd[moe + "shared_expert_gate.weight"], ftype)
+        else:
+            _emit(w, b + "ffn_gate.weight", sd[moe + "gate_proj.weight"], ftype)
+            _emit(w, b + "ffn_up.weight", sd[moe + "up_proj.weight"], ftype)
+            _emit(w, b + "ffn_down.weight", sd[moe + "down_proj.weight"], ftype)
     w.write(out_path)
     return out_path
 

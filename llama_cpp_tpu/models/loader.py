@@ -139,6 +139,23 @@ T5_LAYER_TENSORS = {
 }
 
 LAYER_TENSORS.update({
+    "time_mix_w0.weight": "time_mix_w0",
+    "time_mix_a0.weight": "time_mix_a0",
+    "time_mix_a1.weight": "time_mix_a1",
+    "time_mix_a2.weight": "time_mix_a2",
+    "time_mix_v0.weight": "time_mix_v0",
+    "time_mix_v1.weight": "time_mix_v1",
+    "time_mix_v2.weight": "time_mix_v2",
+    "time_mix_g1.weight": "time_mix_g1",
+    "time_mix_g2.weight": "time_mix_g2",
+    "time_mix_k_k.weight": "time_mix_k_k",
+    "time_mix_k_a.weight": "time_mix_k_a",
+    "time_mix_r_k.weight": "time_mix_r_k",
+    "ssm_ba.weight": "ssm_ba",
+    "attn_gate.weight": "attn_gate",
+    # llama.cpp GGUF spelling aliases (llama-arch.cpp LLM_TENSOR_NAMES)
+    "post_attention_norm.weight": "attn_post_norm",
+    "post_ffw_norm.weight": "ffn_post_norm",
     "shortconv.conv.weight": "shortconv_conv",
     "shortconv.in_proj.weight": "shortconv_in",
     "shortconv.out_proj.weight": "shortconv_out",

@@ -65,6 +65,86 @@ def _causal_conv(mem: RecurrentState, il: int, seq_idx, xs: jnp.ndarray,
     return jax.nn.silu(xc), cx[:, T:, :]
 
 
+def _l2norm(x, eps=1e-6):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def gated_delta_layer(cfg, lw, h, mem, seq_idx, il: int):
+    """Qwen3-Next gated DeltaNet mixer (reference src/models/qwen3next.cpp
+    build_layer_attn_linear + delta-net-base.cpp; HF oracle
+    torch_recurrent_gated_delta_rule). Matrix-valued recurrence
+    S_t = S_{t-1}*exp(g_t) + beta_t k_t (v_t - k_t^T S_{t-1}*exp(g_t))
+    run as a lax.scan over tokens -> (out, new_conv, S_T)."""
+    ex = cfg.extra
+    Dk = ex["ssm_d_state"]          # linear_key_head_dim
+    Hk = ex["ssm_n_group"]          # linear_num_key_heads
+    Hv = ex["ssm_dt_rank"]          # linear_num_value_heads
+    d_inner = ex["ssm_d_inner"]     # Hv * Dv
+    Dv = d_inner // Hv
+    R = Hv // Hk
+    key_dim = Hk * Dk
+    d_conv = ex["ssm_d_conv"]
+    B_, T = h.shape[:2]
+
+    # qkvz projection, HF per-k-head interleaved ordering
+    # (modeling_qwen3_next.fix_query_key_value_ordering)
+    qkvz = matmul(h, lw["ssm_in"]).astype(jnp.float32)
+    qkvz = qkvz.reshape(B_, T, Hk, 2 * Dk + 2 * R * Dv)
+    q, k, v, z = jnp.split(qkvz, [Dk, 2 * Dk, 2 * Dk + R * Dv], axis=-1)
+    v = v.reshape(B_, T, Hv, Dv)
+    z = z.reshape(B_, T, Hv, Dv)
+    ba = matmul(h, lw["ssm_ba"]).astype(jnp.float32)
+    ba = ba.reshape(B_, T, Hk, 2 * R)
+    b, a = jnp.split(ba, 2, axis=-1)
+    b = b.reshape(B_, T, Hv)
+    a = a.reshape(B_, T, Hv)
+
+    # causal conv over [q;k;v] channels (silu activation)
+    mixed = jnp.concatenate(
+        [q.reshape(B_, T, key_dim), k.reshape(B_, T, key_dim),
+         v.reshape(B_, T, d_inner)], axis=-1)
+    xc, new_conv = _causal_conv(mem, il, seq_idx, mixed, lw, d_conv)
+    q, k, v = jnp.split(xc, [key_dim, 2 * key_dim], axis=-1)
+    q = q.reshape(B_, T, Hk, Dk)
+    k = k.reshape(B_, T, Hk, Dk)
+    v = v.reshape(B_, T, Hv, Dv)
+
+    q = _l2norm(q) * (Dk ** -0.5)
+    k = _l2norm(k)
+    if R > 1:  # GQA: repeat k-heads across the value heads
+        q = jnp.repeat(q, R, axis=2)
+        k = jnp.repeat(k, R, axis=2)
+
+    beta = jax.nn.sigmoid(b)                              # [B, T, Hv]
+    g = lw["ssm_a"].astype(jnp.float32) * jax.nn.softplus(
+        a + lw["ssm_dt_bias"].astype(jnp.float32))        # [B, T, Hv]
+
+    s0 = mem.ssm[il][seq_idx].astype(jnp.float32)         # [B, Dk, Hv*Dv]
+    s0 = s0.reshape(B_, Dk, Hv, Dv).transpose(0, 2, 1, 3)  # [B, Hv, Dk, Dv]
+
+    def step(S, inp):
+        q_t, k_t, v_t, g_t, b_t = inp  # [B,Hv,Dk] [B,Hv,Dk] [B,Hv,Dv] [B,Hv]
+        S = S * jnp.exp(g_t)[..., None, None]
+        kv_mem = jnp.einsum("bhk,bhkv->bhv", k_t, S)
+        delta = (v_t - kv_mem) * b_t[..., None]
+        S = S + k_t[..., None] * delta[..., None, :]
+        out_t = jnp.einsum("bhk,bhkv->bhv", q_t, S)
+        return S, out_t
+
+    xs = (q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+          v.transpose(1, 0, 2, 3), g.transpose(1, 0, 2),
+          beta.transpose(1, 0, 2))
+    s_T, outs = jax.lax.scan(step, s0, xs)
+    out = outs.transpose(1, 0, 2, 3)                      # [B, T, Hv, Dv]
+
+    # gated per-head rmsnorm (norm-then-gate, weight NOT zero-centered)
+    from ..ops.basic import rms_norm
+    out = rms_norm(out, lw["ssm_norm"], cfg.rms_eps) * jax.nn.silu(z)
+    y = matmul(out.reshape(B_, T, d_inner).astype(h.dtype), lw["ssm_out"])
+    s_T = s_T.transpose(0, 2, 1, 3).reshape(B_, Dk, Hv * Dv)
+    return y, new_conv, s_T
+
+
 def lfm2_shortconv_layer(cfg, lw, h, mem, seq_idx, il: int):
     """LFM2 short convolution mixer (reference src/models/lfm2.cpp
     build_shortconv_block): in_proj -> (B, C, x); y = C * conv(B*x);

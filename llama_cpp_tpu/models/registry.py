@@ -356,6 +356,24 @@ def _rwkv6(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(use_rms_norm=False)
 
 
+@register("rwkv7")
+def _rwkv7(cfg: ModelConfig, md) -> ModelConfig:
+    """RWKV-7 Goose (reference src/models/rwkv7.cpp + rwkv7-base.cpp):
+    rank-1-update wkv state, value residual from layer 0, lora-projected
+    decay/iclr/gate; channel mix without the receptance gate."""
+    a = cfg.arch
+    hs = int(md.get(f"{a}.wkv.head_size", 64))
+    cfg.extra.update(
+        memory="recurrent",
+        rwkv=True,
+        wkv_head_size=hs,
+        ssm_d_conv=3,
+        ssm_d_inner=cfg.n_embd,
+        ssm_d_state=hs,
+    )
+    return cfg.with_(use_rms_norm=False)
+
+
 @register("jamba")
 def _jamba(cfg: ModelConfig, md) -> ModelConfig:
     """Jamba hybrid (reference src/models/jamba.cpp): interleaved mamba-1 and
@@ -369,6 +387,28 @@ def _jamba(cfg: ModelConfig, md) -> ModelConfig:
         ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", -(cfg.n_embd // -16))),
     )
     return cfg.with_(rope_type=ROPE_TYPE_NONE, expert_weights_norm=False)
+
+
+@register("qwen3next")
+def _qwen3next(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen3-Next (reference src/models/qwen3next.cpp): gated DeltaNet
+    linear-attention layers + gated full-attention layers (partial rope),
+    qwen3moe-style MoE with gated shared expert; zero-centered rmsnorm
+    weights arrive +1-folded from the converter."""
+    a = cfg.arch
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 0))
+    cfg.extra.update(
+        memory="hybrid", ssm_version=2,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner,
+        ssm_d_state=int(md.get(f"{a}.ssm.state_size", 128)),
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", 1)),
+        ssm_n_group=int(md.get(f"{a}.ssm.group_count", 1)),
+        ssm_conv_dim=2 * int(md.get(f"{a}.ssm.group_count", 1))
+        * int(md.get(f"{a}.ssm.state_size", 128)) + d_inner,
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     expert_weights_norm=True, n_expert_shared=1)
 
 
 @register("lfm2")

@@ -47,6 +47,101 @@ def wkv6_scan(s0, r, k, v, w, u):
     return y, s_all[:, -1]
 
 
+def wkv7_scan(s0, r, w, k, v, a, b):
+    """RWKV-7 wkv recurrence (reference ggml_compute_forward_rwkv_wkv7_f32,
+    ggml/src/ggml-cpu/ops.cpp:11234): per head with state S[i, j]
+      sa_i = sum_j a_j S[i,j];  S[i,j] = S[i,j] w_j + v_i k_j + sa_i b_j
+      out_i = sum_j S[i,j] r_j
+    inputs [B,T,H,hs]; s0 [B,H,i,j] -> (out [B,T,H,hs], s_T)."""
+
+    def step(S, inp):
+        r_t, w_t, k_t, v_t, a_t, b_t = inp
+        sa = jnp.einsum("bhj,bhij->bhi", a_t, S)
+        S = (S * w_t[:, :, None, :] + v_t[..., None] * k_t[:, :, None, :]
+             + sa[..., None] * b_t[:, :, None, :])
+        out = jnp.einsum("bhj,bhij->bhi", r_t, S)
+        return S, out
+
+    xs = tuple(t.transpose(1, 0, 2, 3) for t in (r, w, k, v, a, b))
+    sT, outs = jax.lax.scan(step, s0.astype(jnp.float32), xs)
+    return outs.transpose(1, 0, 2, 3), sT
+
+
+def _l2norm_head(x, eps):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def time_mix7(cfg, lw, x, shift, s0, v_first):
+    """RWKV-7 time mix (reference src/models/rwkv7-base.cpp
+    build_rwkv7_time_mix) -> (out, new_shift, s_T, v_first)."""
+    B, T, E = x.shape
+    hs = cfg.extra["wkv_head_size"]
+    H = E // hs
+
+    x_prev = jnp.concatenate([shift[:, None], x[:, :-1]], axis=1)
+    sx = x_prev - x
+    has_g = "time_mix_g1" in lw
+    lf = lw["time_mix_lerp_fused"].reshape(-1, E)  # [6 or 5, E]: r,w,k,v,a,g
+    xr, xw, xk, xv, xa = (x + sx * lf[i] for i in range(5))
+    xg = x + sx * lf[5] if has_g else None
+
+    r = matmul(xr, lw["time_mix_receptance"], dtype=jnp.float32)
+    w = matmul(jnp.tanh(matmul(xw, lw["time_mix_w1"], dtype=jnp.float32)),
+               lw["time_mix_w2"], dtype=jnp.float32)
+    w = w + lw["time_mix_w0"].reshape(1, 1, E)
+    w = jnp.exp(-0.606531 * jax.nn.sigmoid(w))  # e^(-e^-0.5 * sig) in [~0.55, 1]
+
+    k = matmul(xk, lw["time_mix_key"], dtype=jnp.float32)
+    v = matmul(xv, lw["time_mix_value"], dtype=jnp.float32)
+    if v_first is None:
+        v_first = v
+    else:
+        vmix = jax.nn.sigmoid(
+            matmul(matmul(xv, lw["time_mix_v1"], dtype=jnp.float32),
+                   lw["time_mix_v2"], dtype=jnp.float32)
+            + lw["time_mix_v0"].reshape(1, 1, E))
+        v = v + (v_first - v) * vmix
+    a = jax.nn.sigmoid(
+        matmul(matmul(xa, lw["time_mix_a1"], dtype=jnp.float32),
+               lw["time_mix_a2"], dtype=jnp.float32)
+        + lw["time_mix_a0"].reshape(1, 1, E))
+    g = None
+    if has_g:
+        g = matmul(jax.nn.sigmoid(matmul(xg, lw["time_mix_g1"], dtype=jnp.float32)),
+                   lw["time_mix_g2"], dtype=jnp.float32)
+
+    kk = (k * lw["time_mix_k_k"]).reshape(B, T, H, hs)
+    kk = _l2norm_head(kk, 1e-12)
+    ka = k * lw["time_mix_k_a"]
+    k = k + a * ka - ka
+
+    rh = r.reshape(B, T, H, hs)
+    wh = w.reshape(B, T, H, hs)
+    kh = k.reshape(B, T, H, hs)
+    vh = v.reshape(B, T, H, hs)
+    ah = a.reshape(B, T, H, hs)
+
+    s0h = s0.reshape(B, hs, H, hs).transpose(0, 2, 1, 3)  # [B,H,i,j]
+    y, sT = wkv7_scan(s0h, rh, wh, kh, vh, -kk, kk * ah)
+
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(-1, keepdims=True)
+    var = jnp.var(yf, axis=-1, keepdims=True)
+    yn = (yf - mu) * jax.lax.rsqrt(var + 64e-5)
+    yn = yn.reshape(B, T, E)
+    yn = yn * lw["time_mix_ln"] + lw["time_mix_ln_bias"]
+
+    # bonus: per-head (r . k . r_k) scalar re-injects v
+    rk = jnp.sum(kh * rh * lw["time_mix_r_k"].reshape(H, hs), axis=-1,
+                 keepdims=True)  # [B,T,H,1]
+    yn = yn + (vh * rk).reshape(B, T, E)
+    if g is not None:
+        yn = yn * g
+    out = matmul(yn, lw["time_mix_output"], dtype=jnp.float32)
+    sT_flat = sT.transpose(0, 2, 1, 3).reshape(B, hs, E)
+    return out, x[:, -1], sT_flat, v_first
+
+
 def _lerp_mix(cur, sx, delta, lerp):
     return cur + sx * (delta + lerp)
 
@@ -117,10 +212,13 @@ def channel_mix(cfg, lw, x, shift):
     sx = x_prev - x
     E = x.shape[-1]
     xk = x + sx * lw["channel_mix_lerp_k"].reshape(1, 1, E)
-    xr = x + sx * lw["channel_mix_lerp_r"].reshape(1, 1, E)
-    r = jax.nn.sigmoid(matmul(xr, lw["channel_mix_receptance"], dtype=jnp.float32))
     k = jnp.square(jax.nn.relu(matmul(xk, lw["channel_mix_key"], dtype=jnp.float32)))
-    return r * matmul(k, lw["channel_mix_value"], dtype=jnp.float32), x[:, -1]
+    out = matmul(k, lw["channel_mix_value"], dtype=jnp.float32)
+    if "channel_mix_receptance" in lw:  # rwkv6 gate; rwkv7 drops it
+        xr = x + sx * lw["channel_mix_lerp_r"].reshape(1, 1, E)
+        out = out * jax.nn.sigmoid(
+            matmul(xr, lw["channel_mix_receptance"], dtype=jnp.float32))
+    return out, x[:, -1]
 
 
 def forward(
@@ -143,12 +241,17 @@ def forward(
                    params.get("token_embd_norm_bias"), cfg.norm_eps)
     rescale = int(cfg.extra.get("rescale_every", 0))
 
+    v_first = None
     for il, lw in enumerate(params["layers"]):
         shifts = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, 2, E]
         att_norm = layer_norm(x, lw.get("attn_norm"), lw.get("attn_norm_bias"),
                               cfg.norm_eps)
         s0 = mem.ssm[il][seq_idx]  # [B, hs, E]
-        att, att_shift, sT = time_mix(cfg, lw, att_norm, shifts[:, 0], s0)
+        if "time_mix_w0" in lw:  # rwkv7 time mix
+            att, att_shift, sT, v_first = time_mix7(
+                cfg, lw, att_norm, shifts[:, 0], s0, v_first)
+        else:
+            att, att_shift, sT = time_mix(cfg, lw, att_norm, shifts[:, 0], s0)
         x = x + att
 
         ffn_norm = layer_norm(x, lw.get("attn_norm_2"),

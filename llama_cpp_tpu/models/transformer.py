@@ -271,6 +271,11 @@ def attention_block(
             preferred_element_type=jnp.float32,
         )
         out = out.reshape(B, T, H * Dv).astype(x.dtype)
+    if "attn_gate" in lw:
+        # qwen3next output gate: sigmoid(gate_proj(x)) scales the attention
+        # output before o_proj (reference qwen3next.cpp build_layer_attn)
+        out = out * jax.nn.sigmoid(
+            matmul(x, lw["attn_gate"], dtype=jnp.float32)).astype(out.dtype)
     _tap(il, "attn_output", out)
     out = matmul(out, lw["attn_output"])
     if "attn_output_bias" in lw:
@@ -685,7 +690,17 @@ def forward(
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
-        if "shortconv_in" in lw:
+        if "ssm_ba" in lw:
+            # qwen3next gated DeltaNet mixer (hybrid memory)
+            from dataclasses import replace as _replace
+
+            from . import mamba as _mamba
+
+            attn, new_conv, s_last = _mamba.gated_delta_layer(
+                cfg, lw, h, kv.rs, inputs.seq_idx, il)
+            attn = attn.astype(x.dtype)
+            kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))
+        elif "shortconv_in" in lw:
             # LFM2 short-conv mixer (hybrid memory, conv window state only)
             from dataclasses import replace as _replace
 

@@ -134,6 +134,7 @@ class ServerApp:
             ),
             stop_strings=list(stop),
             grammar=grammar,
+            cache_prompt=bool(body.get("cache_prompt", True)),
         )
 
     # -- endpoints -------------------------------------------------------

@@ -46,6 +46,7 @@ class GenTask:
     done_cb: Callable[[dict], None] | None = None
     task_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
     n_probs: int = 0
+    cache_prompt: bool = True  # reuse common KV prefix (reference default)
     cancelled: bool = False
 
 
@@ -58,12 +59,16 @@ class Slot:
     grammar: GrammarSampler | None = None
     prompt_pos: int = 0
     generated: list[int] = field(default_factory=list)
+    cache_tokens: list[int] = field(default_factory=list)  # tokens in KV
     text: str = ""
     sent_text_len: int = 0
     t_start: float = 0.0
     t_first_token: float = 0.0
 
     def reset(self):
+        # cache_tokens survives reset: the KV keeps the old sequence so the
+        # next request can reuse a common prefix (server prompt cache,
+        # reference tools/server update_slots prompt reuse)
         self.state = SlotState.IDLE
         self.task = None
         self.sampler = None
@@ -92,6 +97,7 @@ class Scheduler:
             "requests_total": 0,
             "tokens_predicted_total": 0,
             "tokens_prompt_total": 0,
+            "tokens_prompt_cached_total": 0,
             "busy_slots": 0,
         }
 
@@ -132,7 +138,21 @@ class Scheduler:
         # sampler sees the prompt for penalties context
         for t in task.prompt_ids[-task.params.n_prev :]:
             slot.sampler.state.prev.append(t)
-        self.ctx.seq_rm(slot.idx)
+        # prompt cache: keep the longest common prefix with what this slot's
+        # KV already holds; re-decode only the divergent tail (at least the
+        # final token, whose logits we need)
+        n_keep = 0
+        if task.cache_prompt:
+            limit = min(len(slot.cache_tokens), len(task.prompt_ids) - 1)
+            while n_keep < limit and slot.cache_tokens[n_keep] == task.prompt_ids[n_keep]:
+                n_keep += 1
+        if n_keep > 0:
+            self.ctx.seq_rm(slot.idx, p0=n_keep)
+            slot.prompt_pos = n_keep
+            self.metrics["tokens_prompt_cached_total"] += n_keep
+        else:
+            self.ctx.seq_rm(slot.idx)
+        slot.cache_tokens = list(task.prompt_ids)
 
     def _finish(self, slot: Slot, reason: str):
         task = slot.task
@@ -190,10 +210,18 @@ class Scheduler:
                     pass
 
     def _admit(self, task: GenTask):
-        for slot in self.slots:
-            if slot.state == SlotState.IDLE:
-                self._launch(slot, task)
-                return
+        free = [s for s in self.slots if s.state == SlotState.IDLE]
+        if free:
+            # pick the slot whose cached tokens share the longest prefix
+            # (reference server slot selection by prompt similarity)
+            def common(slot):
+                n = 0
+                lim = min(len(slot.cache_tokens), len(task.prompt_ids))
+                while n < lim and slot.cache_tokens[n] == task.prompt_ids[n]:
+                    n += 1
+                return n
+            self._launch(max(free, key=common), task)
+            return
         # no free slot: requeue at the back (deferred task)
         self.tasks.put(task)
         time.sleep(0.005)
@@ -263,6 +291,8 @@ class Scheduler:
 
     def _emit_token(self, slot: Slot, logits: np.ndarray):
         task = slot.task
+        # the token sampled here is decoded into the KV on the next step;
+        # record it so future requests can reuse prompt+generation prefixes
         tok = self.ctx.model.tokenizer
         lg = np.array(logits, dtype=np.float32)
         if slot.grammar is not None:
@@ -271,6 +301,7 @@ class Scheduler:
         if slot.grammar is not None:
             slot.grammar.accept(token)
         slot.generated.append(token)
+        slot.cache_tokens.append(token)
         if not slot.t_first_token:
             slot.t_first_token = time.perf_counter() - slot.t_start
 

@@ -201,6 +201,89 @@ def make_tiny_rwkv6_gguf(
     return path
 
 
+def make_tiny_rwkv7_gguf(
+    path: str,
+    vocab_size: int = 256,
+    n_layers: int = 2,
+    n_embd: int = 64,
+    head_size: int = 16,
+    n_ff: int = 128,
+    seed: int = 0,
+    gated: bool = True,
+) -> str:
+    """Random-weight RWKV-7 GGUF (reference rwkv7 tensor layout,
+    src/models/rwkv7.cpp load_arch_tensors)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "rwkv7")
+    w.add(Keys.General.NAME, "tiny-rwkv7")
+    w.add("rwkv7.block_count", np.uint32(n_layers))
+    w.add("rwkv7.context_length", np.uint32(1 << 20))
+    w.add("rwkv7.embedding_length", np.uint32(n_embd))
+    w.add("rwkv7.feed_forward_length", np.uint32(n_ff))
+    w.add("rwkv7.wkv.head_size", np.uint32(head_size))
+    w.add("rwkv7.attention.layer_norm_epsilon", 1e-5)
+    w.add("rwkv7.attention.head_count", np.uint32(0))
+    w.add("rwkv7.vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    vocab[Keys.Tokenizer.TOKENS] = vocab[Keys.Tokenizer.TOKENS][:vocab_size]
+    vocab[Keys.Tokenizer.SCORES] = vocab[Keys.Tokenizer.SCORES][:vocab_size]
+    vocab[Keys.Tokenizer.TOKEN_TYPE] = vocab[Keys.Tokenizer.TOKEN_TYPE][:vocab_size]
+    w.add_all(vocab)
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    H = n_embd // head_size
+    rk = 8
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.05))
+    emit("token_embd_norm.weight", 1 + rand(n_embd, scale=0.02))
+    emit("token_embd_norm.bias", rand(n_embd, scale=0.02))
+    emit("output_norm.weight", 1 + rand(n_embd, scale=0.02))
+    emit("output_norm.bias", rand(n_embd, scale=0.02))
+    emit("output.weight", rand(vocab_size, n_embd))
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "attn_norm.bias", rand(n_embd, scale=0.02))
+        emit(b + "attn_norm_2.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "attn_norm_2.bias", rand(n_embd, scale=0.02))
+        emit(b + "time_mix_lerp_fused.weight",
+             rand(6 if gated else 5, 1, 1, n_embd, scale=0.3))
+        emit(b + "time_mix_w0.weight", rand(n_embd, scale=0.3))
+        emit(b + "time_mix_w1.weight", rand(rk, n_embd))
+        emit(b + "time_mix_w2.weight", rand(n_embd, rk))
+        emit(b + "time_mix_a0.weight", rand(n_embd, scale=0.3))
+        emit(b + "time_mix_a1.weight", rand(rk, n_embd))
+        emit(b + "time_mix_a2.weight", rand(n_embd, rk))
+        if i > 0:
+            emit(b + "time_mix_v0.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_v1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_v2.weight", rand(n_embd, rk))
+        if gated:
+            emit(b + "time_mix_g1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_g2.weight", rand(n_embd, rk))
+        emit(b + "time_mix_k_k.weight", rand(n_embd, scale=0.3))
+        emit(b + "time_mix_k_a.weight", rand(n_embd, scale=0.3))
+        emit(b + "time_mix_r_k.weight", rand(H, head_size, scale=0.3))
+        emit(b + "time_mix_key.weight", rand(n_embd, n_embd))
+        emit(b + "time_mix_value.weight", rand(n_embd, n_embd))
+        emit(b + "time_mix_receptance.weight", rand(n_embd, n_embd))
+        emit(b + "time_mix_ln.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "time_mix_ln.bias", rand(n_embd, scale=0.02))
+        emit(b + "time_mix_output.weight", rand(n_embd, n_embd))
+        emit(b + "channel_mix_lerp_k.weight", rand(n_embd, scale=0.3))
+        emit(b + "channel_mix_key.weight", rand(n_ff, n_embd))
+        emit(b + "channel_mix_value.weight", rand(n_embd, n_ff))
+    w.write(path)
+    return path
+
+
 def make_tiny_gpt_oss_gguf(
     path: str,
     vocab_size: int = 1024,

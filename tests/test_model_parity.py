@@ -1112,3 +1112,47 @@ def test_lfm2(tmp_path):
                        np.arange(len(tokens) + 1)[None, :],
                        np.asarray([len(tokens)]))
     np.testing.assert_allclose(step, both[0], rtol=4e-4, atol=4e-4)
+
+
+def test_qwen3_next(tmp_path):
+    """Qwen3-Next: gated DeltaNet linear attention + gated full attention
+    (partial rope) + MoE with gated shared expert (reference
+    src/models/qwen3next.cpp, delta-net-base.cpp)."""
+    from transformers.models.qwen3_next import (
+        Qwen3NextConfig, Qwen3NextForCausalLM)
+    cfg = Qwen3NextConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        moe_intermediate_size=32, shared_expert_intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=3, full_attention_interval=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=True, use_cache=False, pad_token_id=0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(93)
+    hf = Qwen3NextForCausalLM(cfg).eval()
+    path = str(tmp_path / "q3n.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 9, 7, 90, 22, 3]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    from llama_cpp_tpu.runtime.context import Context
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra["memory"] == "hybrid"
+    assert "ssm_ba" in m.params["layers"][0]
+    assert "attn_gate" in m.params["layers"][1]
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    ours = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                      np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    np.testing.assert_allclose(ours, ref, rtol=6e-4, atol=6e-4)
+
+    # decode continuation through conv window + delta state
+    ctx.seq_len[0] = len(tokens)
+    step = ctx.decode_one(11)
+    ctx2 = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    both = ctx2.decode(np.asarray(tokens + [11])[None, :], np.asarray([0]),
+                       np.arange(len(tokens) + 1)[None, :],
+                       np.asarray([len(tokens)]))
+    np.testing.assert_allclose(step, both[0], rtol=5e-4, atol=5e-4)

@@ -254,3 +254,39 @@ def test_chat_tools_roundtrip(served):
         await client.close()
 
     _run(flow())
+
+
+def test_prompt_cache_prefix_reuse(served):
+    """A follow-up request sharing a prompt prefix must reuse the slot's KV
+    (reference tools/server update_slots prompt reuse), and must produce the
+    same tokens as a cold run."""
+    import threading
+
+    from llama_cpp_tpu.sampling.samplers import SamplingParams
+    from llama_cpp_tpu.server.scheduler import GenTask
+
+    sched = served.sched
+
+    def run(prompt_ids, cache=True):
+        ev = threading.Event()
+        out = {}
+
+        def done(res):
+            out.update(res)
+            ev.set()
+
+        sched.submit(GenTask(prompt_ids=prompt_ids,
+                             params=SamplingParams(temp=0.0), max_tokens=3,
+                             cache_prompt=cache, done_cb=done))
+        assert ev.wait(60)
+        return out
+
+    prefix = list(range(5, 45))  # 40 shared tokens
+    r1 = run(prefix + [50])
+    cached0 = sched.metrics["tokens_prompt_cached_total"]
+    r2 = run(prefix + [60])
+    assert sched.metrics["tokens_prompt_cached_total"] >= cached0 + 30
+
+    # correctness: cached-path output == cold output for the same prompt
+    r3 = run(prefix + [60], cache=False)
+    assert r2["tokens"] == r3["tokens"]
