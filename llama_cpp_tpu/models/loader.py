@@ -352,7 +352,7 @@ def load_model(
             f"layer {i} has neither attention nor ssm/conv mixer"
             for i, lw in enumerate(layers)
             if "ssm_in" not in lw and "attn_output" not in lw
-            and "shortconv_in" not in lw
+            and "shortconv_in" not in lw and "ffn_up" not in lw
         ]
     if missing:
         raise ValueError(f"model load incomplete: {missing[:4]}")

@@ -439,6 +439,43 @@ def _lfm2moe(cfg: ModelConfig, md) -> ModelConfig:
     )
 
 
+@register("dream")
+def _dream(cfg: ModelConfig, md) -> ModelConfig:
+    """Dream 7B diffusion LM (reference src/models/dream.cpp): qwen2 graph
+    with full bidirectional attention; generation via iterative unmasking
+    (examples/diffusion)."""
+    cfg.extra.update(non_causal=True, diffusion=True, diffusion_shift_logits=True)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, attn_bias=True)
+
+
+@register("llada")
+def _llada(cfg: ModelConfig, md) -> ModelConfig:
+    """LLaDA 8B diffusion LM (reference src/models/llada.cpp): llama graph
+    with full bidirectional attention."""
+    cfg.extra.update(non_causal=True, diffusion=True, diffusion_shift_logits=False)
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("nemotron_h")
+def _nemotron_h(cfg: ModelConfig, md) -> ModelConfig:
+    """Nemotron-H (reference src/models/nemotron-h.cpp): each layer is ONE
+    block — mamba-2, NoPE attention, or relu^2 FFN — on a shared norm."""
+    a = cfg.arch
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd))
+    d_state = int(md.get(f"{a}.ssm.state_size", 128))
+    n_group = int(md.get(f"{a}.ssm.group_count", 1))
+    cfg.extra.update(
+        memory="hybrid", ssm_version=2,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner, ssm_d_state=d_state,
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", d_inner // 64)),
+        ssm_n_group=n_group,
+        ssm_conv_dim=d_inner + 2 * n_group * d_state,
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, act="relu2", glu=False,
+                     attn_scale=float(md.get(f"{a}.attention.scale", 0.0)))
+
+
 @register("falcon-h1")
 def _falcon_h1(cfg: ModelConfig, md) -> ModelConfig:
     """Falcon-H1 (reference src/models/falcon-h1.cpp): EVERY layer runs

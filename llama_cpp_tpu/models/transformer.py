@@ -204,7 +204,9 @@ def attention_block(
     # sub-128 head dims underutilize the MXU lanes in the kernel; there the
     # XLA einsum path wins for tiny decode row counts (T*G < 16)
     rows = T * (H // Hkv)
-    use_flash = flash_supported(Dk, Dv, kvc.n_slots) and cfg.alibi_bias == 0.0
+    non_causal = cfg.extra.get("non_causal", False)
+    use_flash = (flash_supported(Dk, Dv, kvc.n_slots)
+                 and cfg.alibi_bias == 0.0 and not non_causal)
     if use_flash and min(Dk, Dv) < 128 and rows < 16:
         use_flash = False
     if use_flash:
@@ -228,6 +230,8 @@ def attention_block(
 
         valid = slot_pos >= 0
         causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]
+        if non_causal:  # diffusion LMs (dream/llada): full bidirectional
+            causal = jnp.ones_like(causal)
         mask = valid[:, None, :] & causal
         if window > 0:
             mask = mask & (
@@ -690,6 +694,25 @@ def forward(
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
+        if ("attn_output" not in lw and "ssm_in" not in lw
+                and "shortconv_in" not in lw):
+            # mixer-less block (nemotron-h "F" layers): the whole block is
+            # one FFN on the shared norm (reference nemotron-h.cpp
+            # build_ffn_layer; x = x + ffn(norm(x)))
+            if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
+                ff = moe_block(cfg, lw, h)
+                if "ffn_up_shexp" in lw and "ffn_gate_shexp" not in lw:
+                    # non-gated shared expert (relu2): up -> act -> down
+                    hsh = ACTIVATIONS[cfg.act](matmul(h, lw["ffn_up_shexp"]))
+                    ff = ff + matmul(hsh, lw["ffn_down_shexp"]).astype(ff.dtype)
+                ff = ff.astype(x.dtype)
+            else:
+                ff = ffn_block(cfg, lw, h, il)
+            x = x + (ff * cfg.residual_scale if cfg.residual_scale != 1.0 else ff)
+            if "cvec" in params:
+                x = x + params["cvec"][il].astype(x.dtype)
+            _tap(il, "l_out", x)
+            continue
         if "ssm_ba" in lw:
             # qwen3next gated DeltaNet mixer (hybrid memory)
             from dataclasses import replace as _replace
@@ -757,6 +780,13 @@ def forward(
         else:
             x = x + (attn * rscale if rscale != 1.0 else attn)
 
+            if ("ffn_up" not in lw and "ffn_gateup" not in lw
+                    and "ffn_gate_exps" not in lw):
+                # mixer-only block (nemotron-h M/A layers): no FFN half
+                if "cvec" in params:
+                    x = x + params["cvec"][il].astype(x.dtype)
+                _tap(il, "l_out", x)
+                continue
             h = x if cfg.norm_after else norm(cfg, x, lw, "ffn_norm")
             if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
                 ff = moe_block(cfg, lw, h)

@@ -87,6 +87,9 @@ class Context:
         self.prefill_buckets = [b for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048) if b <= max(n_ubatch, 8)]
         if not self.prefill_buckets:
             self.prefill_buckets = [n_ubatch]
+        elif self.prefill_buckets[-1] < n_ubatch:
+            # non-power-of-two ubatch: the largest bucket must still hold it
+            self.prefill_buckets.append(n_ubatch)
         self._steps: dict[int, Callable] = {}
 
     # ------------------------------------------------------------------

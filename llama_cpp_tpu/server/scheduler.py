@@ -242,7 +242,10 @@ class Scheduler:
             1 for s in self.slots if s.state != SlotState.IDLE
         )
 
-        # 1) prompt processing: chunk one slot's prompt per iteration
+        # 1) prompt processing: chunk one slot's prompt per iteration, then
+        # FALL THROUGH to a decode step so generating slots are not starved
+        # by a long prompt (reference update_slots packs both in one batch)
+        did_prompt = False
         for slot in self.slots:
             if slot.state != SlotState.PROMPT:
                 continue
@@ -259,12 +262,13 @@ class Scheduler:
             if is_last:
                 slot.state = SlotState.GENERATING
                 self._emit_token(slot, logits)
-            return True
+            did_prompt = True
+            break
 
         # 2) one batched decode step across all generating slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
-            return False
+            return did_prompt
         for s in list(gen):
             if s.task.cancelled:
                 self._finish(s, "cancelled")

@@ -284,6 +284,142 @@ def make_tiny_rwkv7_gguf(
     return path
 
 
+def make_tiny_nemotron_h_gguf(
+    path: str,
+    vocab_size: int = 128,
+    n_embd: int = 48,
+    seed: int = 0,
+) -> str:
+    """Random-weight Nemotron-H GGUF: layer pattern [M, A, F, M, F]
+    (reference src/models/nemotron-h.cpp: one block per layer)."""
+    rng = np.random.default_rng(seed)
+    d_inner = 64
+    d_state = 16
+    nh = 4
+    d_conv = 4
+    n_group = 1
+    conv_dim = d_inner + 2 * n_group * d_state
+    n_head, n_kv, hd = 4, 2, 12
+    n_ff = 96
+    pattern = "MAFMF"
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "nemotron_h")
+    w.add(Keys.General.NAME, "tiny-nemotron-h")
+    P = "nemotron_h."
+    w.add(P + "block_count", np.uint32(len(pattern)))
+    w.add(P + "context_length", np.uint32(1 << 16))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(n_ff))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv))
+    w.add(P + "attention.key_length", np.uint32(hd))
+    w.add(P + "attention.value_length", np.uint32(hd))
+    w.add(P + "attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(P + "ssm.conv_kernel", np.uint32(d_conv))
+    w.add(P + "ssm.inner_size", np.uint32(d_inner))
+    w.add(P + "ssm.state_size", np.uint32(d_state))
+    w.add(P + "ssm.time_step_rank", np.uint32(nh))
+    w.add(P + "ssm.group_count", np.uint32(n_group))
+    w.add(P + "vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES, Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:vocab_size]
+    w.add_all(vocab)
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.05))
+    emit("output_norm.weight", 1 + rand(n_embd, scale=0.02))
+    emit("output.weight", rand(vocab_size, n_embd))
+    for i, kind in enumerate(pattern):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        if kind == "M":
+            emit(b + "ssm_in.weight", rand(2 * d_inner + 2 * n_group * d_state + nh, n_embd))
+            emit(b + "ssm_conv1d.weight", rand(conv_dim, d_conv, scale=0.4))
+            emit(b + "ssm_dt.bias", rand(nh, scale=0.3))
+            emit(b + "ssm_a", -np.exp(rng.standard_normal((nh, 1))).astype(np.float32) * 0.5)
+            emit(b + "ssm_d", rand(nh, 1, scale=0.3))
+            emit(b + "ssm_norm.weight", 1 + rand(n_group, d_inner // n_group, scale=0.02))
+            emit(b + "ssm_out.weight", rand(n_embd, d_inner))
+        elif kind == "A":
+            emit(b + "attn_q.weight", rand(n_head * hd, n_embd))
+            emit(b + "attn_k.weight", rand(n_kv * hd, n_embd))
+            emit(b + "attn_v.weight", rand(n_kv * hd, n_embd))
+            emit(b + "attn_output.weight", rand(n_embd, n_head * hd))
+        else:
+            emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+            emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write(path)
+    return path
+
+
+def make_tiny_diffusion_gguf(path: str, arch: str = "llada",
+                             vocab_size: int = 160, seed: int = 0) -> str:
+    """Random-weight diffusion-LM GGUF (llada = llama graph, dream = qwen2
+    graph; reference src/models/llada.cpp, dream.cpp). Last vocab id is the
+    mask token."""
+    rng = np.random.default_rng(seed)
+    n_embd, n_heads, n_kv, n_ff, n_layers = 48, 4, 2, 96, 2
+    hd = n_embd // n_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, f"tiny-{arch}")
+    P = arch + "."
+    w.add(P + "block_count", np.uint32(n_layers))
+    w.add(P + "context_length", np.uint32(256))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(n_ff))
+    w.add(P + "attention.head_count", np.uint32(n_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv))
+    w.add(P + "attention.key_length", np.uint32(hd))
+    w.add(P + "attention.value_length", np.uint32(hd))
+    w.add(P + "attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(P + "rope.freq_base", 10000.0)
+    w.add(P + "rope.dimension_count", np.uint32(hd))
+    w.add(P + "vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES, Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:vocab_size]
+    vocab[Keys.Tokenizer.MASK_ID] = np.uint32(vocab_size - 1)
+    w.add_all(vocab)
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.05))
+    emit("output_norm.weight", 1 + rand(n_embd, scale=0.02))
+    emit("output.weight", rand(vocab_size, n_embd))
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "ffn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "attn_q.weight", rand(n_heads * hd, n_embd))
+        emit(b + "attn_k.weight", rand(n_kv * hd, n_embd))
+        emit(b + "attn_v.weight", rand(n_kv * hd, n_embd))
+        emit(b + "attn_output.weight", rand(n_embd, n_heads * hd))
+        if arch == "dream":  # qwen2-style qkv biases
+            emit(b + "attn_q.bias", rand(n_heads * hd, scale=0.1))
+            emit(b + "attn_k.bias", rand(n_kv * hd, scale=0.1))
+            emit(b + "attn_v.bias", rand(n_kv * hd, scale=0.1))
+        emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write(path)
+    return path
+
+
 def make_tiny_gpt_oss_gguf(
     path: str,
     vocab_size: int = 1024,

@@ -33,6 +33,7 @@ class Vocab:
     unk_id: int = -1
     sep_id: int = -1
     pad_id: int = -1
+    mask_id: int = -1
 
     add_bos: bool = True
     add_eos: bool = False
@@ -78,6 +79,7 @@ class Vocab:
             unk_id=int(_get(K.UNK_ID, 0 if model == "llama" else -1)),
             sep_id=int(_get(K.SEP_ID, -1)),
             pad_id=int(_get(K.PAD_ID, -1)),
+            mask_id=int(_get(K.MASK_ID, -1)),
             add_bos=bool(_get(K.ADD_BOS, model == "llama")),
             add_eos=bool(_get(K.ADD_EOS, False)),
             add_sep=bool(_get(K.ADD_SEP, False)),
