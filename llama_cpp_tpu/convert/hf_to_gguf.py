@@ -157,6 +157,10 @@ def convert_hf_model(
         "lfm2": "lfm2",
         "lfm2_moe": "lfm2moe",
         "qwen3_next": "qwen3next",
+        "arcee": "arcee",
+        "apertus": "apertus",
+        "chameleon": "chameleon",
+        "modernbert": "modern-bert",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -177,6 +181,9 @@ def convert_hf_model(
         return _convert_dbrx(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "t5":
         return _convert_t5(model, out_path, ftype, tokenizer, vocab_override)
+    if arch == "modern-bert":
+        return _convert_modernbert(model, out_path, ftype, tokenizer,
+                                   vocab_override)
     if arch == "qwen3next":
         return _convert_qwen3next(model, out_path, ftype, tokenizer,
                                   vocab_override)
@@ -317,6 +324,23 @@ def convert_hf_model(
             base = float(getattr(cfg, "rope_theta", 10000.0))
             w.add(P + "rope.freq_base",
                   float(base * alpha ** (head_dim / (head_dim - 2))))
+    if mtype == "apertus":
+        sdp = model.state_dict()
+        import torch as _torch
+        ap, an, bt, ep = [], [], [], []
+        for i in range(cfg.num_hidden_layers):
+            pfx = f"model.layers.{i}.mlp.act_fn."
+            beta = float(sdp[pfx + "beta"].float())
+            ap.append(float(_torch.nn.functional.softplus(sdp[pfx + "alpha_p"].float())[0]))
+            an.append(beta + float(_torch.nn.functional.softplus(sdp[pfx + "alpha_n"].float())[0]))
+            bt.append(beta)
+            ep.append(float(sdp[pfx + "eps"].float()))
+        w.add(P + "xielu_alpha_p", ap)
+        w.add(P + "xielu_alpha_n", an)
+        w.add(P + "xielu_beta", bt)
+        w.add(P + "xielu_eps", ep)
+    if mtype == "chameleon":
+        w.add(P + "swin_norm", bool(getattr(cfg, "swin_norm", False)))
     if mtype in ("granite", "granitemoe"):
         w.add(P + "embedding_scale", float(cfg.embedding_multiplier))
         w.add(P + "residual_scale", float(cfg.residual_multiplier))
@@ -342,7 +366,8 @@ def convert_hf_model(
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
     # NORM-rope archs with HF rotate_half layout need the q/k permute
     # (cohere/glm4 use interleaved rotary natively: NORM with no permute)
-    permute = arch in ("llama", "granite", "granitemoe", "smollm3", "olmo")
+    permute = arch in ("llama", "granite", "granitemoe", "smollm3", "olmo",
+                       "arcee", "chameleon")
     # gemma stores rmsnorm weights as (w - 1); nemotron uses layernorm1p
     norm_p1 = mtype in ("gemma", "gemma2", "gemma3_text", "nemotron")
 
@@ -370,6 +395,9 @@ def convert_hf_model(
         p = f"model.layers.{i}."
         b = f"blk.{i}."
         emit_norm(b + "attn_norm.weight", p + "input_layernorm.weight")
+        if mtype == "apertus":
+            emit_norm(b + "attn_norm.weight", p + "attention_layernorm.weight")
+            emit_norm(b + "ffn_norm.weight", p + "feedforward_layernorm.weight")
         if get(p + "input_layernorm.bias") is not None:
             _emit(w, b + "attn_norm.bias", get(p + "input_layernorm.bias"), ftype)
         if mtype == "phi3":
@@ -401,7 +429,26 @@ def convert_hf_model(
         if ob is not None:
             _emit(w, b + "attn_output.bias", ob, ftype)
         qn = get(p + "self_attn.q_norm.weight")
-        if qn is not None:
+        if mtype == "chameleon" and qn is not None:
+            # permuted-rope layout needs the same channel reorder on the
+            # per-head q/k norm params (reference conversion/chameleon.py
+            # _reverse_hf_permute)
+            def rev(a, heads):
+                # [H, hd] per-head affine; reorder channels within each head
+                a2 = np.asarray(a).reshape(heads, -1)
+                hd = a2.shape[1]
+                return np.ascontiguousarray(
+                    a2.reshape(heads, 2, hd // 2).transpose(0, 2, 1)
+                    .reshape(heads, hd))
+            _emit(w, b + "attn_q_norm.weight", rev(qn, n_head), ftype)
+            _emit(w, b + "attn_k_norm.weight",
+                  rev(get(p + "self_attn.k_norm.weight"), n_kv), ftype)
+            if get(p + "self_attn.q_norm.bias") is not None:
+                _emit(w, b + "attn_q_norm.bias",
+                      rev(get(p + "self_attn.q_norm.bias"), n_head), ftype)
+                _emit(w, b + "attn_k_norm.bias",
+                      rev(get(p + "self_attn.k_norm.bias"), n_kv), ftype)
+        elif qn is not None:
             emit_norm(b + "attn_q_norm.weight", p + "self_attn.q_norm.weight")
             emit_norm(b + "attn_k_norm.weight", p + "self_attn.k_norm.weight")
         if get(p + "self_attn.query_layernorm.weight") is not None:  # hunyuan
@@ -457,7 +504,7 @@ def convert_hf_model(
             _emit(w, b + "ffn_down.weight", get(p + "mlp.c_proj.weight"), ftype)
             _emit(w, b + "ffn_down.bias", get(p + "mlp.c_proj.bias"), ftype)
             continue
-        if mtype == "nemotron":
+        if mtype in ("nemotron", "arcee", "apertus"):
             _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
             _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
             continue
@@ -1136,6 +1183,53 @@ def _convert_t5(model, out_path: str, ftype: str, tokenizer=None,
             _emit(w, b + gg + ".weight", sd[ca + hf + ".weight"], ftype)
         _emit(w, b + "cross_attn_norm.weight", sd[p + "1.layer_norm.weight"], ftype)
         ffn(p + "2.", b)
+    w.write(out_path)
+    return out_path
+
+
+def _convert_modernbert(model, out_path: str, ftype: str, tokenizer=None,
+                        vocab_override=None) -> str:
+    """ModernBERT HF -> GGUF: pre-norm encoder, fused Wqkv, GEGLU Wi."""
+    cfg = model.config
+    E = cfg.hidden_size
+    n_head = cfg.num_attention_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "modern-bert")
+    w.add(Keys.General.NAME, "modern-bert")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "modern-bert."
+    w.add(P + "block_count", np.uint32(cfg.num_hidden_layers))
+    w.add(P + "context_length", np.uint32(getattr(cfg, "max_position_embeddings", 8192)))
+    w.add(P + "embedding_length", np.uint32(E))
+    w.add(P + "feed_forward_length", np.uint32(cfg.intermediate_size))
+    w.add(P + "attention.head_count", np.uint32(n_head))
+    w.add(P + "attention.head_count_kv", np.uint32(n_head))
+    w.add(P + "attention.layer_norm_epsilon", float(getattr(cfg, "norm_eps", 1e-5)))
+    w.add(P + "attention.sliding_window", np.uint32(cfg.local_attention))
+    w.add(P + "attention.sliding_window_pattern",
+          np.uint32(cfg.global_attn_every_n_layers))
+    w.add(P + "rope.freq_base", float(cfg.global_rope_theta))
+    w.add(P + "rope.freq_base_swa", float(cfg.local_rope_theta))
+    w.add(P + "rope.dimension_count", np.uint32(E // n_head))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+    sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    pfx = "model." if "model.embeddings.tok_embeddings.weight" in sd else ""
+    _emit(w, "token_embd.weight", sd[pfx + "embeddings.tok_embeddings.weight"], ftype)
+    _emit(w, "token_embd_norm.weight", sd[pfx + "embeddings.norm.weight"], ftype)
+    _emit(w, "output_norm.weight", sd[pfx + "final_norm.weight"], ftype)
+    for i in range(cfg.num_hidden_layers):
+        p, b = f"{pfx}layers.{i}.", f"blk.{i}."
+        if p + "attn_norm.weight" in sd:
+            _emit(w, b + "attn_norm.weight", sd[p + "attn_norm.weight"], ftype)
+        _emit(w, b + "attn_qkv.weight", sd[p + "attn.Wqkv.weight"], ftype)
+        _emit(w, b + "attn_output.weight", sd[p + "attn.Wo.weight"], ftype)
+        _emit(w, b + "ffn_norm.weight", sd[p + "mlp_norm.weight"], ftype)
+        _emit(w, b + "ffn_up.weight", sd[p + "mlp.Wi.weight"], ftype)
+        _emit(w, b + "ffn_down.weight", sd[p + "mlp.Wo.weight"], ftype)
     w.write(out_path)
     return out_path
 

@@ -49,19 +49,26 @@ def forward(
 
     valid = (inputs.positions >= 0)  # [B, T] padding mask
     mask = valid[:, None, :] & valid[:, :, None]  # [B, T, T] bidirectional
+    pre_norm = cfg.extra.get("pre_norm_encoder", False)
 
     for il, lw in enumerate(params["layers"]):
+        # modernbert pre-norm: h = norm(x) feeds attention (layer 0 has no
+        # attn norm at all — embeddings are already normalized)
+        h_in = x
+        if pre_norm:
+            h_in = (layer_norm(x, lw["attn_norm"], lw.get("attn_norm_bias"),
+                               eps) if "attn_norm" in lw else x)
         if "attn_qkv" in lw:
-            qkv = matmul(x, lw["attn_qkv"], dtype=jnp.float32)
+            qkv = matmul(h_in, lw["attn_qkv"], dtype=jnp.float32)
             if "attn_qkv_bias" in lw:
                 qkv = qkv + lw["attn_qkv_bias"]
             q = qkv[..., : H * Dk]
             k = qkv[..., H * Dk : H * Dk + Hkv * Dk]
             v = qkv[..., H * Dk + Hkv * Dk :]
         else:
-            q = matmul(x, lw["attn_q"], dtype=jnp.float32)
-            k = matmul(x, lw["attn_k"], dtype=jnp.float32)
-            v = matmul(x, lw["attn_v"], dtype=jnp.float32)
+            q = matmul(h_in, lw["attn_q"], dtype=jnp.float32)
+            k = matmul(h_in, lw["attn_k"], dtype=jnp.float32)
+            v = matmul(h_in, lw["attn_v"], dtype=jnp.float32)
             if "attn_q_bias" in lw:
                 q = q + lw["attn_q_bias"]
                 k = k + lw["attn_k_bias"]
@@ -79,7 +86,14 @@ def forward(
             v = jnp.repeat(v, g, axis=2)
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32) / Dk ** 0.5
-        scores = jnp.where(mask[:, None], scores, -jnp.inf)
+        lmask = mask
+        if cfg.sliding_window > 0 and cfg.is_swa_layer(il):
+            # symmetric local window (reference LLAMA_SWA_TYPE_SYMMETRIC:
+            # mask when |p1-p0| > n_swa/2)
+            half = cfg.sliding_window // 2
+            diff = inputs.positions[:, None, :] - inputs.positions[:, :, None]
+            lmask = lmask & (jnp.abs(diff) <= half)
+        scores = jnp.where(lmask[:, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = jnp.where(jnp.isnan(probs), 0.0, probs)
         attn = jnp.einsum("bhts,bshd->bthd", probs, v,
@@ -88,6 +102,16 @@ def forward(
         attn = matmul(attn, lw["attn_output"], dtype=jnp.float32)
         if "attn_output_bias" in lw:
             attn = attn + lw["attn_output_bias"]
+
+        if pre_norm:
+            x = x + attn
+            h2 = layer_norm(x, lw["ffn_norm"], lw.get("ffn_norm_bias"), eps)
+            up = matmul(h2, lw["ffn_up"], dtype=jnp.float32)
+            half = up.shape[-1] // 2  # GEGLU: act(first) * second
+            x = x + matmul(
+                jax.nn.gelu(up[..., :half], approximate=True) * up[..., half:],
+                lw["ffn_down"], dtype=jnp.float32)
+            continue
 
         # post-norm: LN(x + attn)
         x = layer_norm(x + attn, lw.get("attn_output_norm"),
@@ -108,6 +132,9 @@ def forward(
         x = layer_norm(ffn_inp + y, lw.get("layer_output_norm"),
                        lw.get("layer_output_norm_bias"), eps)
 
+    if pre_norm and "output_norm" in params:  # modernbert final norm
+        x = layer_norm(x, params["output_norm"],
+                       params.get("output_norm_bias"), eps)
     x = x.reshape(B * T, -1)
     if output_rows is not None:
         x = x[output_rows]

@@ -93,6 +93,8 @@ class ModelConfig:
             return False
         if self.swa_pattern <= 0:
             return True
+        if self.extra.get("swa_first_global"):  # modernbert: il%p==0 global
+            return il % self.swa_pattern != 0
         return (il + 1) % self.swa_pattern != 0
 
     @classmethod

@@ -139,6 +139,8 @@ T5_LAYER_TENSORS = {
 }
 
 LAYER_TENSORS.update({
+    "attn_q_norm.bias": "attn_q_norm_bias",
+    "attn_k_norm.bias": "attn_k_norm_bias",
     "time_mix_w0.weight": "time_mix_w0",
     "time_mix_a0.weight": "time_mix_a0",
     "time_mix_a1.weight": "time_mix_a1",
@@ -325,6 +327,8 @@ def load_model(
     if cfg.extra.get("t5_encoder_only"):
         req = ()
         layers = params["enc_layers"]
+    elif cfg.extra.get("pre_norm_encoder"):
+        req = ("ffn_norm", "ffn_up")
     elif cfg.extra.get("encoder"):
         req = ("attn_output_norm", "ffn_up")
     elif cfg.extra.get("rwkv"):

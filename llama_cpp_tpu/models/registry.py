@@ -329,6 +329,24 @@ def _bert(cfg: ModelConfig, md) -> ModelConfig:
                      act="gelu", glu=False)
 
 
+@register("modern-bert")
+def _modern_bert(cfg: ModelConfig, md) -> ModelConfig:
+    """ModernBERT (reference src/models/modern-bert.cpp): pre-norm encoder,
+    fused qkv, GEGLU FFN, symmetric local windows with global layers every
+    Nth (il %% N == 0) and a separate local rope base."""
+    a = cfg.arch
+    cfg.extra.update(encoder=True, pre_norm_encoder=True,
+                     swa_first_global=True)
+    swa_base = md.get(f"{a}.rope.freq_base_swa")
+    if swa_base:
+        cfg.extra["rope_freq_base_swa"] = float(swa_base)
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
+        swa_pattern=int(md.get(f"{a}.attention.sliding_window_pattern", 3)),
+    )
+
+
 @register("nomic-bert")
 def _nomic_bert(cfg: ModelConfig, md) -> ModelConfig:
     cfg.extra["encoder"] = True
@@ -437,6 +455,115 @@ def _lfm2moe(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_norm=bool(md.get("lfm2moe.expert_weights_norm", True)),
         expert_weights_scale=float(md.get("lfm2moe.expert_weights_scale", 1.0)),
     )
+
+
+@register("internlm2")
+def _internlm2(cfg: ModelConfig, md) -> ModelConfig:
+    """InternLM2 (reference src/models/internlm2.cpp): llama-family graph."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("orion")
+def _orion(cfg: ModelConfig, md) -> ModelConfig:
+    """Orion (reference src/models/orion.cpp): layernorm(+bias) llama."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False)
+
+
+@register("xverse")
+def _xverse(cfg: ModelConfig, md) -> ModelConfig:
+    """XVERSE (reference src/models/xverse.cpp): llama-family graph."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("baichuan")
+def _baichuan(cfg: ModelConfig, md) -> ModelConfig:
+    """Baichuan 7B (reference src/models/baichuan.cpp; the 13B ALiBi
+    variant keys off model size)."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("exaone")
+def _exaone(cfg: ModelConfig, md) -> ModelConfig:
+    """EXAONE-3 (reference src/models/exaone.cpp): llama-family, NEOX."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("deepseek")
+def _deepseek(cfg: ModelConfig, md) -> ModelConfig:
+    """DeepSeek V1 MoE (reference src/models/deepseek.cpp): softmax router,
+    scaled weights, shared experts, dense lead layers."""
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM,
+        expert_weights_scale=float(md.get("deepseek.expert_weights_scale", 1.0)),
+    )
+
+
+@register("minicpm")
+def _minicpm(cfg: ModelConfig, md) -> ModelConfig:
+    """MiniCPM (reference src/models/minicpm.cpp): llama graph with fixed
+    default mu-param scales (embd 12, residual 1.4/sqrt(L), logit 256/E)."""
+    a = cfg.arch
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM,
+        embd_scale=float(md.get(f"{a}.embedding_scale", 12.0)),
+        residual_scale=float(md.get(f"{a}.residual_scale",
+                                    1.4 / (cfg.n_layers ** 0.5))),
+        logit_scale=float(md.get(f"{a}.logit_scale",
+                                 256.0 / max(cfg.n_embd, 1))),
+        tie_embeddings=True,
+    )
+
+
+@register("jais")
+def _jais(cfg: ModelConfig, md) -> ModelConfig:
+    """Jais (reference src/models/jais.cpp): gpt2-style layernorm blocks,
+    ALiBi positions, gated (biased) swiglu FFN."""
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NONE, use_rms_norm=False,
+        alibi_bias=float(md.get("jais.attention.max_alibi_bias", 8.0)),
+        tie_embeddings=True,
+    )
+
+
+@register("arcee")
+def _arcee(cfg: ModelConfig, md) -> ModelConfig:
+    """Arcee AFM (reference src/models/arcee.cpp): llama graph with a
+    non-gated relu^2 FFN."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, act="relu2", glu=False)
+
+
+@register("apertus")
+def _apertus(cfg: ModelConfig, md) -> ModelConfig:
+    """Apertus (reference src/models/apertus.cpp): per-head qk rmsnorm and
+    the xIELU activation with per-layer learned scalars."""
+    a = cfg.arch
+    n = cfg.n_layers
+
+    def arr(key, default):
+        v = md.get(f"{a}.{key}", default)
+        if hasattr(v, "tolist"):
+            v = v.tolist()
+        if not isinstance(v, (list, tuple)):
+            v = [float(v)] * n
+        return tuple(float(x) for x in v)
+
+    cfg.extra["xielu"] = {
+        "alpha_n": arr("xielu_alpha_n", 0.8), "alpha_p": arr("xielu_alpha_p", 0.8),
+        "beta": arr("xielu_beta", 0.5), "eps": arr("xielu_eps", -1e-6),
+    }
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     act="xielu", glu=False)
+
+
+@register("chameleon")
+def _chameleon(cfg: ModelConfig, md) -> ModelConfig:
+    """Chameleon (reference src/models/chameleon.cpp): per-head qk LayerNorm
+    with bias; optional swin post-norm ordering."""
+    cfg.extra["qk_layernorm"] = True
+    c = cfg.with_(rope_type=ROPE_TYPE_NORM, qk_norm=True)
+    if bool(md.get("chameleon.swin_norm", False)):
+        c = c.with_(norm_after=True)
+    return c
 
 
 @register("dream")

@@ -159,7 +159,14 @@ def attention_block(
     v = v.reshape(B, T, Hkv, Dv)
 
     after_rope = cfg.extra.get("qk_norm_after_rope", False)
-    if cfg.qk_norm and not cfg.extra.get("qk_norm_full") and not after_rope:
+    if cfg.qk_norm and cfg.extra.get("qk_layernorm"):
+        # chameleon: per-head LayerNorm with bias (reference chameleon.cpp
+        # LLM_NORM on q/k)
+        q = layer_norm(q, lw.get("attn_q_norm"), lw.get("attn_q_norm_bias"),
+                       cfg.norm_eps)
+        k = layer_norm(k, lw.get("attn_k_norm"), lw.get("attn_k_norm_bias"),
+                       cfg.norm_eps)
+    elif cfg.qk_norm and not cfg.extra.get("qk_norm_full") and not after_rope:
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
         k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
@@ -392,10 +399,23 @@ def mla_attention_block(
     return out, kv
 
 
+def xielu(x, alpha_n, alpha_p, beta, eps):
+    """Apertus xIELU (reference ggml op_xielu, ggml-cpu/unary-ops.cpp:55)."""
+    pos = alpha_p * x * x + beta * x
+    neg = (jnp.expm1(jnp.minimum(x, eps)) - x) * alpha_n + beta * x
+    return jnp.where(x > 0, pos, neg)
+
+
 def ffn_block(
     cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray, il: int = -1
 ) -> jnp.ndarray:
-    act = ACTIVATIONS[cfg.act]
+    if cfg.act == "xielu":  # per-layer learned scalars (apertus)
+        an, ap, beta, eps = (cfg.extra["xielu"][k][il]
+                             for k in ("alpha_n", "alpha_p", "beta", "eps"))
+        def act(v, _an=an, _ap=ap, _b=beta, _e=eps):
+            return xielu(v.astype(jnp.float32), _an, _ap, _b, _e).astype(v.dtype)
+    else:
+        act = ACTIVATIONS[cfg.act]
     _tap(il, "ffn_up", x)
     if "ffn_gateup" in lw:  # load-time fused gate|up projection
         gu = matmul(x, lw["ffn_gateup"])
@@ -404,7 +424,11 @@ def ffn_block(
     elif cfg.glu:
         _tap(il, "ffn_gate", x)
         gate = matmul(x, lw["ffn_gate"])
+        if "ffn_gate_bias" in lw:  # jais gated-with-bias FFN
+            gate = gate + lw["ffn_gate_bias"]
         up = matmul(x, lw["ffn_up"])
+        if "ffn_up_bias" in lw:
+            up = up + lw["ffn_up_bias"]
         h = act(gate) * up
     else:
         up = matmul(x, lw["ffn_up"])

@@ -420,6 +420,77 @@ def make_tiny_diffusion_gguf(path: str, arch: str = "llada",
     return path
 
 
+def make_tiny_generic_gguf(path: str, arch: str, vocab_size: int = 128,
+                           n_layers: int = 2, n_embd: int = 48, n_heads: int = 4,
+                           n_kv_heads: int = 2, n_ff: int = 96, seed: int = 0,
+                           norm_bias: bool = False, qkv_bias: bool = False,
+                           gate_bias: bool = False, tie: bool = False) -> str:
+    """Random-weight GGUF in the llama tensor layout under an arbitrary arch
+    name — smoke-tests registry entries that have no local HF oracle."""
+    rng = np.random.default_rng(seed)
+    hd = n_embd // n_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, f"tiny-{arch}")
+    P = arch + "."
+    w.add(P + "block_count", np.uint32(n_layers))
+    w.add(P + "context_length", np.uint32(256))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(n_ff))
+    w.add(P + "attention.head_count", np.uint32(n_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add(P + "attention.key_length", np.uint32(hd))
+    w.add(P + "attention.value_length", np.uint32(hd))
+    w.add(P + "attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(P + "attention.layer_norm_epsilon", 1e-5)
+    w.add(P + "rope.freq_base", 10000.0)
+    w.add(P + "rope.dimension_count", np.uint32(hd))
+    w.add(P + "vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES, Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:vocab_size]
+    w.add_all(vocab)
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.05))
+    emit("output_norm.weight", 1 + rand(n_embd, scale=0.02))
+    if norm_bias:
+        emit("output_norm.bias", rand(n_embd, scale=0.02))
+    if not tie:
+        emit("output.weight", rand(vocab_size, n_embd))
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "ffn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        if norm_bias:
+            emit(b + "attn_norm.bias", rand(n_embd, scale=0.02))
+            emit(b + "ffn_norm.bias", rand(n_embd, scale=0.02))
+        emit(b + "attn_q.weight", rand(n_heads * hd, n_embd))
+        emit(b + "attn_k.weight", rand(n_kv_heads * hd, n_embd))
+        emit(b + "attn_v.weight", rand(n_kv_heads * hd, n_embd))
+        emit(b + "attn_output.weight", rand(n_embd, n_heads * hd))
+        if qkv_bias:
+            emit(b + "attn_q.bias", rand(n_heads * hd, scale=0.1))
+            emit(b + "attn_k.bias", rand(n_kv_heads * hd, scale=0.1))
+            emit(b + "attn_v.bias", rand(n_kv_heads * hd, scale=0.1))
+        emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+        if gate_bias:
+            emit(b + "ffn_gate.bias", rand(n_ff, scale=0.1))
+            emit(b + "ffn_up.bias", rand(n_ff, scale=0.1))
+            emit(b + "ffn_down.bias", rand(n_embd, scale=0.1))
+    w.write(path)
+    return path
+
+
 def make_tiny_gpt_oss_gguf(
     path: str,
     vocab_size: int = 1024,

@@ -274,3 +274,42 @@ def test_diffusion_generate(tmp_path):
     ctx.seq_rm(0)
     lb = ctx.decode(seq_b[None], np.asarray([0]), np.arange(16)[None], np.asarray([0]))
     assert np.abs(la - lb).max() > 1e-4
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("arch,opts", [
+    ("internlm2", {}),
+    ("orion", {"norm_bias": True}),
+    ("xverse", {}),
+    ("baichuan", {}),
+    ("exaone", {}),
+    ("deepseek", {}),
+    ("minicpm", {"tie": True}),
+    ("jais", {"norm_bias": True, "gate_bias": True, "tie": True}),
+])
+def test_generic_arch_smoke(tmp_path, arch, opts):
+    """Registry smoke tests for GGUF-side archs with no local HF oracle:
+    the graph must run and token-by-token decode must match prefill."""
+    import numpy as np
+    import jax.numpy as jnp
+    from llama_cpp_tpu.testing import make_tiny_generic_gguf
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.context import Context
+
+    path = str(tmp_path / f"{arch}.gguf")
+    make_tiny_generic_gguf(path, arch, seed=11, **opts)
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.arch == arch
+    tokens = [3, 17, 42, 7, 9]
+    ctx = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    pre = ctx.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                     np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    ctx2 = Context(m, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    outs = []
+    for i, t in enumerate(tokens):
+        outs.append(ctx2.decode(np.asarray([[t]]), np.asarray([0]),
+                                np.asarray([[i]]), np.asarray([0]))[0])
+        ctx2.seq_len[0] = i + 1
+    np.testing.assert_allclose(np.stack(outs), pre, rtol=2e-4, atol=2e-4)

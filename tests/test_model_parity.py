@@ -1156,3 +1156,74 @@ def test_qwen3_next(tmp_path):
                        np.arange(len(tokens) + 1)[None, :],
                        np.asarray([len(tokens)]))
     np.testing.assert_allclose(step, both[0], rtol=5e-4, atol=5e-4)
+
+
+def test_arcee(tmp_path):
+    from transformers.models.arcee import ArceeConfig, ArceeForCausalLM
+    cfg = ArceeConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(95)
+    m = _parity(ArceeForCausalLM(cfg).eval(), tmp_path, "arcee")
+    assert m.cfg.act == "relu2" and not m.cfg.glu
+
+
+def test_apertus_xielu(tmp_path):
+    from transformers.models.apertus import ApertusConfig, ApertusForCausalLM
+    cfg = ApertusConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, pad_token_id=0,
+    )
+    torch.manual_seed(96)
+    m = _parity(ApertusForCausalLM(cfg).eval(), tmp_path, "apts")
+    assert m.cfg.act == "xielu" and len(m.cfg.extra["xielu"]["beta"]) == 2
+
+
+def test_chameleon(tmp_path):
+    from transformers.models.chameleon import ChameleonConfig, ChameleonForConditionalGeneration
+    cfg = ChameleonConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, pad_token_id=0, swin_norm=False,
+        vocabulary_map={"0": 0},
+    )
+    torch.manual_seed(97)
+    hf = ChameleonForConditionalGeneration(cfg).eval()
+    m = _parity(hf, tmp_path, "cham")
+    assert m.cfg.extra["qk_layernorm"]
+
+
+def test_modernbert(tmp_path):
+    """ModernBERT encoder: pre-norm, fused qkv, GEGLU, alternating
+    global/local symmetric windows with dual rope bases."""
+    from transformers.models.modernbert import ModernBertConfig, ModernBertModel
+    cfg = ModernBertConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4,
+        global_attn_every_n_layers=3, local_attention=8,
+        global_rope_theta=160000.0, local_rope_theta=10000.0,
+        pad_token_id=0, max_position_embeddings=128,
+    )
+    torch.manual_seed(98)
+    hf = ModernBertModel(cfg).eval()
+    path = str(tmp_path / "mbert.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    toks = list(range(3, 3 + 24))
+    with torch.no_grad():
+        ref = hf(torch.tensor([toks])).last_hidden_state[0].numpy()
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    assert m.cfg.extra["pre_norm_encoder"] and m.cfg.sliding_window == 8
+    assert m.cfg.is_swa_layer(1) and not m.cfg.is_swa_layer(0)
+    N = len(toks)
+    inputs = AttnInputs(
+        seq_idx=jnp.zeros(1, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+        positions=jnp.arange(N, dtype=jnp.int32)[None, :],
+    )
+    hid, _ = m.forward_fn(m.params, m.cfg,
+                          jnp.asarray([toks], jnp.int32), inputs, None)
+    np.testing.assert_allclose(np.asarray(hid).reshape(N, -1), ref,
+                               rtol=6e-4, atol=6e-4)
