@@ -161,6 +161,8 @@ def convert_hf_model(
         "apertus": "apertus",
         "chameleon": "chameleon",
         "modernbert": "modern-bert",
+        "qwen2_vl": "qwen2vl",
+        "qwen2_5_vl": "qwen2vl",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
@@ -354,6 +356,11 @@ def convert_hf_model(
         hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // cfg.num_attention_heads
         # overwrite rope dims for partial rotary
         w.add(P + "rope.dimension_count", np.uint32(int(hd * prf)))
+    if mtype in ("qwen2_vl", "qwen2_5_vl"):
+        sec = list((getattr(cfg, "rope_scaling", None) or {}).get(
+            "mrope_section", [16, 24, 24]))
+        w.add(P + "rope.dimension_sections",
+              [int(x) for x in (sec + [0] * (4 - len(sec)))[:4]])
     if mtype in ("starcoder2", "nemotron"):
         w.add(P + "attention.layer_norm_epsilon",
               float(getattr(cfg, "norm_eps", getattr(cfg, "layer_norm_epsilon", 1e-5))))
@@ -364,6 +371,11 @@ def convert_hf_model(
         w.add_all(vocab_override)
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+    if mtype in ("qwen2_vl", "qwen2_5_vl"):
+        # text stack lives under model.language_model.*; vision is exported
+        # separately via convert_mmproj
+        sd = {k.replace("model.language_model.", "model."): v
+              for k, v in sd.items() if "visual" not in k}
     # NORM-rope archs with HF rotate_half layout need the q/k permute
     # (cohere/glm4 use interleaved rotary natively: NORM with no permute)
     permute = arch in ("llama", "granite", "granitemoe", "smollm3", "olmo",

@@ -139,6 +139,11 @@ T5_LAYER_TENSORS = {
 }
 
 LAYER_TENSORS.update({
+    "indexer.k_norm.weight": "indexer_k_norm",
+    "indexer.k_norm.bias": "indexer_k_norm_bias",
+    "indexer.proj.weight": "indexer_proj",
+    "indexer.attn_k.weight": "indexer_attn_k",
+    "indexer.attn_q_b.weight": "indexer_attn_q_b",
     "attn_q_norm.bias": "attn_q_norm_bias",
     "attn_k_norm.bias": "attn_k_norm_bias",
     "time_mix_w0.weight": "time_mix_w0",

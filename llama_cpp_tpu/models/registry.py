@@ -79,6 +79,17 @@ def _qwen2(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, attn_bias=True)
 
 
+@register("qwen2vl")
+def _qwen2vl(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen2-VL text model (reference src/models/qwen2vl.cpp): qwen2 graph
+    with M-RoPE sections over t/h/w position streams."""
+    sec = md.get("qwen2vl.rope.dimension_sections", [16, 24, 24, 0])
+    if hasattr(sec, "tolist"):
+        sec = sec.tolist()
+    cfg.extra["mrope_sections"] = tuple(int(x) for x in sec if int(x) > 0)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, attn_bias=True)
+
+
 @register("qwen3")
 def _qwen3(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
@@ -218,6 +229,22 @@ def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_norm=bool(md.get("deepseek2.expert_weights_norm", False)),
         expert_weights_scale=float(md.get("deepseek2.expert_weights_scale", 1.0)),
     )
+
+
+@register("deepseek32")
+def _deepseek32(cfg: ModelConfig, md) -> ModelConfig:
+    """DeepSeek V3.2 sparse attention (reference src/models/deepseek32.cpp +
+    llama_kv_cache_dsa): deepseek2 MLA plus the lightning indexer whose
+    per-query top-k columns gate the attention mask."""
+    md2 = {k.replace("deepseek32.", "deepseek2."): v for k, v in md.items()}
+    c = _deepseek2(cfg.with_(arch="deepseek2"), md2).with_(arch=cfg.arch)
+    c.extra.update(
+        dsa=True,
+        indexer_n_head=int(md.get("deepseek32.attention.indexer.head_count", 64)),
+        indexer_head_size=int(md.get("deepseek32.attention.indexer.key_length", 128)),
+        indexer_top_k=int(md.get("deepseek32.attention.indexer.top_k", 2048)),
+    )
+    return c
 
 
 @register("gpt2")

@@ -86,6 +86,7 @@ class AttnInputs(NamedTuple):
     seq_idx: jnp.ndarray  # [B] int32 cache row per batch row
     slots: jnp.ndarray  # [B, T] int32 cache slot per token
     positions: jnp.ndarray  # [B, T] int32 rope/causal position (-1 = pad)
+    mrope_positions: jnp.ndarray | None = None  # [3, B, T] t/h/w streams
 
 
 def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
@@ -174,8 +175,22 @@ def attention_block(
              and il not in cfg.extra.get("no_rope_layers", ()))
     if roped:
         rp = _rope_params(cfg, il)
-        q = apply_rope(q, inputs.positions, rp)
-        k = apply_rope(k, inputs.positions, rp)
+        sections = cfg.extra.get("mrope_sections")
+        if sections:
+            # qwen2-vl M-RoPE: t/h/w position streams per frequency section
+            # (reference ggml_rope_multi); text-only rows broadcast the
+            # scalar position to all streams
+            from ..ops.rope import apply_mrope
+
+            pos3 = inputs.mrope_positions
+            if pos3 is None:
+                pos3 = jnp.broadcast_to(inputs.positions[None],
+                                        (3,) + inputs.positions.shape)
+            q = apply_mrope(q, pos3, sections, rp)
+            k = apply_mrope(k, pos3, sections, rp)
+        else:
+            q = apply_rope(q, inputs.positions, rp)
+            k = apply_rope(k, inputs.positions, rp)
     if cfg.qk_norm and after_rope and roped:
         # llama4 l2-norm (weightless rms) applied post-rope on rope layers
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
@@ -313,12 +328,17 @@ def mla_attention_block(
     n_rot = cfg.rope_dims  # qk_rope head dim
     nope = Dk - n_rot
     kv_lora = cfg.extra["kv_lora_rank"]
+    dsa = hasattr(kv, "idx")  # DeepSeek sparse attention (DSAMemory)
+    mem = kv
+    if dsa:
+        kv = mem.kv
 
     # --- queries ----------------------------------------------------------
+    qr = None
     if "attn_q_a" in lw:
-        q = matmul(x, lw["attn_q_a"])
-        q = rms_norm(q, lw.get("attn_q_a_norm"), cfg.rms_eps)
-        q = matmul(q, lw["attn_q_b"])
+        qr = matmul(x, lw["attn_q_a"])
+        qr = rms_norm(qr, lw.get("attn_q_a_norm"), cfg.rms_eps)
+        q = matmul(qr, lw["attn_q_b"])
     else:  # lite variant
         q = matmul(x, lw["attn_q"])
     q = q.reshape(B, T, H, Dk)
@@ -364,7 +384,49 @@ def mla_attention_block(
     )
     slot_pos = kv.pos[inputs.seq_idx]
 
-    if flash_supported(Dk, Dv, kv.n_slots):
+    sparse_sel = None
+    if dsa:
+        # lightning indexer (reference src/models/deepseek32.cpp:231-365):
+        # score[t, s] = sum_h w[t,h] * relu(iq[t,h] . ik[s]) / sqrt(Di*Hi);
+        # top-k columns per query row gate the main attention mask. The
+        # reference's Hadamard rotation preserves dot products — skipped.
+        from dataclasses import replace as _dsa_rep
+
+        Hi = cfg.extra["indexer_n_head"]
+        Di = cfg.extra["indexer_head_size"]
+        topk = cfg.extra["indexer_top_k"]
+        iq = matmul(qr, lw["indexer_attn_q_b"]).reshape(B, T, Hi, Di)
+        iq_pe = apply_rope(iq[..., :n_rot], inputs.positions, rp)
+        iq = jnp.concatenate([iq_pe, iq[..., n_rot:]], axis=-1)
+        ik = matmul(x, lw["indexer_attn_k"])  # [B, T, Di]
+        ik = layer_norm(ik, lw.get("indexer_k_norm"),
+                        lw.get("indexer_k_norm_bias"), cfg.norm_eps)
+        ik = ik.reshape(B, T, 1, Di)
+        ik_pe = apply_rope(ik[..., :n_rot], inputs.positions, rp)
+        ik = jnp.concatenate([ik_pe, ik[..., n_rot:]], axis=-1)
+        idxc = mem.idx.write_layer(
+            il, seq_flat, inputs.positions.reshape(-1),
+            ik.reshape(B * T, 1, Di),
+            jnp.zeros((B * T, 1, mem.idx.v.shape[-1]), ik.dtype),
+            update_pos=update_pos, contiguous=B == 1 and T > 1,
+        )
+        mem = _dsa_rep(mem, idx=idxc)
+        ik_all = idxc.k[il][inputs.seq_idx][:, 0]  # [B, S, Di]
+        w_idx = matmul(x, lw["indexer_proj"], dtype=jnp.float32)  # [B, T, Hi]
+        sc = jax.nn.relu(jnp.einsum(
+            "bthd,bsd->bhts", iq.astype(jnp.float32),
+            ik_all.astype(jnp.float32)))
+        sc = jnp.einsum("bhts,bth->bts", sc, w_idx) / float(Hi * Di) ** 0.5
+        ivalid = (slot_pos >= 0)[:, None, :]
+        icausal = slot_pos[:, None, :] <= inputs.positions[:, :, None]
+        sc = jnp.where(ivalid & icausal, sc, -jnp.inf)
+        S_ = sc.shape[-1]
+        k_eff = min(topk, S_)
+        _, top_idx = jax.lax.top_k(sc, k_eff)  # [B, T, k]
+        sparse_sel = jnp.any(
+            jax.nn.one_hot(top_idx, S_, dtype=bool), axis=-2)  # [B, T, S]
+
+    if flash_supported(Dk, Dv, kv.n_slots) and not dsa:
         k_raw = kv.k[il][inputs.seq_idx]
         v_raw = kv.v[il][inputs.seq_idx]
         ks = kv.k_scale[il][inputs.seq_idx] if kv.quantized else None
@@ -382,6 +444,8 @@ def mla_attention_block(
         valid = slot_pos >= 0
         causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]
         mask = valid[:, None, :] & causal
+        if sparse_sel is not None:  # DSA: only the indexer's top-k columns
+            mask = mask & sparse_sel
         mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
         scores = jnp.einsum(
             "bthd,bhsd->bhts", qf.astype(mdt), k_seq.astype(mdt),
@@ -396,6 +460,10 @@ def mla_attention_block(
         ).reshape(B, T, H * Dv).astype(x.dtype)
 
     out = matmul(out, lw["attn_output"])
+    if dsa:
+        from dataclasses import replace as _dsa_rep2
+
+        return out, _dsa_rep2(mem, kv=kv)
     return out, kv
 
 

@@ -81,3 +81,28 @@ def prefill_chunks(ctx, mtmd: MtmdModel | None, chunks: list[Chunk],
         embeds.append(np.asarray(e, np.float32))
     full = np.concatenate(embeds, axis=0)  # [N, E]
     return ctx.prefill_embeds(full, seq=seq)
+
+
+def qwen2vl_mrope_positions(segments, merge: int = 2):
+    """[3, N] t/h/w position streams for a spliced sequence (transcription of
+    HF Qwen2VLModel.get_rope_index). `segments` is a list of either
+    ("text", n_tokens) or ("image", (t, h, w)) with raw grid dims."""
+    import numpy as np
+
+    cols = []
+    st = 0
+    for kind, v in segments:
+        if kind == "text":
+            n = int(v)
+            cols.append(np.broadcast_to(np.arange(st, st + n), (3, n)))
+            st = st + n
+        else:
+            t, h, w = (int(x) for x in v)
+            gh, gw = h // merge, w // merge
+            ti = np.repeat(np.arange(t), gh * gw)
+            hi = np.tile(np.repeat(np.arange(gh), gw), t)
+            wi = np.tile(np.arange(gw), t * gh)
+            cols.append(np.stack([ti, hi, wi]) + st)
+            st = st + max(t, gh, gw)
+    out = np.concatenate(cols, axis=1)
+    return out.astype(np.int32)

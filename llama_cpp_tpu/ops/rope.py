@@ -103,3 +103,47 @@ def apply_rope(
     if n_dims < head_dim:
         rotated = jnp.concatenate([rotated, xf[..., n_dims:]], axis=-1)
     return rotated.astype(orig_dtype)
+
+
+def apply_mrope(
+    x: jnp.ndarray,  # [..., seq, n_heads, head_dim]
+    positions3: jnp.ndarray,  # [3, ..., seq] (t, h, w position streams)
+    sections: tuple[int, ...],  # frequency-pair counts per stream
+    p: RopeParams,
+) -> jnp.ndarray:
+    """Multimodal rope (reference ggml GGML_ROPE_TYPE_MROPE /
+    ggml_rope_multi; HF qwen2-vl apply_multimodal_rotary_pos_emb): each
+    frequency pair takes its angle from one of the t/h/w position streams,
+    partitioned by `sections`. NEOX (half-split) rotation layout."""
+    head_dim = x.shape[-1]
+    n_dims = p.n_dims or head_dim
+    half = n_dims // 2
+    theta_i, theta_e, ramp_mix, mscale = rope_freqs_and_scale(p, head_dim)
+    inv_freq = theta_i * (1.0 - ramp_mix) + theta_e * ramp_mix  # [half]
+
+    # stream selector per frequency pair
+    sel = []
+    for si, n in enumerate(sections):
+        sel += [si] * n
+    sel += [0] * (half - len(sel))
+    sel = jnp.asarray(sel[:half], jnp.int32)  # [half]
+
+    # angles per stream then gather: [3, ..., seq, half] -> [..., seq, half]
+    ang = positions3[..., None].astype(jnp.float32) * inv_freq
+    angles = jnp.take_along_axis(
+        jnp.moveaxis(ang, 0, -1),  # [..., seq, half, 3]
+        jnp.broadcast_to(sel[:, None], ang.shape[1:] + (1,)), axis=-1,
+    )[..., 0]
+    cos = (jnp.cos(angles) * mscale)[..., None, :]
+    sin = (jnp.sin(angles) * mscale)[..., None, :]
+
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., :half]
+    x1 = xf[..., half:n_dims]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    rotated = jnp.concatenate([r0, r1], axis=-1)
+    if n_dims < head_dim:
+        rotated = jnp.concatenate([rotated, xf[..., n_dims:]], axis=-1)
+    return rotated.astype(orig_dtype)

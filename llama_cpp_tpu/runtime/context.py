@@ -95,6 +95,22 @@ class Context:
     # ------------------------------------------------------------------
     def _make_memory(self, n_seqs: int | None = None, n_slots: int | None = None):
         kind = self.cfg.extra.get("memory", "attn")
+        if self.cfg.extra.get("dsa"):
+            from .memory import DSAMemory
+
+            main = KVCache.create(
+                self.cfg.n_layers, n_seqs or self.n_seqs,
+                n_slots or self.n_slots, self.cfg.n_kv_heads,
+                self.cfg.head_dim_k, self.cfg.head_dim_v,
+                dtype=self._kv_dtype, quantized=self._kv_quant,
+            )
+            idx = KVCache.create(
+                self.cfg.n_layers, n_seqs or self.n_seqs,
+                n_slots or self.n_slots, 1,
+                self.cfg.extra["indexer_head_size"], 8,
+                dtype=self._kv_dtype,
+            )
+            return DSAMemory(kv=main, idx=idx)
         if kind in ("recurrent", "hybrid"):
             from .memory import HybridMemory, RecurrentState
 

@@ -119,3 +119,41 @@ class HybridMemory:
     def seq_cp(self, dst: int, src: int) -> "HybridMemory":
         return replace(self, kv=self.kv.seq_cp(dst, src),
                        rs=self.rs.seq_cp(dst, src))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DSAMemory:
+    """MLA KV + lightning-indexer key cache for DeepSeek sparse attention
+    (reference llama_kv_cache_dsa, src/llama-kv-cache-dsa.h: two KV cache
+    instances — model keys and indexer keys)."""
+
+    kv: "object"   # main KVCache
+    idx: "object"  # indexer KVCache (1 head, indexer key dim; v unused)
+
+    def tree_flatten(self):
+        return (self.kv, self.idx), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def pos(self):
+        return self.kv.pos
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv.quantized
+
+    @property
+    def n_slots(self) -> int:
+        return self.kv.n_slots
+
+    def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30) -> "DSAMemory":
+        return replace(self, kv=self.kv.seq_rm(seq, p0, p1),
+                       idx=self.idx.seq_rm(seq, p0, p1))
+
+    def seq_cp(self, dst: int, src: int) -> "DSAMemory":
+        return replace(self, kv=self.kv.seq_cp(dst, src),
+                       idx=self.idx.seq_cp(dst, src))

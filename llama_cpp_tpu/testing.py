@@ -491,6 +491,91 @@ def make_tiny_generic_gguf(path: str, arch: str, vocab_size: int = 128,
     return path
 
 
+def make_tiny_deepseek32_gguf(path: str, vocab_size: int = 128,
+                              n_layers: int = 2, n_embd: int = 48,
+                              top_k: int = 4, seed: int = 0,
+                              arch: str = "deepseek32") -> str:
+    """Random-weight DeepSeek-V3.2 DSA GGUF (MLA + lightning indexer;
+    reference src/models/deepseek32.cpp tensor layout). arch="deepseek2"
+    emits the same weights minus the indexer (dense-equality oracle)."""
+    rng = np.random.default_rng(seed)
+    H = 4
+    qk_nope, qk_rope, v_dim = 8, 4, 8
+    kv_lora, q_lora = 16, 16
+    hi, di = 2, 8  # indexer heads / key dim (>= qk_rope rope split)
+    n_ff = 96
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, f"tiny-{arch}")
+    P = arch + "."
+    w.add(P + "block_count", np.uint32(n_layers))
+    w.add(P + "context_length", np.uint32(256))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(n_ff))
+    w.add(P + "attention.head_count", np.uint32(H))
+    w.add(P + "attention.head_count_kv", np.uint32(1))
+    w.add(P + "attention.key_length", np.uint32(kv_lora + qk_rope))
+    w.add(P + "attention.value_length", np.uint32(kv_lora))
+    w.add(P + "attention.key_length_mla", np.uint32(qk_nope + qk_rope))
+    w.add(P + "attention.value_length_mla", np.uint32(v_dim))
+    w.add(P + "attention.kv_lora_rank", np.uint32(kv_lora))
+    w.add(P + "attention.q_lora_rank", np.uint32(q_lora))
+    w.add(P + "attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(P + "rope.freq_base", 10000.0)
+    w.add(P + "rope.dimension_count", np.uint32(qk_rope))
+    w.add(P + "vocab_size", np.uint32(vocab_size))
+    if arch == "deepseek32":
+        w.add(P + "attention.indexer.head_count", np.uint32(hi))
+        w.add(P + "attention.indexer.key_length", np.uint32(di))
+        w.add(P + "attention.indexer.top_k", np.uint32(top_k))
+    vocab = tiny_spm_vocab(vocab_size)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES, Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:vocab_size]
+    w.add_all(vocab)
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.05))
+    emit("output_norm.weight", 1 + rand(n_embd, scale=0.02))
+    emit("output.weight", rand(vocab_size, n_embd))
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "ffn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "attn_q_a.weight", rand(q_lora, n_embd))
+        emit(b + "attn_q_a_norm.weight", 1 + rand(q_lora, scale=0.02))
+        emit(b + "attn_q_b.weight", rand(H * (qk_nope + qk_rope), q_lora))
+        emit(b + "attn_kv_a_mqa.weight", rand(kv_lora + qk_rope, n_embd))
+        emit(b + "attn_kv_a_norm.weight", 1 + rand(kv_lora, scale=0.02))
+        emit(b + "attn_kv_b.weight", rand(H * (qk_nope + v_dim), kv_lora))
+        emit(b + "attn_output.weight", rand(n_embd, H * v_dim))
+        emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+        if arch == "deepseek32":
+            # independent stream so the shared weights match the
+            # arch="deepseek2" fixture draw-for-draw
+            rng2 = np.random.default_rng(seed + 1000 + i)
+
+            def rand2(*shape, scale=None):
+                scale = scale or (1.0 / np.sqrt(shape[-1]))
+                return (rng2.standard_normal(shape) * scale).astype(np.float32)
+
+            emit(b + "indexer.k_norm.weight", 1 + rand2(di, scale=0.02))
+            emit(b + "indexer.k_norm.bias", rand2(di, scale=0.02))
+            emit(b + "indexer.proj.weight", rand2(hi, n_embd))
+            emit(b + "indexer.attn_k.weight", rand2(di, n_embd))
+            emit(b + "indexer.attn_q_b.weight", rand2(hi * di, q_lora))
+    w.write(path)
+    return path
+
+
 def make_tiny_gpt_oss_gguf(
     path: str,
     vocab_size: int = 1024,

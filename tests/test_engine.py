@@ -313,3 +313,49 @@ def test_generic_arch_smoke(tmp_path, arch, opts):
                                 np.asarray([[i]]), np.asarray([0]))[0])
         ctx2.seq_len[0] = i + 1
     np.testing.assert_allclose(np.stack(outs), pre, rtol=2e-4, atol=2e-4)
+
+
+def test_dsa_sparse_attention(tmp_path):
+    """DeepSeek V3.2 DSA: with top_k >= context the sparse mask selects
+    everything and must equal the dense deepseek2 run on the same weights;
+    with a small top_k, decode must match prefill through both caches."""
+    import numpy as np
+    import jax.numpy as jnp
+    from llama_cpp_tpu.testing import make_tiny_deepseek32_gguf
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.context import Context
+
+    tokens = [3, 17, 42, 7, 9, 11]
+    dense_p = str(tmp_path / "ds2.gguf")
+    sparse_p = str(tmp_path / "ds32.gguf")
+    make_tiny_deepseek32_gguf(dense_p, seed=13, arch="deepseek2")
+    make_tiny_deepseek32_gguf(sparse_p, seed=13, top_k=64)
+
+    md = load_model(dense_p, prefer_quant=False, dense_dtype=jnp.float32)
+    ms = load_model(sparse_p, prefer_quant=False, dense_dtype=jnp.float32)
+    assert ms.cfg.extra["dsa"] and ms.cfg.extra["indexer_top_k"] == 64
+
+    cd = Context(md, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    cs = Context(ms, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    ld = cd.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                   np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    ls = cs.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                   np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    np.testing.assert_allclose(ls, ld, rtol=2e-4, atol=2e-4)
+
+    # small top_k: sparse differs from dense but decode==prefill
+    tight = str(tmp_path / "ds32b.gguf")
+    make_tiny_deepseek32_gguf(tight, seed=13, top_k=2)
+    mt = load_model(tight, prefer_quant=False, dense_dtype=jnp.float32)
+    ct = Context(mt, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    lt = ct.decode(np.asarray(tokens)[None, :], np.asarray([0]),
+                   np.arange(len(tokens))[None, :], np.arange(len(tokens)))
+    assert np.abs(lt - ld).max() > 1e-3  # sparsity actually bites
+
+    ct2 = Context(mt, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
+    outs = []
+    for i, t in enumerate(tokens):
+        outs.append(ct2.decode(np.asarray([[t]]), np.asarray([0]),
+                               np.asarray([[i]]), np.asarray([0]))[0])
+        ct2.seq_len[0] = i + 1
+    np.testing.assert_allclose(np.stack(outs), lt, rtol=2e-4, atol=2e-4)

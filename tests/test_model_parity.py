@@ -1227,3 +1227,30 @@ def test_modernbert(tmp_path):
                           jnp.asarray([toks], jnp.int32), inputs, None)
     np.testing.assert_allclose(np.asarray(hid).reshape(N, -1), ref,
                                rtol=6e-4, atol=6e-4)
+
+
+def test_qwen2vl_text(tmp_path):
+    """Qwen2-VL text stack with M-RoPE (reference src/models/qwen2vl.cpp +
+    ggml_rope_multi); text-only rows broadcast positions to all streams."""
+    from transformers.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLForConditionalGeneration)
+    vc = dict(depth=2, embed_dim=32, hidden_size=48, mlp_ratio=2,
+              num_heads=4, patch_size=4, temporal_patch_size=2,
+              spatial_merge_size=2, in_channels=3)
+    cfg = Qwen2VLConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=vc, rope_scaling={"type": "mrope",
+                                        "mrope_section": [2, 2, 2]},
+        max_position_embeddings=128, pad_token_id=0,
+    )
+    torch.manual_seed(99)
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "q2vl.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [3, 17, 42, 7, 9]
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.extra["mrope_sections"] == (2, 2, 2)
+    np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)

@@ -128,3 +128,114 @@ def test_llava_end_to_end_logits(tiny_llava):
     ctx2 = Context(model, n_ctx=32, n_seqs=1, kv_dtype=jnp.float32)
     last2 = prefill_chunks(ctx2, mtmd, chunks)
     np.testing.assert_allclose(last2, last, rtol=1e-5, atol=1e-5)
+
+
+def test_qwen2vl_vision_tower(tmp_path):
+    """Qwen2-VL ViT + merger vs the HF visual forward (2D rotary,
+    merge-window patch ordering, quick-gelu MLP)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLForConditionalGeneration)
+    from llama_cpp_tpu.multimodal.qwen2vl import (
+        convert_hf_qwen2vl_vision, load_qwen2vl_mmproj, vit_forward)
+
+    vc = dict(depth=2, embed_dim=32, hidden_size=48, mlp_ratio=2,
+              num_heads=4, patch_size=4, temporal_patch_size=2,
+              spatial_merge_size=2, in_channels=3)
+    cfg = Qwen2VLConfig(
+        vocab_size=120, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=vc,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+        pad_token_id=0,
+    )
+    torch.manual_seed(100)
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "q2vl.mmproj.gguf")
+    convert_hf_qwen2vl_vision(hf, path)
+
+    grid = np.array([[1, 4, 4]])  # 16 patches -> 4 merged embeddings
+    S = 16
+    rng = np.random.default_rng(0)
+    patches = rng.standard_normal((S, 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.model.visual(torch.tensor(patches),
+                              grid_thw=torch.tensor(grid)).numpy()
+    params, vcfg = load_qwen2vl_mmproj(path)
+    ours = np.asarray(vit_forward(params, vcfg, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_qwen2vl_full_pipeline(tmp_path):
+    """Full qwen2-vl image pipeline: vision tower embeddings spliced into the
+    text stream with M-RoPE t/h/w positions must match the HF forward with
+    pixel_values end to end."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLForConditionalGeneration)
+    from llama_cpp_tpu.convert.hf_to_gguf import convert_hf_model
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.models.transformer import AttnInputs, forward
+    from llama_cpp_tpu.multimodal.qwen2vl import (
+        convert_hf_qwen2vl_vision, load_qwen2vl_mmproj, vit_forward)
+    from llama_cpp_tpu.multimodal.mtmd import qwen2vl_mrope_positions
+    from llama_cpp_tpu.runtime.kv_cache import KVCache
+    from llama_cpp_tpu.ops.qtensor import embed_lookup
+
+    vc = dict(depth=2, embed_dim=32, hidden_size=48, mlp_ratio=2,
+              num_heads=4, patch_size=4, temporal_patch_size=2,
+              spatial_merge_size=2, in_channels=3)
+    cfg = Qwen2VLConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=vc,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+        image_token_id=140, vision_start_token_id=141,
+        vision_end_token_id=142, pad_token_id=0,
+    )
+    torch.manual_seed(101)
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    tpath = str(tmp_path / "q2vl.gguf")
+    vpath = str(tmp_path / "q2vl.mmproj.gguf")
+    convert_hf_model(hf, tpath, ftype="f32")
+    convert_hf_qwen2vl_vision(hf, vpath)
+
+    grid = np.array([[1, 4, 4]])  # -> 4 merged image embeddings
+    rng = np.random.default_rng(1)
+    patches = rng.standard_normal((16, 3 * 2 * 4 * 4)).astype(np.float32)
+    pre = [3, 17, 141]           # text + vision_start
+    img = [140] * 4              # image pads (merged count)
+    post = [142, 9, 11]          # vision_end + text
+    ids = pre + img + post
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]),
+                 pixel_values=torch.tensor(patches),
+                 image_grid_thw=torch.tensor(grid)).logits[0].numpy()
+
+    m = load_model(tpath, prefer_quant=False, dense_dtype=jnp.float32)
+    vparams, vcfg = load_qwen2vl_mmproj(vpath)
+    img_embd = vit_forward(vparams, vcfg, jnp.asarray(patches), grid)
+
+    embeds = np.array(embed_lookup(m.params["token_embd"],
+                                   jnp.asarray([ids]), jnp.float32))
+    embeds[0, len(pre):len(pre) + 4] = np.asarray(img_embd)
+    pos3 = qwen2vl_mrope_positions(
+        [("text", len(pre)), ("image", (1, 4, 4)), ("text", len(post))])
+    N = len(ids)
+    kv = KVCache.create(2, 1, 32, m.cfg.n_kv_heads, m.cfg.head_dim_k,
+                        m.cfg.head_dim_v, dtype=jnp.float32)
+    # causal/slots use the sequence index (HF masks by token order; mrope
+    # streams only drive the rotation)
+    inputs = AttnInputs(
+        seq_idx=jnp.zeros(1, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+        positions=jnp.arange(N, dtype=jnp.int32)[None, :],
+        mrope_positions=jnp.asarray(pos3)[:, None, :],
+    )
+    logits, _ = forward(m.params, m.cfg, jnp.asarray([ids], jnp.int32),
+                        inputs, kv, inputs_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
