@@ -133,6 +133,8 @@ def convert_hf_model(
         "jamba": "jamba",
         "deepseek_v2": "deepseek2",
         "bert": "bert",
+        "roberta": "bert",
+        "xlm-roberta": "bert",
         "deepseek_v3": "deepseek2",
         "gpt2": "gpt2",
         "gpt_neox": "gptneox",
@@ -1084,10 +1086,19 @@ def _convert_bert(model, out_path: str, ftype: str, tokenizer=None,
     elif vocab_override:
         w.add_all(vocab_override)
 
-    base = model.bert if hasattr(model, "bert") else model
+    base = model
+    for attr in ("bert", "roberta"):
+        if hasattr(model, attr):
+            base = getattr(model, attr)
     sd = {k: v.detach().cpu().float().numpy() for k, v in base.state_dict().items()}
     _emit(w, "token_embd.weight", sd["embeddings.word_embeddings.weight"], ftype)
-    _emit(w, "position_embd.weight", sd["embeddings.position_embeddings.weight"], ftype)
+    pos_w = sd["embeddings.position_embeddings.weight"]
+    if cfg.model_type in ("roberta", "xlm-roberta"):
+        # roberta position ids start at pad_token_id + 1: chop the offset
+        # rows so position 0 lands on the first used row (reference
+        # conversion/bert.py RobertaModel._position_offset)
+        pos_w = pos_w[int(cfg.pad_token_id) + 1:]
+    _emit(w, "position_embd.weight", pos_w, ftype)
     _emit(w, "token_types.weight", sd["embeddings.token_type_embeddings.weight"], ftype)
     _emit(w, "token_embd_norm.weight", sd["embeddings.LayerNorm.weight"], ftype)
     _emit(w, "token_embd_norm.bias", sd["embeddings.LayerNorm.bias"], ftype)

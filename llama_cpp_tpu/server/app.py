@@ -71,6 +71,7 @@ class ServerApp:
         r.add_post("/v1/rerank", self.rerank)
         r.add_post("/rerank", self.rerank)
         r.add_post("/v1/messages", self.anthropic_messages)
+        r.add_post("/v1/responses", self.responses)
         r.add_post("/infill", self.infill)
 
     # -- helpers ---------------------------------------------------------
@@ -380,6 +381,58 @@ class ServerApp:
             }
         )
 
+    async def responses(self, req):
+        """OpenAI Responses API (reference tools/server routes
+        post_responses_oai): `input` is a string or message list; the reply
+        wraps the text in a message output item."""
+        body = await req.json()
+        inp = body.get("input", "")
+        messages = []
+        if body.get("instructions"):
+            messages.append({"role": "system",
+                             "content": body["instructions"]})
+        if isinstance(inp, str):
+            messages.append({"role": "user", "content": inp})
+        else:
+            for m in inp:
+                content = m.get("content")
+                if isinstance(content, list):  # typed content parts
+                    content = "".join(
+                        c.get("text", "") for c in content
+                        if c.get("type") in ("input_text", "output_text", "text"))
+                messages.append({"role": m.get("role", "user"),
+                                 "content": content})
+        chat_body = dict(body)
+        chat_body["messages"] = messages
+        if "max_output_tokens" in body:
+            chat_body["max_tokens"] = body["max_output_tokens"]
+        prompt = self._prompt_from_chat(chat_body)
+        task = self._make_task(chat_body, prompt)
+        rid = f"resp_{uuid.uuid4().hex[:20]}"
+        done = await self._run_task(task)
+        result = await done
+        return web.json_response({
+            "id": rid,
+            "object": "response",
+            "created_at": int(time.time()),
+            "model": self.model_name,
+            "status": "completed",
+            "output": [{
+                "type": "message",
+                "id": f"msg_{uuid.uuid4().hex[:16]}",
+                "role": "assistant",
+                "status": "completed",
+                "content": [{"type": "output_text", "text": result["text"],
+                             "annotations": []}],
+            }],
+            "output_text": result["text"],
+            "usage": {
+                "input_tokens": result["n_prompt"],
+                "output_tokens": result["n_generated"],
+                "total_tokens": result["n_prompt"] + result["n_generated"],
+            },
+        })
+
     async def _stream_openai(self, req, task: GenTask, rid: str, chat: bool):
         q: asyncio.Queue = asyncio.Queue()
         done = await self._run_task(task, stream_q=q)
@@ -538,16 +591,59 @@ class ServerApp:
         )
 
 
-def run_server(model_path: str, host="0.0.0.0", port=8080, **ctx_kw):
+def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
+    """Serve one model, or several via the multi-model router when
+    `model_path` is a dict {name: path} (reference server-models.cpp)."""
     import jax.numpy as jnp  # noqa: F401
 
     from ..models.loader import load_model
     from ..runtime.context import Context
 
-    model = load_model(model_path)
     n_seqs = ctx_kw.pop("n_seqs", 4)
+    if isinstance(model_path, dict) and len(model_path) > 1:
+        from .router import ModelRouter
+
+        servers = {}
+        for name, path in model_path.items():
+            model = load_model(path)
+            ctx = Context(model, n_seqs=n_seqs, **ctx_kw)
+            sched = Scheduler(ctx)
+            sched.start()
+            servers[name] = ServerApp(sched, model_name=name)
+        web.run_app(ModelRouter(servers).app, host=host, port=port)
+        return
+    if isinstance(model_path, dict):
+        model_path = next(iter(model_path.values()))
+    model = load_model(model_path)
     ctx = Context(model, n_seqs=n_seqs, **ctx_kw)
     sched = Scheduler(ctx)
     sched.start()
     app = ServerApp(sched, model_name=model.cfg.name or "model")
     web.run_app(app.app, host=host, port=port)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser("llama-server")
+    ap.add_argument("-m", "--model", action="append", required=True,
+                    help="model path, or name=path (repeatable for the "
+                    "multi-model router)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-np", "--parallel", type=int, default=4)
+    args = ap.parse_args(argv)
+    models = {}
+    for i, spec in enumerate(args.model):
+        if "=" in spec:
+            name, path = spec.split("=", 1)
+        else:
+            name, path = f"model{i}" if i else "model", spec
+        models[name] = path
+    run_server(models, host=args.host, port=args.port,
+               n_ctx=args.ctx_size, n_seqs=args.parallel)
+
+
+if __name__ == "__main__":
+    main()

@@ -1254,3 +1254,31 @@ def test_qwen2vl_text(tmp_path):
     m, ours, _ = run_ours(path, tokens)
     assert m.cfg.extra["mrope_sections"] == (2, 2, 2)
     np.testing.assert_allclose(ours, ref, rtol=4e-4, atol=4e-4)
+
+
+def test_roberta_encoder(tmp_path):
+    """RoBERTa maps onto the bert arch with position rows offset by
+    pad_token_id+1 (reference conversion/bert.py RobertaModel)."""
+    cfg = transformers.RobertaConfig(
+        vocab_size=120, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=66, pad_token_id=1, type_vocab_size=1,
+    )
+    torch.manual_seed(102)
+    hf = transformers.RobertaModel(cfg).eval()
+    path = str(tmp_path / "roberta.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    toks = [5, 9, 30, 44, 2]
+    with torch.no_grad():
+        ref = hf(torch.tensor([toks])).last_hidden_state[0].numpy()
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    N = len(toks)
+    inputs = AttnInputs(
+        seq_idx=jnp.zeros(1, jnp.int32),
+        slots=jnp.arange(N, dtype=jnp.int32)[None, :],
+        positions=jnp.arange(N, dtype=jnp.int32)[None, :],
+    )
+    hid, _ = m.forward_fn(m.params, m.cfg, jnp.asarray([toks], jnp.int32),
+                          inputs, None)
+    np.testing.assert_allclose(np.asarray(hid).reshape(N, -1), ref,
+                               rtol=6e-4, atol=6e-4)

@@ -290,3 +290,88 @@ def test_prompt_cache_prefix_reuse(served):
     # correctness: cached-path output == cold output for the same prompt
     r3 = run(prefix + [60], cache=False)
     assert r2["tokens"] == r3["tokens"]
+
+
+def test_responses_api(served):
+    """OpenAI Responses API endpoint (string and message-list inputs)."""
+    async def run():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/responses", json={
+                "input": "the cat", "max_output_tokens": 4,
+                "temperature": 0.0})
+            assert r.status == 200
+            data = await r.json()
+            assert data["object"] == "response"
+            assert data["status"] == "completed"
+            assert data["output"][0]["content"][0]["type"] == "output_text"
+            assert data["usage"]["output_tokens"] >= 1
+
+            r = await client.post("/v1/responses", json={
+                "instructions": "be brief",
+                "input": [{"role": "user", "content": [
+                    {"type": "input_text", "text": "hi"}]}],
+                "max_output_tokens": 3, "temperature": 0.0})
+            assert r.status == 200
+            data = await r.json()
+            assert data["output_text"] == data["output"][0]["content"][0]["text"]
+        finally:
+            await client.close()
+
+    _run(run())
+
+
+def test_multi_model_router(tmp_path_factory):
+    """Router dispatches by the request's `model` field (reference
+    tools/server/server-models.cpp analog)."""
+    from llama_cpp_tpu.server.router import ModelRouter
+    from llama_cpp_tpu.server.app import ServerApp
+
+    d = tmp_path_factory.mktemp("router")
+    servers = {}
+    scheds = []
+    for name, seed in (("alpha", 3), ("beta", 4)):
+        path = str(d / f"{name}.gguf")
+        make_tiny_llama_gguf(path, vocab_size=300, n_layers=1, n_embd=64,
+                             n_heads=4, n_kv_heads=2, n_ff=128, seed=seed)
+        model = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+        ctx = Context(model, n_ctx=64, n_seqs=1, n_ubatch=32)
+        sched = Scheduler(ctx)
+        sched.start()
+        scheds.append(sched)
+        servers[name] = ServerApp(sched, model_name=name)
+
+    async def run():
+        router = ModelRouter(servers)
+        client = TestClient(TestServer(router.app))
+        await client.start_server()
+        try:
+            r = await client.get("/v1/models")
+            data = await r.json()
+            assert {m["id"] for m in data["data"]} == {"alpha", "beta"}
+
+            outs = {}
+            for name in ("alpha", "beta"):
+                r = await client.post("/v1/completions", json={
+                    "model": name, "prompt": "the", "max_tokens": 4,
+                    "temperature": 0.0})
+                assert r.status == 200
+                body = await r.json()
+                assert body["model"] == name
+                outs[name] = body["choices"][0]["text"]
+            assert outs["alpha"] != outs["beta"]  # different weights answered
+
+            # unknown model falls back to the default (first registered)
+            r = await client.post("/v1/completions", json={
+                "model": "nope", "prompt": "the", "max_tokens": 4,
+                "temperature": 0.0})
+            assert (await r.json())["model"] == "alpha"
+        finally:
+            await client.close()
+
+    try:
+        _run(run())
+    finally:
+        for s in scheds:
+            s.stop()
