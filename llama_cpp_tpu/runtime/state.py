@@ -6,22 +6,27 @@ snapshots and per-sequence extraction for slot migration. Format: a single
 .npz blob (zip of npy arrays) + a JSON header carrying the model fingerprint
 and shape contract — the TPU-side answer to the reference's versioned binary
 session format (magic/version include/llama.h:41-49).
+
+Whole-context state is generic over every memory type (unified KV, iSWA,
+recurrent, hybrid, DSA) by snapshotting the memory pytree's leaves; per-
+sequence state dispatches on the memory class, mirroring the reference's
+per-memory-type state_write_data implementations.
 """
 
 from __future__ import annotations
 
 import io
 import json
-import zlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 STATE_MAGIC = "tpu-llm-state"
-STATE_VERSION = 2
+STATE_VERSION = 3
 
 
-def _pack(arr: jnp.ndarray) -> np.ndarray:
+def _pack(arr) -> np.ndarray:
     """Device array -> npz-safe numpy (bf16 saved as uint16 bit pattern)."""
     a = np.asarray(arr)
     if a.dtype == jnp.bfloat16:
@@ -48,21 +53,16 @@ def _fingerprint(ctx) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# whole-context state
+# whole-context state: generic pytree snapshot (any memory type)
 # ---------------------------------------------------------------------------
 
 def save_state(ctx, path: str, extra: dict | None = None) -> int:
-    """Snapshot the full context (all sequences). Returns bytes written.
-    `extra` rides along in the header (e.g. the prompt-cache token list)."""
-    arrays = {
-        "k": _pack(ctx.kv.k),
-        "v": _pack(ctx.kv.v),
-        "pos": np.asarray(ctx.kv.pos),
-        "seq_len": np.asarray(ctx.seq_len),
-    }
-    if ctx.kv.quantized:
-        arrays["k_scale"] = np.asarray(ctx.kv.k_scale)
-        arrays["v_scale"] = np.asarray(ctx.kv.v_scale)
+    """Snapshot the full context (all sequences, any memory type). Returns
+    bytes written. `extra` rides along in the header (e.g. the prompt-cache
+    token list)."""
+    leaves, treedef = jax.tree_util.tree_flatten(ctx.kv)
+    arrays = {f"leaf_{i}": _pack(lf) for i, lf in enumerate(leaves)}
+    arrays["seq_len"] = np.asarray(ctx.seq_len)
     header = {
         "magic": STATE_MAGIC,
         "version": STATE_VERSION,
@@ -70,6 +70,8 @@ def save_state(ctx, path: str, extra: dict | None = None) -> int:
         "n_ctx": ctx.n_ctx,
         "n_seqs": ctx.n_seqs,
         "n_slots": ctx.n_slots,
+        "memory": type(ctx.kv).__name__,
+        "n_leaves": len(leaves),
         "extra": extra or {},
     }
     buf = io.BytesIO()
@@ -96,17 +98,20 @@ def load_state(ctx, path: str) -> dict:
         )
     if header["n_slots"] != ctx.n_slots or header["n_seqs"] != ctx.n_seqs:
         raise ValueError("context geometry mismatch (n_slots/n_seqs)")
-    from dataclasses import replace
-
-    kv = replace(
-        ctx.kv,
-        k=_unpack(z["k"], ctx.kv.k.dtype),
-        v=_unpack(z["v"], ctx.kv.v.dtype),
-        pos=jnp.asarray(z["pos"], jnp.int32),
-        k_scale=jnp.asarray(z["k_scale"]) if "k_scale" in z else None,
-        v_scale=jnp.asarray(z["v_scale"]) if "v_scale" in z else None,
-    )
-    ctx.kv = kv
+    if header.get("memory") != type(ctx.kv).__name__:
+        raise ValueError("memory type mismatch "
+                         f"({header.get('memory')} vs {type(ctx.kv).__name__})")
+    leaves, treedef = jax.tree_util.tree_flatten(ctx.kv)
+    if header["n_leaves"] != len(leaves):
+        raise ValueError("memory structure mismatch (leaf count)")
+    new_leaves = []
+    for i, cur in enumerate(leaves):
+        a = z[f"leaf_{i}"]
+        if tuple(a.shape) != tuple(cur.shape):
+            raise ValueError(f"state leaf {i} shape mismatch "
+                             f"{a.shape} vs {cur.shape}")
+        new_leaves.append(_unpack(a, cur.dtype))
+    ctx.kv = jax.tree_util.tree_unflatten(treedef, new_leaves)
     ctx.seq_len[:] = z["seq_len"]
     return header.get("extra", {})
 
@@ -115,23 +120,148 @@ def load_state(ctx, path: str) -> dict:
 # per-sequence state (slot save/restore + migration)
 # ---------------------------------------------------------------------------
 
-def save_seq_state(ctx, seq: int) -> bytes:
-    """Extract one sequence's KV as a portable blob (positions + rows),
-    independent of the source context's slot-table size."""
-    pos = np.asarray(ctx.kv.pos[seq])
+def _kv_rows(kvc, seq: int) -> tuple[np.ndarray, np.ndarray]:
+    """-> (slot indices ordered by position, their positions) for one seq."""
+    pos = np.asarray(kvc.seq_pos(seq) if hasattr(kvc, "seq_pos")
+                     else kvc.pos[seq])
     idx = np.nonzero(pos >= 0)[0]
     order = np.argsort(pos[idx], kind="stable")
     idx = idx[order]
-    arrays = {
-        "positions": pos[idx],
-        "k": _pack(ctx.kv.k[:, seq][:, :, idx]),  # [L, H, n, Dk]
-        "v": _pack(ctx.kv.v[:, seq][:, :, idx]),
+    return idx, pos[idx]
+
+
+def _kv_extract(kvc, seq: int, prefix: str) -> dict:
+    """KVCache rows of one sequence, ordered by position."""
+    idx, positions = _kv_rows(kvc, seq)
+    out = {
+        prefix + "positions": positions,
+        prefix + "k": _pack(kvc.k[:, seq][:, :, idx]),  # [L, H, n, Dk]
+        prefix + "v": _pack(kvc.v[:, seq][:, :, idx]),
     }
-    if ctx.kv.quantized:
-        arrays["k_scale"] = np.asarray(ctx.kv.k_scale[:, seq][:, :, idx])
-        arrays["v_scale"] = np.asarray(ctx.kv.v_scale[:, seq][:, :, idx])
+    if kvc.quantized:
+        out[prefix + "k_scale"] = np.asarray(kvc.k_scale[:, seq][:, :, idx])
+        out[prefix + "v_scale"] = np.asarray(kvc.v_scale[:, seq][:, :, idx])
+    return out
+
+
+def _kv_inject(kvc, seq: int, z, prefix: str):
+    """Scatter saved rows into `seq` of a (cleared) KVCache; slots derive
+    from positions via the cache's slot policy (identity or ring)."""
+    from dataclasses import replace
+
+    positions = np.asarray(z[prefix + "positions"])
+    cap = kvc.n_slots - 1
+    if getattr(kvc, "ring", False):
+        host_slots = positions % cap
+        # ring caches only retain the window's worth of rows: keep the last
+        # occupant of each wrapped slot (positions are sorted ascending)
+        keep = {}
+        for j, s in enumerate(host_slots):
+            keep[int(s)] = j
+        sel = np.asarray(sorted(keep.values()), dtype=np.int64)
+        positions = positions[sel]
+        host_slots = host_slots[sel]
+    else:
+        host_slots = np.minimum(positions, cap - 1)
+        sel = None
+    slots = jnp.asarray(host_slots, jnp.int32)
+
+    def take(name):
+        a = z[prefix + name]
+        return a if sel is None else a[:, :, sel]
+
+    # int seq + slots array are both advanced indices -> they broadcast and
+    # move to front: kv.k.at[:, seq, :, slots] takes values [n, L, H, D]
+    new = replace(
+        kvc,
+        k=kvc.k.at[:, seq, :, slots].set(
+            jnp.moveaxis(_unpack(take("k"), kvc.k.dtype), 2, 0)),
+        v=kvc.v.at[:, seq, :, slots].set(
+            jnp.moveaxis(_unpack(take("v"), kvc.v.dtype), 2, 0)),
+        pos=kvc.pos.at[seq, slots].set(jnp.asarray(positions, jnp.int32)),
+    )
+    if kvc.quantized:
+        new = replace(
+            new,
+            k_scale=kvc.k_scale.at[:, seq, :, slots].set(
+                jnp.moveaxis(jnp.asarray(take("k_scale")), 2, 0)),
+            v_scale=kvc.v_scale.at[:, seq, :, slots].set(
+                jnp.moveaxis(jnp.asarray(take("v_scale")), 2, 0)),
+        )
+    return new
+
+
+def _rs_extract(rs, seq: int, prefix: str) -> dict:
+    return {
+        prefix + "conv": _pack(rs.conv[:, seq]),
+        prefix + "ssm": _pack(rs.ssm[:, seq]),
+    }
+
+
+def _rs_inject(rs, seq: int, z, prefix: str):
+    from dataclasses import replace
+
+    return replace(
+        rs,
+        conv=rs.conv.at[:, seq].set(_unpack(z[prefix + "conv"], rs.conv.dtype)),
+        ssm=rs.ssm.at[:, seq].set(_unpack(z[prefix + "ssm"], rs.ssm.dtype)),
+    )
+
+
+def _seq_parts(kv) -> list[tuple[str, object, str]]:
+    """-> [(kind, sub-memory, npz key prefix)] for the memory object.
+    kind is 'kv' or 'rs'; mirrors the per-type state writers of the
+    reference (src/llama-kv-cache*.cpp, llama-memory-*.cpp)."""
+    from .kv_cache import ISWACache, KVCache
+    from .memory import DSAMemory, HybridMemory, RecurrentState
+
+    if isinstance(kv, KVCache):
+        return [("kv", kv, "")]
+    if isinstance(kv, ISWACache):
+        return [("kv", kv.full, "full_"), ("kv", kv.swa, "swa_")]
+    if isinstance(kv, RecurrentState):
+        return [("rs", kv, "rs_")]
+    if isinstance(kv, HybridMemory):
+        return [("kv", kv.kv, "kv_"), ("rs", kv.rs, "rs_")]
+    if isinstance(kv, DSAMemory):
+        return [("kv", kv.kv, "kv_"), ("kv", kv.idx, "idx_")]
+    raise ValueError(f"per-sequence state unsupported for {type(kv).__name__}")
+
+
+def _seq_rebuild(kv, parts: list):
+    """Inverse of _seq_parts: reassemble the memory object from new parts."""
+    from dataclasses import replace
+
+    from .kv_cache import ISWACache, KVCache
+    from .memory import DSAMemory, HybridMemory, RecurrentState
+
+    if isinstance(kv, KVCache):
+        return parts[0]
+    if isinstance(kv, ISWACache):
+        return replace(kv, full=parts[0], swa=parts[1])
+    if isinstance(kv, RecurrentState):
+        return parts[0]
+    if isinstance(kv, HybridMemory):
+        return replace(kv, kv=parts[0], rs=parts[1])
+    if isinstance(kv, DSAMemory):
+        return replace(kv, kv=parts[0], idx=parts[1])
+    raise AssertionError
+
+
+def save_seq_state(ctx, seq: int) -> bytes:
+    """Extract one sequence's memory as a portable blob (positions + rows),
+    independent of the source context's slot-table size. Supports unified,
+    iSWA, recurrent, hybrid, and DSA memory."""
+    arrays: dict = {}
+    for kind, sub, prefix in _seq_parts(ctx.kv):
+        if kind == "kv":
+            arrays.update(_kv_extract(sub, seq, prefix))
+        else:
+            arrays.update(_rs_extract(sub, seq, prefix))
     header = {"magic": STATE_MAGIC, "version": STATE_VERSION,
-              "model": _fingerprint(ctx), "seq_len": int(ctx.seq_len[seq])}
+              "model": _fingerprint(ctx),
+              "memory": type(ctx.kv).__name__,
+              "seq_len": int(ctx.seq_len[seq])}
     buf = io.BytesIO()
     np.savez_compressed(buf, header=np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8), **arrays)
@@ -139,40 +269,28 @@ def save_seq_state(ctx, seq: int) -> bytes:
 
 
 def load_seq_state(ctx, seq: int, blob: bytes) -> int:
-    """Scatter a saved sequence into `seq` of this context (slot = position
-    identity layout). Returns the number of restored cells."""
+    """Scatter a saved sequence into `seq` of this context. Returns the
+    number of restored cells (attention rows, or 1 for recurrent state)."""
     z = np.load(io.BytesIO(blob))
     header = json.loads(bytes(z["header"]).decode())
     if header.get("magic") != STATE_MAGIC:
         raise ValueError("not a tpu-llm sequence state blob")
     if header["model"] != _fingerprint(ctx):
         raise ValueError("sequence state/model mismatch")
-    positions = z["positions"]
-    if positions.size and int(positions.max()) >= ctx.n_ctx:
+    if header.get("memory", "KVCache") != type(ctx.kv).__name__:
+        raise ValueError("sequence state memory-type mismatch")
+    if header["seq_len"] > ctx.n_ctx:
         raise ValueError("sequence longer than target context")
     ctx.seq_rm(seq)
-    kv = ctx.kv
-    slots = jnp.asarray(positions, jnp.int32)
-    # int seq + slots array are both advanced indices -> they broadcast and
-    # move to front: kv.k.at[:, seq, :, slots] takes values [n, L, H, D]
-    from dataclasses import replace
-
-    new = replace(
-        kv,
-        k=kv.k.at[:, seq, :, slots].set(
-            jnp.moveaxis(_unpack(z["k"], kv.k.dtype), 2, 0)),
-        v=kv.v.at[:, seq, :, slots].set(
-            jnp.moveaxis(_unpack(z["v"], kv.v.dtype), 2, 0)),
-        pos=kv.pos.at[seq, slots].set(jnp.asarray(positions, jnp.int32)),
-    )
-    if ctx.kv.quantized:
-        new = replace(
-            new,
-            k_scale=kv.k_scale.at[:, seq, :, slots].set(
-                jnp.moveaxis(jnp.asarray(z["k_scale"]), 2, 0)),
-            v_scale=kv.v_scale.at[:, seq, :, slots].set(
-                jnp.moveaxis(jnp.asarray(z["v_scale"]), 2, 0)),
-        )
-    ctx.kv = new
+    n = 0
+    parts = []
+    for kind, sub, prefix in _seq_parts(ctx.kv):
+        if kind == "kv":
+            parts.append(_kv_inject(sub, seq, z, prefix))
+            n = max(n, int(np.asarray(z[prefix + "positions"]).size))
+        else:
+            parts.append(_rs_inject(sub, seq, z, prefix))
+            n = max(n, 1)
+    ctx.kv = _seq_rebuild(ctx.kv, parts)
     ctx.seq_len[seq] = header["seq_len"]
-    return int(positions.size)
+    return n

@@ -152,7 +152,10 @@ class Scheduler:
             self.metrics["tokens_prompt_cached_total"] += n_keep
         else:
             self.ctx.seq_rm(slot.idx)
-        slot.cache_tokens = list(task.prompt_ids)
+        # cache_tokens tracks tokens actually DECODED into KV (reference
+        # pushes to the cache list only when a token enters a decode batch,
+        # server-context.cpp:520); prompt chunks extend it as they decode
+        slot.cache_tokens = list(task.prompt_ids[:n_keep])
 
     def _finish(self, slot: Slot, reason: str):
         task = slot.task
@@ -258,6 +261,7 @@ class Scheduler:
             is_last = len(chunk) == len(remaining)
             logits = self._prefill_chunk(slot.idx, chunk, slot.prompt_pos)
             slot.prompt_pos += len(chunk)
+            slot.cache_tokens.extend(chunk)
             self.metrics["tokens_prompt_total"] += len(chunk)
             if is_last:
                 slot.state = SlotState.GENERATING
@@ -278,6 +282,8 @@ class Scheduler:
         toks = np.asarray([s.generated[-1] for s in gen])
         seqs = np.asarray([s.idx for s in gen])
         logits = self.ctx.decode_step_multi(toks, seqs)
+        for i, slot in enumerate(gen):
+            slot.cache_tokens.append(int(toks[i]))  # now decoded into KV
         for i, slot in enumerate(gen):
             self._emit_token(slot, logits[i])
         return True
@@ -305,7 +311,6 @@ class Scheduler:
         if slot.grammar is not None:
             slot.grammar.accept(token)
         slot.generated.append(token)
-        slot.cache_tokens.append(token)
         if not slot.t_first_token:
             slot.t_first_token = time.perf_counter() - slot.t_start
 
@@ -336,7 +341,12 @@ class Scheduler:
                 try:
                     n_keep = min(getattr(slot.task, "n_keep", 0) or 0,
                                  self.ctx.n_ctx // 2)
-                    self.ctx.context_shift(slot.idx, n_keep=n_keep)
+                    n_discard = self.ctx.context_shift(slot.idx, n_keep=n_keep)
+                    # keep cache_tokens position-aligned with the shifted KV
+                    # (reference server-context.cpp:2957-2970)
+                    slot.cache_tokens = (
+                        slot.cache_tokens[:n_keep]
+                        + slot.cache_tokens[n_keep + n_discard:])
                     return
                 except NotImplementedError:
                     pass

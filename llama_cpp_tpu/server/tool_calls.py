@@ -45,16 +45,28 @@ _PY_TAG = re.compile(r"<\|python_tag\|>(.*?)(?:<\|eom_id\|>|$)", re.S)
 
 
 def _json_candidates(text: str):
-    """Yield top-level JSON objects/arrays found in free text."""
+    """Yield top-level JSON objects/arrays found in free text. Braces inside
+    JSON string literals (common in code-valued arguments) are ignored by
+    tracking in-string/escape state, as the reference chat parsers do."""
     depth = 0
     start = None
-    opener = {"{": "}", "[": "]"}
-    close = None
+    in_str = False
+    escaped = False
     for i, ch in enumerate(text):
-        if depth == 0 and ch in opener:
-            start, close, depth = i, opener[ch], 1
+        if start is not None and in_str:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if depth == 0 and ch in "{[":
+            start, depth = i, 1
         elif start is not None:
-            if ch in "{[":
+            if ch == '"':
+                in_str = True
+            elif ch in "{[":
                 depth += 1
             elif ch in "}]":
                 depth -= 1

@@ -119,3 +119,29 @@ def test_server_slot_save_restore(model, tmp_path):
         asyncio.new_event_loop().run_until_complete(flow())
     finally:
         sched.stop()
+
+
+def test_recurrent_state_roundtrip(tmp_path):
+    """Whole-context + per-seq state for recurrent memory (rwkv6) —
+    reference serializes recurrent state too (llama-memory-recurrent.cpp
+    state_write_data)."""
+    from llama_cpp_tpu.testing import make_tiny_rwkv6_gguf
+
+    p = str(tmp_path / "rwkv.gguf")
+    make_tiny_rwkv6_gguf(p)
+    model = load_model(p, prefer_quant=False)
+    ctx = Context(model, n_ctx=64, n_seqs=2)
+    prompt = [3, 5, 7, 9, 11, 13]
+    part1 = ctx.generate(prompt, max_new_tokens=4)
+    save_state(ctx, str(tmp_path / "sess.bin"))
+    blob = save_seq_state(ctx, 0)
+    ref = _continue(ctx, part1, 4)
+
+    ctx2 = Context(model, n_ctx=64, n_seqs=2)
+    load_state(ctx2, str(tmp_path / "sess.bin"))
+    assert _continue(ctx2, part1, 4) == ref
+
+    ctx3 = Context(model, n_ctx=64, n_seqs=2)
+    load_seq_state(ctx3, 0, blob)
+    assert int(ctx3.seq_len[0]) == len(prompt) + len(part1)
+    assert _continue(ctx3, part1, 4) == ref
