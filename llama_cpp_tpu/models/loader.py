@@ -376,7 +376,7 @@ def _concat_weights(ws: list) -> Any | None:
     from ..ops.qtensor import QuantTensor
 
     if all(isinstance(w, QuantTensor) for w in ws):
-        if len({(w.group, w.ggml_type, w.transposed) for w in ws}) != 1:
+        if len({(w.group, w.ggml_type, w.transposed, w.packed) for w in ws}) != 1:
             return None
         if not ws[0].transposed or any(w.q.ndim != 2 for w in ws):
             return None
@@ -391,6 +391,7 @@ def _concat_weights(ws: list) -> Any | None:
             mins=jnp.concatenate([w.mins for w in ws], axis=-1)
             if all(have_mins) else None,
             group=ws[0].group, ggml_type=ws[0].ggml_type, transposed=True,
+            packed=ws[0].packed,
         )
     if all(isinstance(w, jnp.ndarray) for w in ws):
         if len({w.dtype for w in ws}) != 1 or any(w.ndim != 2 for w in ws):

@@ -214,14 +214,14 @@ def attention_block(
     window = cfg.sliding_window if (cfg.sliding_window > 0 and cfg.is_swa_layer(il)) else 0
     sinks = lw.get("attn_sinks")  # [H] gpt-oss attention sinks
 
+    paged = hasattr(kvc, "table")
+
     # single-sequence contexts: batch row 0 IS cache row 0 — skip the seq
     # gather (it copies the whole layer cache per step)
-    one_seq = kvc.k.shape[1] == 1 and B == 1
+    one_seq = not paged and kvc.k.shape[1] == 1 and B == 1
 
     def seq_view(arr):  # arr [n_seqs, ...] -> [B, ...]
         return arr if one_seq else arr[inputs.seq_idx]
-
-    slot_pos = seq_view(kvc.pos)  # [B, slots]
 
     # sub-128 head dims underutilize the MXU lanes in the kernel; there the
     # XLA einsum path wins for tiny decode row counts (T*G < 16)
@@ -231,7 +231,19 @@ def attention_block(
                  and cfg.alibi_bias == 0.0 and not non_causal)
     if use_flash and min(Dk, Dv) < 128 and rows < 16:
         use_flash = False
-    if use_flash:
+    if use_flash and paged:
+        # paged pool: the kernel walks the page table in place — no
+        # per-sequence KV gather even at B > 1 (runtime/paged_kv.py)
+        from ..ops.pallas.flash_attn import mha_flash_paged
+
+        out = mha_flash_paged(
+            q, kvc, li, inputs.seq_idx, inputs.positions,
+            sm_scale=scale, window=window, softcap=cfg.attn_logit_softcap,
+            sinks=None if sinks is None else sinks.astype(jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        ).astype(x.dtype)
+    elif use_flash:
+        slot_pos = seq_view(kvc.pos)  # [B, slots]
         # fused Pallas flash attention straight off the (possibly int8) cache
         k_raw = seq_view(kvc.k[li])  # [B, Hkv, S, Dk]
         v_raw = seq_view(kvc.v[li])
@@ -246,9 +258,13 @@ def attention_block(
             ring=kvc.ring,
         ).astype(x.dtype)
     else:
-        k_all, v_all = kvc.read(li)  # [n_seqs, Hkv, slots, D]
-        k_seq = seq_view(k_all)  # [B, Hkv, S, Dk]
-        v_seq = seq_view(v_all)
+        if paged:
+            k_seq, v_seq, slot_pos = kvc.gather_seq(li, inputs.seq_idx)
+        else:
+            slot_pos = seq_view(kvc.pos)  # [B, slots]
+            k_all, v_all = kvc.read(li)  # [n_seqs, Hkv, slots, D]
+            k_seq = seq_view(k_all)  # [B, Hkv, S, Dk]
+            v_seq = seq_view(v_all)
 
         valid = slot_pos >= 0
         causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]
@@ -382,7 +398,9 @@ def mla_attention_block(
         kf.reshape(B * T, H, Dk), v.reshape(B * T, H, Dv),
         update_pos=update_pos, contiguous=B == 1 and T > 1,
     )
-    slot_pos = kv.pos[inputs.seq_idx]
+    paged = hasattr(kv, "table")
+    slot_pos = (kv.seq_slot_pos(inputs.seq_idx) if paged
+                else kv.pos[inputs.seq_idx])
 
     sparse_sel = None
     if dsa:
@@ -426,7 +444,15 @@ def mla_attention_block(
         sparse_sel = jnp.any(
             jax.nn.one_hot(top_idx, S_, dtype=bool), axis=-2)  # [B, T, S]
 
-    if flash_supported(Dk, Dv, kv.n_slots) and not dsa:
+    if flash_supported(Dk, Dv, kv.n_slots) and not dsa and paged:
+        from ..ops.pallas.flash_attn import mha_flash_paged
+
+        out = mha_flash_paged(
+            qf, kv, il, inputs.seq_idx, inputs.positions,
+            sm_scale=kq_scale,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(x.dtype)
+    elif flash_supported(Dk, Dv, kv.n_slots) and not dsa:
         k_raw = kv.k[il][inputs.seq_idx]
         v_raw = kv.v[il][inputs.seq_idx]
         ks = kv.k_scale[il][inputs.seq_idx] if kv.quantized else None
@@ -438,9 +464,12 @@ def mla_attention_block(
             ring=kv.ring,
         ).astype(x.dtype)
     else:
-        k_all, v_all = kv.read(il)
-        k_seq = k_all[inputs.seq_idx]  # [B, H, S, Dk]
-        v_seq = v_all[inputs.seq_idx]
+        if paged:
+            k_seq, v_seq, _ = kv.gather_seq(il, inputs.seq_idx)
+        else:
+            k_all, v_all = kv.read(il)
+            k_seq = k_all[inputs.seq_idx]  # [B, H, S, Dk]
+            v_seq = v_all[inputs.seq_idx]
         valid = slot_pos >= 0
         causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]
         mask = valid[:, None, :] & causal
@@ -588,41 +617,10 @@ def moe_block(
             out = out + sh
         return out.astype(x.dtype)
 
-    def expert_apply(e, e_gate, e_up, e_down):
-        # e_*: [n_ff_exp, n_embd] ; x: [N, n_embd]
-        g = matmul(x, e_gate)
-        u = matmul(x, e_up)
-        if "ffn_gate_exps_bias" in lw:
-            g = g + lw["ffn_gate_exps_bias"][e]
-        if "ffn_up_exps_bias" in lw:
-            u = u + lw["ffn_up_exps_bias"][e]
-        h = swiglu_oai(g, u) if cfg.moe_act == "swiglu_oai" else act(g) * u
-        y = matmul(h, e_down)  # [N, n_embd]
-        if "ffn_down_exps_bias" in lw:
-            y = y + lw["ffn_down_exps_bias"][e]
-        return y
-
-    def dequant_e(w: Weight, e):
-        if isinstance(w, QuantTensor):
-            return QuantTensor(
-                q=w.q[e], scales=w.scales[e],
-                mins=None if w.mins is None else w.mins[e],
-                group=w.group, ggml_type=w.ggml_type, transposed=w.transposed,
-            )
-        return w[e]
-
-    weight_before = cfg.extra.get("moe_weight_before", False)
-    out = jnp.zeros_like(x, dtype=jnp.float32)
-    x_orig = x
-    for e in range(n_exp):  # static loop; XLA unrolls — fine for small n_exp
-        w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), axis=-1)  # [B, T]
-        if weight_before:  # llama4: scale the expert INPUT by the gate
-            x = (x_orig.astype(jnp.float32) * w_e[..., None]).astype(x_orig.dtype)
-        contrib = expert_apply(
-            e, dequant_e(gate_w, e), dequant_e(up_w, e), dequant_e(down_w, e)
-        ).astype(jnp.float32)
-        out = out + (contrib if weight_before else contrib * w_e[..., None])
-    x = x_orig
+    # prefill shapes: sort-by-expert ragged segment GEMM (the TPU answer to
+    # GGML_OP_MUL_MAT_ID, ggml.h:514) — FLOPs scale with tokens*top_k, not
+    # tokens*n_expert, and XLA's ragged_dot tiles the segments on the MXU
+    out = _moe_ragged(cfg, lw, x, topi, topw, act)
 
     if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
         h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
@@ -632,6 +630,81 @@ def moe_block(
                 matmul(x, lw["ffn_gate_inp_shexp"], dtype=jnp.float32))
         out = out + sh
     return out.astype(x.dtype)
+
+
+def _dequant_all_experts(w: Weight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """-> [E, in, out] bf16 rhs for ragged_dot (dequantized if needed)."""
+    if isinstance(w, QuantTensor):
+        q = w.q.astype(dtype)
+        sc = w.scales.astype(dtype)
+        g = w.group
+        if w.transposed:  # q [E, K, O], scales [E, K//g, O]
+            E_, K, O = q.shape
+            wd = (q.reshape(E_, K // g, g, O) * sc[:, :, None, :]).reshape(E_, K, O)
+            if w.mins is not None:
+                wd = wd + jnp.repeat(w.mins.astype(dtype), g, axis=1)
+            return wd
+        E_, O, K = q.shape
+        wd = (q.reshape(E_, O, K // g, g) * sc[..., None]).reshape(E_, O, K)
+        if w.mins is not None:
+            wd = wd + jnp.repeat(w.mins.astype(dtype), g, axis=2)
+        return wd.transpose(0, 2, 1)
+    return w.astype(dtype).transpose(0, 2, 1)  # dense [E, O, K] -> [E, K, O]
+
+
+def _moe_ragged(cfg, lw, x, topi, topw, act) -> jnp.ndarray:
+    """Sort-by-expert ragged dispatch for prefill-sized token counts:
+    flatten (token, slot) pairs, sort by expert id, run the three FFN GEMMs
+    as grouped matmuls (jax.lax.ragged_dot), unsort, and mix by gate weight.
+    Matches the reference's single MUL_MAT_ID over all experts while doing
+    only top_k worth of FLOPs per token."""
+    lead = x.shape[:-1]
+    E = x.shape[-1]
+    N = int(np.prod(lead)) if lead else 1
+    k = topi.shape[-1]
+    n_exp = cfg.n_expert
+    M = N * k
+    xf = x.reshape(N, E)
+    e_flat = topi.reshape(M).astype(jnp.int32)
+    tw = topw.reshape(N, k)
+
+    order = jnp.argsort(e_flat)  # stable: preserves token order per expert
+    es = e_flat[order]
+    counts = jnp.bincount(e_flat, length=n_exp).astype(jnp.int32)
+    inv = jnp.argsort(order)
+
+    mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    xs = xf[order // k].astype(mdt)  # [M, E] sorted by expert
+    weight_before = cfg.extra.get("moe_weight_before", False)
+    if weight_before:  # llama4: gate scales the expert INPUT
+        tw_sorted = tw.reshape(M)[order]
+        xs = (xs.astype(jnp.float32) * tw_sorted[:, None]).astype(mdt)
+
+    def emm(w, h):
+        wd = _dequant_all_experts(w, mdt)
+        return jax.lax.ragged_dot(h.astype(mdt), wd, counts,
+                                  preferred_element_type=jnp.float32)
+
+    def bias(name):
+        return jnp.take(lw[name], es, axis=0).astype(jnp.float32)
+
+    g = emm(lw["ffn_gate_exps"], xs)
+    u = emm(lw["ffn_up_exps"], xs)
+    if "ffn_gate_exps_bias" in lw:
+        g = g + bias("ffn_gate_exps_bias")
+    if "ffn_up_exps_bias" in lw:
+        u = u + bias("ffn_up_exps_bias")
+    h = swiglu_oai(g, u) if cfg.moe_act == "swiglu_oai" else act(g) * u
+    y = emm(lw["ffn_down_exps"], h.astype(mdt))
+    if "ffn_down_exps_bias" in lw:
+        y = y + bias("ffn_down_exps_bias")
+
+    y = y[inv].reshape(N, k, E)  # unsort back to (token, slot) order
+    if weight_before:
+        out = jnp.sum(y, axis=1)
+    else:
+        out = jnp.sum(y * tw[:, :, None], axis=1)
+    return out.reshape(*lead, E)
 
 
 def _gather_expert(w: Weight, idx: jnp.ndarray, dtype=jnp.bfloat16):

@@ -292,6 +292,172 @@ def flash_attention(
 
 
 # ---------------------------------------------------------------------------
+# paged variant: KV tiles resolved through a scalar-prefetched page table
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "window", "softcap", "page", "interpret"),
+)
+def flash_attention_paged(
+    q: jnp.ndarray,  # [B, Hkv, R, D]
+    k4: jnp.ndarray,  # [Hkv, P, page, D] page pool
+    v4: jnp.ndarray,  # [Hkv, P, page, Dv]
+    row_pos: jnp.ndarray,  # [B, R] int32
+    pos3: jnp.ndarray,  # [P, 1, page] int32 per-row position labels
+    table_b: jnp.ndarray,  # [B, MP] int32 page ids per batch row
+    sinks: jnp.ndarray | None = None,  # [Hkv, R] f32
+    k_scale4: jnp.ndarray | None = None,  # [Hkv, P, 1, page] f32
+    v_scale4: jnp.ndarray | None = None,
+    *,
+    sm_scale: float,
+    window: int = 0,
+    softcap: float = 0.0,
+    page: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention straight off the paged pool (runtime/paged_kv.py):
+    the KV tile for grid step s of batch row b is page table_b[b, s] — the
+    page table rides scalar prefetch and drives the K/V index_maps, so no
+    gathered per-sequence KV copy is ever materialized (the paged analog of
+    the reference reading the unified cell buffer in place). KV tile size ==
+    page size. -> [B, Hkv, R, Dv] f32."""
+    B, Hkv, R, D = q.shape
+    MP = table_b.shape[1]
+    Dv = v4.shape[3]
+    assert page % LANES == 0
+
+    br = min(128, _round_up(R, 16))
+    Rp = _round_up(R, br)
+    if Rp != R:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+        row_pos = jnp.pad(row_pos, ((0, 0), (0, Rp - R)), constant_values=-1)
+        if sinks is not None:
+            sinks = jnp.pad(sinks, ((0, 0), (0, Rp - R)))
+
+    rp3 = row_pos.reshape(B, Rp, 1)
+    quantized = k_scale4 is not None
+    has_sinks = sinks is not None
+
+    # page table entries are position-ordered (table[b, j] covers positions
+    # [j*page, (j+1)*page)), so the causal live-tile clamp applies unchanged
+    rmax = row_pos.reshape(B, Rp // br, br).max(axis=-1)
+    lim = jnp.clip(rmax // page + 1, 1, MP).astype(jnp.int32)
+
+    grid = (B, Hkv, Rp // br, MP)
+
+    def kv_map(b, h, r, s, lim, tab):
+        return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+    def cp_map(b, h, r, s, lim, tab):
+        return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+    def sc_map(b, h, r, s, lim, tab):
+        return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, br, D), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
+        pl.BlockSpec((1, 1, page, D), kv_map),
+        pl.BlockSpec((1, 1, page, Dv), kv_map),
+        pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (b, r, 0)),
+        pl.BlockSpec((1, 1, page), cp_map),
+    ]
+    args = [q, k4, v4, rp3, pos3]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, 1, page), sc_map))
+        in_specs.append(pl.BlockSpec((1, 1, 1, page), sc_map))
+        args.append(k_scale4)
+        args.append(v_scale4)
+    if has_sinks:
+        in_specs.append(
+            pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (h, r, 0)))
+        args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, br, Dv), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((br, LANES), jnp.float32),
+            pltpu.VMEM((br, LANES), jnp.float32),
+            pltpu.VMEM((br, Dv), jnp.float32),
+        ],
+    )
+
+    def body(lim_ref, tab_ref, *refs):
+        _fa_kernel(lim_ref, *refs,
+                   sm_scale=float(sm_scale), window=int(window),
+                   softcap=float(softcap), quantized=quantized,
+                   has_sinks=has_sinks, bs=page, dv=Dv)
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, Dv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * Rp * MP * page * (D + Dv),
+            bytes_accessed=(
+                B * Hkv * (Rp * D * 2
+                           + MP * page * (D + Dv) * k4.dtype.itemsize
+                           + Rp * Dv * 4)
+            ),
+            transcendentals=B * Hkv * Rp * MP * page,
+        ),
+        interpret=interpret,
+    )(lim, table_b, *args)
+    return out[:, :, :R]
+
+
+def mha_flash_paged(
+    q: jnp.ndarray,  # [B, T, H, Dk]
+    kvc,  # PagedKVCache
+    li: int,
+    seq_idx: jnp.ndarray,  # [B]
+    positions: jnp.ndarray,  # [B, T]
+    *,
+    sm_scale: float,
+    window: int = 0,
+    softcap: float = 0.0,
+    sinks: jnp.ndarray | None = None,  # [H]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """GQA fold + pool views for the paged kernel -> [B, T, H*Dv]."""
+    B, T, H, Dk = q.shape
+    Hkv = kvc.k.shape[1]
+    Dv = kvc.v.shape[3]
+    G = H // Hkv
+    page, P = kvc.page, kvc.n_pages
+    k4 = kvc.k[li].reshape(Hkv, P, page, Dk)
+    v4 = kvc.v[li].reshape(Hkv, P, page, Dv)
+    pos3 = kvc.pos.reshape(P, 1, page)
+    table_b = kvc.table[seq_idx]
+    ks = vs = None
+    if kvc.quantized:
+        ks = kvc.k_scale[li].reshape(Hkv, P, 1, page)
+        vs = kvc.v_scale[li].reshape(Hkv, P, 1, page)
+    qr = (q.reshape(B, T, Hkv, G, Dk).transpose(0, 2, 3, 1, 4)
+          .reshape(B, Hkv, G * T, Dk))
+    row_pos = jnp.tile(positions, (1, G))
+    sink_rows = None
+    if sinks is not None:
+        sink_rows = jnp.repeat(sinks.reshape(Hkv, G), T, axis=1)  # [Hkv, G*T]
+    out = flash_attention_paged(
+        qr, k4, v4, row_pos, pos3, table_b,
+        sinks=sink_rows, k_scale4=ks, v_scale4=vs,
+        sm_scale=sm_scale, window=window, softcap=softcap,
+        page=page, interpret=interpret,
+    )  # [B, Hkv, G*T, Dv]
+    return (out.reshape(B, Hkv, G, T, Dv).transpose(0, 3, 1, 2, 4)
+            .reshape(B, T, H * Dv))
+
+
+# ---------------------------------------------------------------------------
 # dispatch from the model graph
 # ---------------------------------------------------------------------------
 

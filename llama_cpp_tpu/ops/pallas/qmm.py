@@ -131,6 +131,97 @@ def qmm_planes(
     )(*args)
 
 
+def _unpack4(qp: jnp.ndarray) -> jnp.ndarray:
+    """[tk/2, to] int8-viewed packed nibbles -> [tk, to] f32 (row 2k low,
+    2k+1 high). Masks after the shift: arithmetic shift on the int8 view
+    sign-extends, & 0xF recovers the unsigned nibble."""
+    q32 = qp.astype(jnp.int32)  # Mosaic lacks i8 shifts; widen first
+    lo = (q32 & 0xF).astype(jnp.float32)
+    hi = ((q32 >> 4) & 0xF).astype(jnp.float32)
+    tk2, to = lo.shape
+    return jnp.stack([lo, hi], axis=1).reshape(tk2 * 2, to)
+
+
+def _qmm4_kernel(x_ref, q_ref, sc_ref, out_ref, *, group: int):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    w = _unpack4(q_ref[:, :]) * _expand_scales(sc_ref[:, :], group)
+    out_ref[:, :] += jnp.dot(
+        x_ref[:, :].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _qmm4_min_kernel(x_ref, q_ref, sc_ref, mn_ref, out_ref, *, group: int):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    w = _unpack4(q_ref[:, :]) * _expand_scales(sc_ref[:, :], group)
+    x = x_ref[:, :]
+    out_ref[:, :] += jnp.dot(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    xf = x.astype(jnp.float32)
+    xg = jnp.dot(xf, _group_sum_matrix(xf.shape[1], group),
+                 preferred_element_type=jnp.float32)
+    out_ref[:, :] += jnp.dot(xg, mn_ref[:, :], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def qmm4_planes(
+    x: jnp.ndarray,  # [N, K]
+    qp: jnp.ndarray,  # [K//2, O] uint8 nibble-packed
+    scalesT: jnp.ndarray,  # [K//group, O] f32
+    minsT: jnp.ndarray | None = None,
+    *,
+    group: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused nibble-unpack + dequant GEMM: weight HBM traffic is HALF the
+    int8-plane kernel's — the speed-of-light path for 4-bit formats (mmq
+    q4 analog; VERDICT r1: push decode toward the packed-bits roofline)."""
+    N, K = x.shape
+    O = qp.shape[1]
+    tn = _pick_tile(N, (256, 128, 64, 32, 16, 8))
+    to = _pick_tile(O, (512, 256, 128))
+    tk = _pick_tile(K, (2048, 1024, 512, 256))
+    grid = (N // tn, O // to, K // tk)
+    kern = _qmm4_min_kernel if minsT is not None else _qmm4_kernel
+    in_specs = [
+        pl.BlockSpec((tn, tk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((tk // 2, to), lambda i, j, k: (k, j)),
+        pl.BlockSpec((tk // group, to), lambda i, j, k: (k, j)),
+    ]
+    args = [x, qp, scalesT]
+    if minsT is not None:
+        in_specs.append(pl.BlockSpec((tk // group, to), lambda i, j, k: (k, j)))
+        args.append(minsT)
+    return pl.pallas_call(
+        functools.partial(kern, group=group),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, to), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * O * K,
+            bytes_accessed=N * K * 2 + O * K // 2 + O * (K // group) * 4 + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _qmm_id_kernel(ids_ref, x_ref, q_ref, sc_ref, out_ref, *, group: int):
     kt = pl.program_id(2)
 
@@ -238,7 +329,8 @@ def qmm(x: jnp.ndarray, qt, interpret: bool = False) -> jnp.ndarray:
     Np = max(_round_up(N, 8), 8)
     if Np != N:
         x2 = jnp.pad(x2, ((0, Np - N), (0, 0)))
-    out = qmm_planes(
+    fn = qmm4_planes if qt.packed else qmm_planes
+    out = fn(
         x2,
         qt.q,
         qt.scales.astype(jnp.float32),
@@ -254,6 +346,8 @@ def pallas_qmm_dispatch(x, qt):
     if not qt.transposed or qt.q.ndim != 2:
         return None
     K, O = qt.q.shape
+    if qt.packed:
+        K *= 2
     if K % 256 != 0 or O % 128 != 0 or (K // qt.group) % 8 != 0:
         return None
     return qmm(x, qt)

@@ -41,16 +41,20 @@ class QuantTensor:
     group: int  # static: elements per scale group
     ggml_type: int  # static: original storage dtype (for introspection)
     transposed: bool = False  # static
+    packed: bool = False  # static: q holds two 4-bit rows per byte (uint8,
+    #   [in/2, out]; row 2k in the low nibble, 2k+1 high) — halves weight
+    #   HBM traffic for 4-bit formats; any value offset is folded into mins
 
     def tree_flatten(self):
         children = (self.q, self.scales, self.mins)
-        return children, (self.group, self.ggml_type, self.transposed)
+        return children, (self.group, self.ggml_type, self.transposed,
+                          self.packed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scales, mins = children
         return cls(q=q, scales=scales, mins=mins, group=aux[0], ggml_type=aux[1],
-                   transposed=aux[2])
+                   transposed=aux[2], packed=aux[3] if len(aux) > 3 else False)
 
     @property
     def shape(self):
@@ -62,15 +66,25 @@ class QuantTensor:
 
     @property
     def in_features(self):
-        return self.q.shape[-2] if self.transposed else self.q.shape[-1]
+        k = self.q.shape[-2] if self.transposed else self.q.shape[-1]
+        return k * 2 if self.packed else k
+
+    def unpack_q(self) -> jnp.ndarray:
+        """Packed nibbles -> int8 rows [..., in, out] (transposed layout)."""
+        assert self.packed
+        *lead, k2, out = self.q.shape
+        lo = (self.q & 0xF).astype(jnp.int8)
+        hi = ((self.q >> 4) & 0xF).astype(jnp.int8)
+        return jnp.stack([lo, hi], axis=-2).reshape(*lead, k2 * 2, out)
 
     def dequant(self, dtype=jnp.bfloat16) -> jnp.ndarray:
         """Dequantize to storage orientation: [out, in], or [in, out] when
         transposed (use with dot(x, w) directly)."""
         g = self.group
         if self.transposed:
-            *lead, k, out = self.q.shape
-            qf = self.q.astype(jnp.float32).reshape(*lead, k // g, g, out)
+            qsrc = self.unpack_q() if self.packed else self.q
+            *lead, k, out = qsrc.shape
+            qf = qsrc.astype(jnp.float32).reshape(*lead, k // g, g, out)
             w = qf * self.scales.astype(jnp.float32)[..., None, :]
             if self.mins is not None:
                 w = w + self.mins.astype(jnp.float32)[..., None, :]
@@ -150,6 +164,22 @@ def load_weight(
                 return np.ascontiguousarray(np.swapaxes(a, -1, -2))
 
             q, sc, mn = _t(q), _t(sc), _t(mn)
+        packed = False
+        if transpose and q.ndim == 2 and _PACK4:
+            # 4-bit nibble packing (Q4_0/Q4_1/Q4_K/Q2_K-class): halves the
+            # weight bytes the decode step streams from HBM; any value
+            # offset folds into the affine mins term
+            lo, hi = int(q.min()), int(q.max())
+            if hi - lo <= 15 and q.shape[0] % 2 == 0:
+                off = -lo if lo < 0 or hi > 15 else 0
+                u = (q.astype(np.int16) + off).astype(np.uint8)
+                # int8 view: Mosaic lacks uint8 casts; nibble masks recover
+                # the unsigned values after the shift
+                q = (u[0::2] | (u[1::2] << 4)).astype(np.uint8).view(np.int8)
+                if off:
+                    base = mn if mn is not None else 0.0
+                    mn = (base - off * sc.astype(np.float32)).astype(np.float32)
+                packed = True
         return QuantTensor(
             q=jnp.asarray(q),
             scales=jnp.asarray(sc),
@@ -157,6 +187,7 @@ def load_weight(
             group=g,
             ggml_type=int(ggml_dtype),
             transposed=transpose,
+            packed=packed,
         )
     # dense fallback always stays [out, in] (matmul uses w.T)
     w = dequantize_tensor(raw, ggml_dtype, shape)
@@ -169,6 +200,9 @@ def load_weight(
 
 _USE_PALLAS: bool | None = None  # resolved lazily (TPU backend only)
 _PALLAS_QMM = None
+import os as _os
+
+_PACK4 = _os.environ.get("LLAMA_TPU_PACK4", "1") != "0"
 
 
 def set_pallas_qmm(fn):

@@ -93,6 +93,7 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
                 group=w.group,
                 ggml_type=w.ggml_type,
                 transposed=w.transposed,
+                packed=w.packed,
             )
         spec = weight_pspec(key, getattr(w, "ndim", 0))
         return _shard_leaf(mesh, spec, w)

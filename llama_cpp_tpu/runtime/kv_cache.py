@@ -226,12 +226,22 @@ class KVCache:
         if self.quantized:  # dequant -> rotate -> requant (K only)
             k_new = k_new.astype(jnp.float32) * self.k_scale[:, seq][:, :, src][..., None]
         if cfg.rope_type != ROPE_TYPE_NONE:
+            # MLA caches rope only the TAIL rope_dims of each head (the k_pe
+            # channel); standard caches rope the leading rope_dims
+            mla = "kv_lora_rank" in cfg.extra
+            n_rot = cfg.rope_dims
             rows = []
             for il in range(k_new.shape[0]):
                 # per-layer rope params (SWA layers may use a local freq base)
                 rp = _rope_params(cfg, il)
                 x = k_new[il].transpose(1, 0, 2)  # [S, H, D]
-                rows.append(apply_rope(x, delta, rp).transpose(1, 0, 2))
+                if mla:
+                    tail = apply_rope(x[..., -n_rot:], delta,
+                                      _replace(rp, n_dims=n_rot))
+                    x = jnp.concatenate([x[..., :-n_rot], tail], axis=-1)
+                else:
+                    x = apply_rope(x, delta, rp)
+                rows.append(x.transpose(1, 0, 2))
             k_new = jnp.stack(rows)
         k_new = jnp.where((new_pos >= 0)[None, None, :, None], k_new, 0)
 

@@ -113,7 +113,27 @@ def load_state(ctx, path: str) -> dict:
         new_leaves.append(_unpack(a, cur.dtype))
     ctx.kv = jax.tree_util.tree_unflatten(treedef, new_leaves)
     ctx.seq_len[:] = z["seq_len"]
+    if ctx.alloc is not None:
+        _rebuild_allocator(ctx)
     return header.get("extra", {})
+
+
+def _rebuild_allocator(ctx):
+    """Re-derive host page-allocator state from a restored device table."""
+    alloc = ctx.alloc
+    table = np.asarray(ctx.kv.table)
+    alloc.table = table.copy()
+    used = set()
+    for s in range(table.shape[0]):
+        n = 0
+        for j in range(table.shape[1]):
+            if table[s, j] != alloc.trash:
+                n = j + 1
+                used.add(int(table[s, j]))
+        alloc.count[s] = n
+    alloc.free = [p for p in range(alloc.n_pages - 2, -1, -1)
+                  if p not in used]
+    alloc.dirty = False
 
 
 # ---------------------------------------------------------------------------
@@ -208,13 +228,65 @@ def _rs_inject(rs, seq: int, z, prefix: str):
     )
 
 
+def _paged_extract(ctx, seq: int, prefix: str) -> dict:
+    """Paged pool rows of one sequence, ordered by position."""
+    kvc = ctx.kv
+    pages = ctx.alloc.seq_pages(seq)
+    rows = (pages[:, None] * kvc.page
+            + np.arange(kvc.page)[None, :]).reshape(-1)
+    pos = np.asarray(kvc.pos)[rows]
+    occ = np.nonzero(pos >= 0)[0]
+    occ = occ[np.argsort(pos[occ], kind="stable")]
+    rows = rows[occ]
+    out = {
+        prefix + "positions": pos[occ],
+        prefix + "k": _pack(kvc.k[:, :, rows]),  # [L, H, n, Dk]
+        prefix + "v": _pack(kvc.v[:, :, rows]),
+    }
+    if kvc.quantized:
+        out[prefix + "k_scale"] = np.asarray(kvc.k_scale[:, :, rows])
+        out[prefix + "v_scale"] = np.asarray(kvc.v_scale[:, :, rows])
+    return out
+
+
+def _paged_inject(ctx, seq: int, z, prefix: str):
+    from dataclasses import replace
+
+    kvc = ctx.kv
+    positions = np.asarray(z[prefix + "positions"])
+    if positions.size:
+        ctx.alloc.ensure(seq, int(positions.max()) + 1)
+        ctx._sync_table()
+        kvc = ctx.kv
+    pg = ctx.alloc.table[seq, positions // kvc.page]
+    slots = jnp.asarray(pg * kvc.page + positions % kvc.page, jnp.int32)
+    new = replace(
+        kvc,
+        k=kvc.k.at[:, :, slots].set(_unpack(z[prefix + "k"], kvc.k.dtype)),
+        v=kvc.v.at[:, :, slots].set(_unpack(z[prefix + "v"], kvc.v.dtype)),
+        pos=kvc.pos.at[slots].set(jnp.asarray(positions, jnp.int32)),
+    )
+    if kvc.quantized:
+        new = replace(
+            new,
+            k_scale=kvc.k_scale.at[:, :, slots].set(
+                jnp.asarray(z[prefix + "k_scale"])),
+            v_scale=kvc.v_scale.at[:, :, slots].set(
+                jnp.asarray(z[prefix + "v_scale"])),
+        )
+    return new
+
+
 def _seq_parts(kv) -> list[tuple[str, object, str]]:
     """-> [(kind, sub-memory, npz key prefix)] for the memory object.
-    kind is 'kv' or 'rs'; mirrors the per-type state writers of the
-    reference (src/llama-kv-cache*.cpp, llama-memory-*.cpp)."""
+    kind is 'kv', 'rs', or 'paged'; mirrors the per-type state writers of
+    the reference (src/llama-kv-cache*.cpp, llama-memory-*.cpp)."""
     from .kv_cache import ISWACache, KVCache
     from .memory import DSAMemory, HybridMemory, RecurrentState
+    from .paged_kv import PagedKVCache
 
+    if isinstance(kv, PagedKVCache):
+        return [("paged", kv, "")]
     if isinstance(kv, KVCache):
         return [("kv", kv, "")]
     if isinstance(kv, ISWACache):
@@ -234,8 +306,9 @@ def _seq_rebuild(kv, parts: list):
 
     from .kv_cache import ISWACache, KVCache
     from .memory import DSAMemory, HybridMemory, RecurrentState
+    from .paged_kv import PagedKVCache
 
-    if isinstance(kv, KVCache):
+    if isinstance(kv, (KVCache, PagedKVCache)):
         return parts[0]
     if isinstance(kv, ISWACache):
         return replace(kv, full=parts[0], swa=parts[1])
@@ -254,7 +327,9 @@ def save_seq_state(ctx, seq: int) -> bytes:
     iSWA, recurrent, hybrid, and DSA memory."""
     arrays: dict = {}
     for kind, sub, prefix in _seq_parts(ctx.kv):
-        if kind == "kv":
+        if kind == "paged":
+            arrays.update(_paged_extract(ctx, seq, prefix))
+        elif kind == "kv":
             arrays.update(_kv_extract(sub, seq, prefix))
         else:
             arrays.update(_rs_extract(sub, seq, prefix))
@@ -285,7 +360,10 @@ def load_seq_state(ctx, seq: int, blob: bytes) -> int:
     n = 0
     parts = []
     for kind, sub, prefix in _seq_parts(ctx.kv):
-        if kind == "kv":
+        if kind == "paged":
+            parts.append(_paged_inject(ctx, seq, z, prefix))
+            n = max(n, int(np.asarray(z[prefix + "positions"]).size))
+        elif kind == "kv":
             parts.append(_kv_inject(sub, seq, z, prefix))
             n = max(n, int(np.asarray(z[prefix + "positions"]).size))
         else:

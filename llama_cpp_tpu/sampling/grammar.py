@@ -349,12 +349,28 @@ class Grammar:
 
 
 class GrammarSampler:
-    """Vocab-mask + accept front-end (llama_sampler_init_grammar analog)."""
+    """Vocab-mask + accept front-end (llama_sampler_init_grammar analog).
 
-    def __init__(self, grammar_text: str, tokenizer):
+    Lazy mode (llama_sampler_init_grammar_lazy_patterns, include/llama.h:
+    1415-1422): the grammar stays dormant — no vocab masking — until either
+    a trigger token is produced or a trigger pattern fully matches the
+    generation output so far; the grammar is then fed the constrained text
+    starting at the trigger token / the pattern's first capture group."""
+
+    def __init__(self, grammar_text: str, tokenizer, lazy: bool = False,
+                 trigger_patterns: tuple[str, ...] = (),
+                 trigger_tokens: tuple[int, ...] = ()):
+        import re
+
         self.grammar = GBNFParser().parse(grammar_text)
         self.tok = tokenizer
         self._piece_cache: dict[int, str] = {}
+        self.trigger_tokens = set(trigger_tokens)
+        self.trigger_patterns = [re.compile(p, re.DOTALL)
+                                 for p in trigger_patterns]
+        self.awaiting = bool(lazy) and bool(
+            self.trigger_tokens or self.trigger_patterns)
+        self._buffer = ""  # generation output accumulated while dormant
 
     def _piece(self, tid: int) -> str:
         if tid not in self._piece_cache:
@@ -364,6 +380,8 @@ class GrammarSampler:
     def filter_logits(self, logits, eog_ok_fn=None):
         import numpy as np
 
+        if self.awaiting:  # dormant: free generation until a trigger fires
+            return logits
         mask = np.full(len(logits), False)
         complete = self.grammar.is_complete()
         for tid in range(len(logits)):
@@ -376,7 +394,35 @@ class GrammarSampler:
         logits[~mask] = -float("inf")
         return logits
 
+    def _pattern_start(self) -> int | None:
+        """Full-match each trigger pattern against the buffer; return the
+        constrained-text start (first non-empty capture group, else match
+        start) — reference llama_grammar_trigger_pattern::find."""
+        for pat in self.trigger_patterns:
+            m = pat.fullmatch(self._buffer)
+            if m is None:
+                continue
+            for gi in range(1, (m.lastindex or 0) + 1):
+                if m.group(gi):
+                    return m.start(gi)
+            return m.start(0)
+        return None
+
     def accept(self, tid: int):
+        if self.awaiting:
+            piece = self._piece(tid)
+            if tid in self.trigger_tokens:
+                self.awaiting = False
+                self._buffer = ""
+                self.grammar.accept_text(piece)
+                return
+            self._buffer += piece
+            start = self._pattern_start()
+            if start is not None:
+                self.awaiting = False
+                self.grammar.accept_text(self._buffer[start:])
+                self._buffer = ""
+            return
         if self.tok.is_eog(tid):
             return
         self.grammar.accept_text(self._piece(tid))

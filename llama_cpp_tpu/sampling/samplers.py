@@ -45,6 +45,10 @@ class SamplingParams:
     mirostat: int = 0
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
+    mirostat_m: int = 100  # v1 s_hat estimation window
+    adaptive_target: float = -1.0  # negative = disabled
+    adaptive_decay: float = 0.90
+    infill: bool = False  # fill-in-the-middle sampler (needs vocab)
     logit_bias: dict[int, float] = field(default_factory=dict)
     grammar: str = ""
 
@@ -302,6 +306,159 @@ class MirostatV2(Sampler):
         state.mu -= self.eta * (observed - self.tau)
 
 
+class MirostatV1(Sampler):
+    """Mirostat 1.0 (llama_sampler_init_mirostat, include/llama.h:1375;
+    paper arXiv:2007.14966): estimate the Zipf exponent s_hat from the top-m
+    probability ratios, derive a surprise-bounded k, truncate to top-k, and
+    adapt mu toward the target surprise tau after each pick."""
+
+    def __init__(self, tau: float, eta: float, m: int, n_vocab: int = 0):
+        self.tau, self.eta, self.m = tau, eta, m
+        self.n_vocab = n_vocab
+        self._last_probs: np.ndarray | None = None
+
+    def apply(self, state, logits):
+        if state.mu == 0.0:
+            state.mu = 2 * self.tau
+        n_vocab = self.n_vocab or len(logits)
+        probs = _softmax(logits)
+        top = np.sort(probs)[::-1][: self.m]
+        i = np.arange(len(top) - 1, dtype=np.float64)
+        t_i = np.log((i + 2) / (i + 1))
+        b_i = np.log(np.maximum(top[:-1], 1e-30) / np.maximum(top[1:], 1e-30))
+        s_hat = float(np.sum(t_i * b_i) / max(np.sum(t_i * t_i), 1e-9))
+        eps = s_hat - 1.0
+        k = ((eps * 2.0 ** state.mu) / max(1.0 - n_vocab ** (-eps), 1e-9)) ** (
+            1.0 / max(s_hat, 1e-9))
+        k = max(int(k), 1)
+        if k < len(logits):
+            kth = np.partition(logits, -k)[-k]
+            logits[logits < kth] = -np.inf
+        self._last_probs = _softmax(logits)
+        return logits
+
+    def accept(self, state, token):
+        if self._last_probs is None:
+            return
+        observed = -np.log2(max(float(self._last_probs[token]), 1e-30))
+        state.mu -= self.eta * (observed - self.tau)
+
+    def reset(self):
+        self._last_probs = None
+
+
+class AdaptiveP(Sampler):
+    """Adaptive-p (llama_sampler_init_adaptive_p, include/llama.h:1465):
+    favors tokens whose ORIGINAL probability sits near a target, tracked via
+    an EMA of selected-token probabilities; terminal like mirostat/dist."""
+
+    WIDTH = 0.3
+    PEAK = 5.0
+    SHARP = 10.0
+
+    def __init__(self, target: float, decay: float):
+        self.target = min(max(target, 0.0), 1.0)
+        self.decay = decay
+        self.reset()
+
+    def reset(self):
+        self.weighted_sum = self.target / (1.0 - self.decay)
+        self.total_weight = 1.0 / (1.0 - self.decay)
+        self._orig: np.ndarray | None = None
+
+    def apply(self, state, logits):
+        probs = _softmax(logits)
+        self._orig = probs
+        adapted = 2.0 * self.target - self.weighted_sum / self.total_weight
+        adapted = min(max(adapted, 0.0), 1.0)
+        dist = np.abs(probs - adapted) / self.WIDTH
+        new = self.PEAK - self.SHARP * dist * dist / (1.0 + dist)
+        # keep hard masks (-inf from earlier truncation samplers)
+        return np.where(np.isneginf(logits), -np.inf, new)
+
+    def accept(self, state, token):
+        if self._orig is None:
+            return
+        self.weighted_sum = float(self._orig[token]) + self.decay * self.weighted_sum
+        self.total_weight = 1.0 + self.decay * self.total_weight
+        self._orig = None
+
+
+class Infill(Sampler):
+    """Fill-in-the-middle sampler (llama_sampler_init_infill,
+    include/llama.h:1475): prefer EOG when text mass is weak, merge tokens
+    sharing a textual prefix into the stronger candidate, drop weak non-EOG
+    tokens, and fall back to EOT when nothing textual survives."""
+
+    THOLD = 0.2
+
+    def __init__(self, vocab, piece_fn=None):
+        self.vocab = vocab
+        self.piece = piece_fn or (lambda t: vocab.text_of(t))
+        self._eog_mask: np.ndarray | None = None
+
+    def _eog(self, n):
+        if self._eog_mask is None or len(self._eog_mask) != n:
+            m = np.zeros(n, bool)
+            for t in range(n):
+                if self.vocab.is_eog(t):
+                    m[t] = True
+            self._eog_mask = m
+        return self._eog_mask
+
+    def apply(self, state, logits):
+        probs = _softmax(logits)
+        n = len(probs)
+        eog = self._eog(n)
+        live = np.isfinite(logits)
+        p_eog = float(probs[eog & live].sum())
+        p_txt = float(probs[~eog & live].sum())
+        n_cand = int(live.sum())
+        if 3 * p_eog * n_cand > p_txt:
+            # text mass too weak relative to EOG -> keep only EOG tokens
+            out = np.full_like(logits, -np.inf)
+            out[eog & live] = np.log(np.maximum(probs[eog & live], 1e-30))
+            return out
+        # combine candidates sharing a textual prefix (merge into stronger)
+        cand = np.nonzero(live & (probs > 1e-8))[0]
+        cand = cand[np.argsort(-probs[cand])][:64]  # top candidates only
+        pieces = {int(t): self.piece(int(t)) for t in cand}
+        p = probs.copy()
+        alive = {int(t) for t in cand}
+        for t0 in cand:
+            t0 = int(t0)
+            if t0 not in alive:
+                continue
+            s0 = pieces[t0]
+            if not s0:
+                continue
+            for t1 in cand:
+                t1 = int(t1)
+                if t1 == t0 or t1 not in alive or t0 not in alive:
+                    continue
+                s1 = pieces[t1]
+                if len(s0) <= len(s1) and s1.startswith(s0):
+                    dst, src = (t0, t1) if p[t0] >= p[t1] else (t1, t0)
+                    p[dst] += p[src]
+                    p[src] = 0.0
+                    alive.discard(src)
+        # drop weak non-EOG candidates
+        keep = np.zeros(n, bool)
+        for t in alive:
+            if p[t] >= self.THOLD or eog[t]:
+                keep[t] = True
+        keep |= eog & live & (p > 0)
+        if not (keep & ~eog).any():
+            # no textual candidate survives -> force EOT (or EOS)
+            t = self.vocab.eot_id if self.vocab.eot_id >= 0 else self.vocab.eos_id
+            out = np.full_like(logits, -np.inf)
+            out[t] = 1.0
+            return out
+        out = np.full_like(logits, -np.inf)
+        out[keep] = np.log(np.maximum(p[keep], 1e-30))
+        return out
+
+
 class SamplerChain:
     """llama_sampler_chain analog: ordered samplers + final pick."""
 
@@ -337,6 +494,11 @@ class SamplerChain:
             chain.append(Temp(p.temp))
             chain.append(MirostatV2(p.mirostat_tau, p.mirostat_eta, p.seed))
             return cls(chain, p)
+        if p.mirostat == 1:
+            chain.append(Temp(p.temp))
+            chain.append(MirostatV1(p.mirostat_tau, p.mirostat_eta,
+                                    p.mirostat_m))
+            return cls(chain, p)
         if p.is_greedy:
             return cls(chain, p)
         if p.top_n_sigma >= 0:
@@ -345,11 +507,16 @@ class SamplerChain:
         chain.append(Typical(p.typical_p))
         chain.append(TopP(p.top_p))
         chain.append(MinP(p.min_p))
+        if p.infill and vocab is not None:
+            chain.append(Infill(vocab))
         chain.append(Xtc(p.xtc_probability, p.xtc_threshold))
         if p.dynatemp_range > 0:
             chain.append(TempExt(p.temp, p.dynatemp_range, p.dynatemp_exponent))
         else:
             chain.append(Temp(p.temp))
+        if p.adaptive_target >= 0:
+            # terminal transform (must precede only the final dist pick)
+            chain.append(AdaptiveP(p.adaptive_target, p.adaptive_decay))
         return cls(chain, p)
 
     def sample(self, logits: np.ndarray) -> int:

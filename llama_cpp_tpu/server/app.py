@@ -36,6 +36,10 @@ def _sampling_from_request(body: dict[str, Any]) -> SamplingParams:
     p.dry_multiplier = float(body.get("dry_multiplier", 0.0))
     p.xtc_probability = float(body.get("xtc_probability", 0.0))
     p.mirostat = int(body.get("mirostat", 0))
+    p.mirostat_tau = float(body.get("mirostat_tau", p.mirostat_tau))
+    p.mirostat_eta = float(body.get("mirostat_eta", p.mirostat_eta))
+    p.adaptive_target = float(body.get("adaptive_target", p.adaptive_target))
+    p.adaptive_decay = float(body.get("adaptive_decay", p.adaptive_decay))
     if "seed" in body and body["seed"] is not None:
         p.seed = int(body["seed"]) & 0xFFFFFFFF
     if body.get("logit_bias"):
@@ -135,6 +139,11 @@ class ServerApp:
             ),
             stop_strings=list(stop),
             grammar=grammar,
+            grammar_lazy=bool(body.get("grammar_lazy", False)),
+            grammar_trigger_patterns=tuple(
+                body.get("grammar_trigger_patterns", ())),
+            grammar_trigger_tokens=tuple(
+                body.get("grammar_trigger_tokens", ())),
             cache_prompt=bool(body.get("cache_prompt", True)),
         )
 
@@ -600,6 +609,26 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
     from ..runtime.context import Context
 
     n_seqs = ctx_kw.pop("n_seqs", 4)
+    draft_model = ctx_kw.pop("draft_model", None)
+    spec_mode = ctx_kw.pop("spec", "")
+    n_draft = ctx_kw.pop("n_draft", 8)
+
+    def make_spec_factory(ctx):
+        """Per-slot speculator factory (reference per-slot drafting,
+        server-context.cpp:3001; draft model shares one context with one
+        draft sequence per target slot)."""
+        if draft_model:
+            from ..runtime.speculative import DraftModelSpeculator
+
+            dmodel = load_model(draft_model)
+            dctx = Context(dmodel, n_ctx=ctx.n_ctx, n_seqs=n_seqs)
+            return lambda i: DraftModelSpeculator(dctx, seq=i)
+        if spec_mode == "ngram":
+            from ..runtime.speculative import NgramSpeculator
+
+            return lambda i: NgramSpeculator()
+        return None
+
     if isinstance(model_path, dict) and len(model_path) > 1:
         from .router import ModelRouter
 
@@ -616,7 +645,8 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
         model_path = next(iter(model_path.values()))
     model = load_model(model_path)
     ctx = Context(model, n_seqs=n_seqs, **ctx_kw)
-    sched = Scheduler(ctx)
+    sched = Scheduler(ctx, spec_factory=make_spec_factory(ctx),
+                      n_draft=n_draft)
     sched.start()
     app = ServerApp(sched, model_name=model.cfg.name or "model")
     web.run_app(app.app, host=host, port=port)
@@ -633,6 +663,17 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("-c", "--ctx-size", type=int, default=2048)
     ap.add_argument("-np", "--parallel", type=int, default=4)
+    ap.add_argument("--kv-total", type=int, default=0,
+                    help="total KV token budget shared by all slots (paged "
+                    "pool size; default: parallel * ctx-size)")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8-quantized KV cache (type_k/type_v q8_0 analog)")
+    ap.add_argument("-md", "--model-draft", default=None,
+                    help="draft model for speculative decoding")
+    ap.add_argument("--spec", default="", choices=["", "ngram"],
+                    help="self-speculation mode (prompt-lookup ngram)")
+    ap.add_argument("--draft-max", type=int, default=8,
+                    help="max drafted tokens per step")
     args = ap.parse_args(argv)
     models = {}
     for i, spec in enumerate(args.model):
@@ -642,7 +683,11 @@ def main(argv=None):
             name, path = f"model{i}" if i else "model", spec
         models[name] = path
     run_server(models, host=args.host, port=args.port,
-               n_ctx=args.ctx_size, n_seqs=args.parallel)
+               n_ctx=args.ctx_size, n_seqs=args.parallel,
+               kv_total=args.kv_total or None,
+               quantized_kv=args.kv_quant,
+               draft_model=args.model_draft, spec=args.spec,
+               n_draft=args.draft_max)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from typing import Any, Callable
 import numpy as np
 
 from ..runtime.context import Context
+from ..runtime.paged_kv import KVCacheFull
 from ..sampling.grammar import GrammarSampler
 from ..sampling.samplers import SamplerChain, SamplingParams
 
@@ -42,6 +43,9 @@ class GenTask:
     stop_strings: list[str] = field(default_factory=list)
     ignore_eos: bool = False
     grammar: str = ""
+    grammar_lazy: bool = False
+    grammar_trigger_patterns: tuple = ()
+    grammar_trigger_tokens: tuple = ()
     stream_cb: Callable[[dict], None] | None = None  # called per token (any thread)
     done_cb: Callable[[dict], None] | None = None
     task_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
@@ -57,6 +61,7 @@ class Slot:
     task: GenTask | None = None
     sampler: SamplerChain | None = None
     grammar: GrammarSampler | None = None
+    speculator: Any = None  # per-slot drafting (reference spec per slot)
     prompt_pos: int = 0
     generated: list[int] = field(default_factory=list)
     cache_tokens: list[int] = field(default_factory=list)  # tokens in KV
@@ -83,12 +88,18 @@ class Scheduler:
     """One inference thread owning the Context; HTTP threads post GenTasks."""
 
     def __init__(self, ctx: Context, n_slots: int | None = None,
-                 enable_ctx_shift: bool = True):
+                 enable_ctx_shift: bool = True,
+                 spec_factory: Callable[[int], Any] | None = None,
+                 n_draft: int = 8):
         self.ctx = ctx
         self.enable_ctx_shift = enable_ctx_shift
         self.n_slots = n_slots or ctx.n_seqs
         assert self.n_slots <= ctx.n_seqs
         self.slots = [Slot(i) for i in range(self.n_slots)]
+        # per-slot speculative drafting (reference update_slots drafts per
+        # slot inside the step loop, server-context.cpp:3001-3048)
+        self.spec_factory = spec_factory if not ctx.recurrent else None
+        self.n_draft = n_draft
         self.tasks: queue.Queue[GenTask] = queue.Queue()
         self.calls: queue.Queue = queue.Queue()  # sync calls into the sched thread
         self._stop = threading.Event()
@@ -98,6 +109,8 @@ class Scheduler:
             "tokens_predicted_total": 0,
             "tokens_prompt_total": 0,
             "tokens_prompt_cached_total": 0,
+            "draft_tokens_total": 0,
+            "draft_tokens_accepted": 0,
             "busy_slots": 0,
         }
 
@@ -130,9 +143,17 @@ class Scheduler:
             task.params, tok.vocab if tok else None
         )
         slot.grammar = None
+        slot.speculator = None
+        if self.spec_factory is not None:
+            slot.speculator = self.spec_factory(slot.idx)
+            if slot.speculator is not None and hasattr(slot.speculator, "reset"):
+                slot.speculator.reset()
         if task.grammar and tok is not None:
             try:
-                slot.grammar = GrammarSampler(task.grammar, tok)
+                slot.grammar = GrammarSampler(
+                    task.grammar, tok, lazy=task.grammar_lazy,
+                    trigger_patterns=tuple(task.grammar_trigger_patterns),
+                    trigger_tokens=tuple(task.grammar_trigger_tokens))
             except Exception as e:
                 log.warning("grammar rejected: %s", e)
         # sampler sees the prompt for penalties context
@@ -259,7 +280,23 @@ class Scheduler:
             remaining = task.prompt_ids[slot.prompt_pos :]
             chunk = remaining[: self.ctx.n_ubatch]
             is_last = len(chunk) == len(remaining)
-            logits = self._prefill_chunk(slot.idx, chunk, slot.prompt_pos)
+            try:
+                logits = self._prefill_chunk(slot.idx, chunk, slot.prompt_pos)
+            except KVCacheFull:
+                # pool over-committed (reference FAILED_PREPARE): release
+                # this slot's pages; retry once other slots free capacity,
+                # or fail if this prompt alone exceeds the pool
+                self.ctx.seq_rm(slot.idx)
+                slot.cache_tokens = []
+                if any(s is not slot and s.state != SlotState.IDLE
+                       for s in self.slots):
+                    log.warning("KV pool full; deferring task %s", task.task_id)
+                    t = slot.task
+                    slot.reset()
+                    self.tasks.put(t)
+                else:
+                    self._finish(slot, "error_kv_cache_full")
+                continue
             slot.prompt_pos += len(chunk)
             slot.cache_tokens.extend(chunk)
             self.metrics["tokens_prompt_total"] += len(chunk)
@@ -279,14 +316,139 @@ class Scheduler:
                 gen.remove(s)
         if not gen:
             return True
+        if any(s.speculator is not None for s in gen):
+            done = self._spec_step(gen)
+            if done:
+                return True
         toks = np.asarray([s.generated[-1] for s in gen])
         seqs = np.asarray([s.idx for s in gen])
-        logits = self.ctx.decode_step_multi(toks, seqs)
+        if all(self._device_greedy_ok(s) for s in gen):
+            # fused on-device sampling: ship B token ids, not [B, vocab]
+            # logits (critical across a slow host<->chip link)
+            try:
+                new_toks = self.ctx.decode_step_greedy(toks, seqs)
+            except KVCacheFull:
+                self._reclaim_victim(gen)
+                return True
+            for i, slot in enumerate(gen):
+                slot.cache_tokens.append(int(toks[i]))
+            for i, slot in enumerate(gen):
+                t = int(new_toks[i])
+                slot.sampler.accept(t)  # keep prev-window state coherent
+                self._process_token(slot, t)
+            return True
+        try:
+            logits = self.ctx.decode_step_multi(toks, seqs)
+        except KVCacheFull:
+            self._reclaim_victim(gen)
+            return True
         for i, slot in enumerate(gen):
             slot.cache_tokens.append(int(toks[i]))  # now decoded into KV
         for i, slot in enumerate(gen):
             self._emit_token(slot, logits[i])
         return True
+
+    @staticmethod
+    def _device_greedy_ok(slot: Slot) -> bool:
+        """Token choice is exactly device argmax: greedy chain with no
+        logit-mutating samplers or grammar."""
+        p = slot.task.params
+        return (p.is_greedy and slot.grammar is None and not p.logit_bias
+                and p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
+                and p.penalty_present == 0.0 and p.dry_multiplier == 0.0
+                and slot.task.n_probs == 0)
+
+    def _reclaim_victim(self, gen):
+        # reclaim by finishing the longest-running generation; the
+        # remaining slots retry next iteration
+        victim = max(gen, key=lambda s: len(s.cache_tokens))
+        log.warning("KV pool full; truncating slot %d", victim.idx)
+        self.ctx.seq_rm(victim.idx)  # release its pages now
+        victim.cache_tokens = []
+        self._finish(victim, "length")
+
+    def _spec_step(self, gen) -> bool:
+        """Speculative batched decode (reference server-context.cpp:3001-
+        3048): draft per slot, pack [cur | drafted...] rows of ALL slots
+        into ONE batched decode, then per-slot accept/rollback via seq ops.
+        Returns False when no slot produced a draft (caller falls back)."""
+        ctx = self.ctx
+        drafts: list[list[int]] = []
+        for s in gen:
+            d: list[int] = []
+            if s.speculator is not None:
+                hist = s.cache_tokens + [s.generated[-1]]
+                try:
+                    d = list(s.speculator.draft(hist, self.n_draft))
+                except Exception as e:  # drafting must never kill the step
+                    log.warning("draft failed: %s", e)
+                    d = []
+                room = ctx.n_ctx - int(ctx.seq_len[s.idx]) - 2
+                cap = s.task.max_tokens - len(s.generated) - 1
+                d = d[: max(0, min(len(d), room, cap))]
+            drafts.append(d)
+        T = 1 + max((len(d) for d in drafts), default=0)
+        if T == 1:
+            return False
+        B = len(gen)
+        Bb = 1
+        while Bb < B:
+            Bb *= 2
+        toks = np.zeros((Bb, T), np.int32)
+        pos = np.full((Bb, T), -1, np.int32)
+        seqs = np.full(Bb, gen[0].idx, np.int32)
+        for i, s in enumerate(gen):
+            row = [s.generated[-1]] + drafts[i]
+            p0 = int(ctx.seq_len[s.idx])
+            toks[i, : len(row)] = row
+            pos[i, : len(row)] = np.arange(p0, p0 + len(row))
+            seqs[i] = s.idx
+        try:
+            logits = ctx.decode(toks, seqs, pos, np.arange(Bb * T))
+        except KVCacheFull:
+            self._reclaim_victim(gen)
+            return True
+        logits = np.asarray(logits).reshape(Bb, T, -1)
+        ctx.perf.n_decode += B * T
+
+        for i, s in enumerate(gen):
+            d = drafts[i]
+            p0 = int(ctx.seq_len[s.idx])
+            s.cache_tokens.append(int(toks[i, 0]))
+            self.metrics["draft_tokens_total"] += len(d)
+
+            emit: list[int] = []
+            n_acc = 0
+            for j in range(len(d)):
+                t = self._sample_slot(s, logits[i, j])
+                emit.append(t)
+                if t != d[j]:
+                    break
+                n_acc += 1
+            else:
+                emit.append(self._sample_slot(s, logits[i, len(d)]))
+
+            # KV valid through p0 + n_acc (cur + accepted drafts)
+            if n_acc < len(d):
+                ctx.seq_rm(s.idx, p0=p0 + n_acc + 1)
+            ctx.seq_len[s.idx] = p0 + n_acc + 1
+            s.cache_tokens.extend(d[:n_acc])
+            self.metrics["draft_tokens_accepted"] += n_acc
+
+            for t in emit:
+                self._process_token(s, int(t))
+                if s.state != SlotState.GENERATING:
+                    break
+        return True
+
+    def _sample_slot(self, slot: Slot, logits: np.ndarray) -> int:
+        lg = np.array(logits, dtype=np.float32)
+        if slot.grammar is not None:
+            lg = slot.grammar.filter_logits(lg)
+        token = slot.sampler.sample(lg)
+        if slot.grammar is not None:
+            slot.grammar.accept(token)
+        return token
 
     def _prefill_chunk(self, seq: int, chunk: list[int], pos0: int):
         positions = np.arange(pos0, pos0 + len(chunk))
@@ -300,16 +462,13 @@ class Scheduler:
         return logits[0]
 
     def _emit_token(self, slot: Slot, logits: np.ndarray):
+        self._process_token(slot, self._sample_slot(slot, logits))
+
+    def _process_token(self, slot: Slot, token: int):
+        """Post-sampling bookkeeping for one emitted token: stop conditions,
+        streaming, context shift (reference process_token)."""
         task = slot.task
-        # the token sampled here is decoded into the KV on the next step;
-        # record it so future requests can reuse prompt+generation prefixes
         tok = self.ctx.model.tokenizer
-        lg = np.array(logits, dtype=np.float32)
-        if slot.grammar is not None:
-            lg = slot.grammar.filter_logits(lg)
-        token = slot.sampler.sample(lg)
-        if slot.grammar is not None:
-            slot.grammar.accept(token)
         slot.generated.append(token)
         if not slot.t_first_token:
             slot.t_first_token = time.perf_counter() - slot.t_start

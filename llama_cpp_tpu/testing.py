@@ -664,3 +664,125 @@ def make_tiny_gpt_oss_gguf(
         emit(b + "ffn_down_exps.bias", rand(n_expert, n_embd, scale=0.01))
     w.write(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# fast synthetic quantized models (bench fixtures)
+# ---------------------------------------------------------------------------
+
+# fp16 scale-field offsets inside a block, per type (layouts per reference
+# ggml/src/ggml-common.h; validated against quant/dequant.py parsers)
+_SCALE_FIELDS = {
+    GGMLType.Q4_0: ((0, "f16"),),
+    GGMLType.Q8_0: ((0, "f16"),),
+    GGMLType.Q4_K: ((0, "f16"), (2, "f16")),
+    GGMLType.Q5_K: ((0, "f16"), (2, "f16")),
+    GGMLType.Q6_K: ((208, "f16"),),
+    GGMLType.IQ2_XS: ((0, "f16"),),
+    GGMLType.IQ3_S: ((0, "f16"),),
+}
+
+
+_RAND_POOL: np.ndarray | None = None
+
+
+def synth_quant_bytes(rng, n_elements: int, ftype: GGMLType) -> bytes:
+    """Random-but-valid packed quantized data, WITHOUT running the (slow)
+    quantizer: payload bits come from a shared random pool (every bit
+    pattern is decodable for these formats), the fp16 block scales are
+    overwritten with small sane values. Orders of magnitude faster than
+    quantize() — only usable where weight VALUES don't matter (throughput
+    benches)."""
+    from .gguf.constants import GGML_BLOCK_LAYOUT
+
+    global _RAND_POOL
+    if _RAND_POOL is None:
+        _RAND_POOL = np.random.default_rng(1234).integers(
+            0, 256, size=1 << 24, dtype=np.uint8)  # 16 MB shared entropy
+
+    lay = GGML_BLOCK_LAYOUT[ftype]
+    nb = n_elements // lay.block_size
+    total = nb * lay.type_size
+    reps = -(-total // _RAND_POOL.size)
+    buf = np.tile(_RAND_POOL, reps)[:total].reshape(nb, lay.type_size)
+    scale = np.full(nb, rng.uniform(0.002, 0.02), np.float16)
+    for off, kind in _SCALE_FIELDS[ftype]:
+        buf[:, off : off + 2] = scale.view(np.uint8).reshape(nb, 2)
+    if ftype == GGMLType.Q6_K:  # int8 scales field: keep moderate
+        buf[:, 192:208] = buf[:, 192:208] % 31 + 1
+    return buf.tobytes()
+
+
+def make_bench_llama_gguf(
+    path: str,
+    n_layers: int = 32,
+    n_embd: int = 4096,
+    n_heads: int = 32,
+    n_kv_heads: int = 8,
+    n_ff: int = 14336,
+    vocab_size: int = 128256,
+    n_ctx: int = 8192,
+    ftype: str = "q4_k",
+    seed: int = 0,
+) -> str:
+    """Llama-3-8B-shaped (by default) GGUF with synthetic packed quantized
+    weights — bench fixture for the BASELINE.json north-star config when real
+    checkpoints are unavailable (VERDICT round-1 item 1). Q4_K_M-style mix:
+    Q4_K everywhere, Q6_K for output/ffn_down (reference llama_tensor_get_type
+    role heuristics, src/llama-quant.cpp:424)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "llama")
+    w.add(Keys.General.NAME, "bench-llama-synthetic")
+    w.add("llama.block_count", np.uint32(n_layers))
+    w.add("llama.context_length", np.uint32(n_ctx))
+    w.add("llama.embedding_length", np.uint32(n_embd))
+    w.add("llama.feed_forward_length", np.uint32(n_ff))
+    w.add("llama.attention.head_count", np.uint32(n_heads))
+    w.add("llama.attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", 500000.0)
+    w.add("llama.rope.dimension_count", np.uint32(head_dim))
+    w.add("llama.vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(min(vocab_size, 512))
+    vocab[Keys.Tokenizer.TOKENS] = (
+        vocab[Keys.Tokenizer.TOKENS]
+        + [f"▁tk{i}" for i in range(vocab_size - len(vocab[Keys.Tokenizer.TOKENS]))])
+    vocab[Keys.Tokenizer.SCORES] = np.full(vocab_size, -100.0, np.float32)
+    vocab[Keys.Tokenizer.TOKEN_TYPE] = np.concatenate([
+        np.asarray(vocab[Keys.Tokenizer.TOKEN_TYPE], np.int32),
+        np.ones(vocab_size - len(vocab[Keys.Tokenizer.TOKEN_TYPE]), np.int32)])
+    w.add_all(vocab)
+
+    t_main = {"q4_k": GGMLType.Q4_K, "q8_0": GGMLType.Q8_0,
+              "iq3_s": GGMLType.IQ3_S, "iq2_xs": GGMLType.IQ2_XS,
+              "q6_k": GGMLType.Q6_K}[ftype]
+    t_heavy = GGMLType.Q6_K if ftype == "q4_k" else t_main
+
+    def emit_q(name, rows, cols, t):
+        w.add_tensor(name, synth_quant_bytes(rng, rows * cols, t),
+                     (cols, rows), t)
+
+    def emit_f(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                     GGMLType.F32)
+
+    emit_q("token_embd.weight", vocab_size, n_embd, t_main)
+    emit_f("output_norm.weight", np.ones(n_embd))
+    emit_q("output.weight", vocab_size, n_embd, t_heavy)
+    kv_dim = n_kv_heads * head_dim
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit_f(b + "attn_norm.weight", np.ones(n_embd))
+        emit_q(b + "attn_q.weight", n_embd, n_embd, t_main)
+        emit_q(b + "attn_k.weight", kv_dim, n_embd, t_main)
+        emit_q(b + "attn_v.weight", kv_dim, n_embd, t_heavy)
+        emit_q(b + "attn_output.weight", n_embd, n_embd, t_main)
+        emit_f(b + "ffn_norm.weight", np.ones(n_embd))
+        emit_q(b + "ffn_gate.weight", n_ff, n_embd, t_main)
+        emit_q(b + "ffn_up.weight", n_ff, n_embd, t_main)
+        emit_q(b + "ffn_down.weight", n_embd, n_ff, t_heavy)
+    w.write(path)
+    return path

@@ -185,12 +185,93 @@ class RWKVTokenizer:
         return self.vocab.tokens[token_id].encode("utf-8", errors="replace")
 
 
+class PLaMo2Tokenizer:
+    """PLaMo-2 tokenizer (reference llm_tokenizer_plamo2, src/llama-vocab
+    .cpp:1351): Viterbi over vocabulary pieces maximizing the summed unigram
+    scores (scaled to int, matching the reference's 1e4 fixed point), with a
+    heavily-penalized per-character unknown fallback that emits UTF-8 byte
+    tokens. The reference enumerates candidate pieces through an
+    Aho-Corasick-style reversed-suffix table; the piece set and the DP
+    recurrence here are identical, so tokenizations match."""
+
+    UNKNOWN = -10000000  # sentinel score of the unknown-char fallback row
+
+    def __init__(self, vocab: Vocab):
+        self.vocab = vocab
+        self.pieces: dict[str, tuple[int, int]] = {}
+        self.bytes_ = [0] * 256
+        max_len = 1
+        tt = vocab.token_types
+        for i, t in enumerate(vocab.tokens):
+            if tt is not None and int(tt[i]) == 6:  # BYTE
+                if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+                    try:
+                        self.bytes_[int(t[3:5], 16)] = i
+                    except ValueError:
+                        pass
+                continue
+            score = float(vocab.scores[i]) if vocab.scores is not None else 0.0
+            self.pieces[t] = (i, int(round(score * 1e4)))
+            max_len = max(max_len, len(t))
+        self._max_len = max_len
+
+    def encode_fragment(self, text: str) -> list[int]:
+        if text and text[0] == "﻿":  # BOM skip
+            text = text[1:]
+        n = len(text)
+        if n == 0:
+            return []
+        INF = 1 << 60
+        scores = [INF] * (n + 1)
+        scores[n] = 0
+        back: list[tuple[int, int]] = [(1, -1)] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            # candidate pieces by decreasing length, unknown fallback last —
+            # same visit order (and thus tie-breaking) as the reference table
+            m = min(self._max_len, n - i)
+            for L in range(m, 0, -1):
+                ent = self.pieces.get(text[i : i + L])
+                if ent is None:
+                    continue
+                s = scores[i + L] - ent[1]
+                if s < scores[i]:
+                    scores[i] = s
+                    back[i] = (L, ent[0])
+            s = scores[i + 1] - self.UNKNOWN
+            if s < scores[i]:
+                scores[i] = s
+                back[i] = (1, -1)
+        out: list[int] = []
+        pos = 0
+        while pos < n:
+            length, tid = back[pos]
+            if tid >= 0:
+                out.append(tid)
+            else:  # byte fallback over the char's UTF-8 encoding
+                for b in text[pos].encode("utf-8"):
+                    out.append(self.bytes_[b])
+            pos += length
+        return out
+
+    def decode_piece(self, token_id: int) -> bytes:
+        t = self.vocab.tokens[token_id]
+        tt = self.vocab.token_types
+        if (tt is not None and int(tt[token_id]) == 6
+                and len(t) == 6 and t.startswith("<0x")):
+            try:
+                return bytes([int(t[3:5], 16)])
+            except ValueError:
+                pass
+        return t.encode("utf-8", errors="replace")
+
+
 _FAMILIES = {
     "llama": SPMTokenizer,
     "gpt2": BPETokenizer,
     "bert": WPMTokenizer,
     "t5": UGMTokenizer,
     "rwkv": RWKVTokenizer,
+    "plamo2": PLaMo2Tokenizer,
 }
 
 

@@ -1,6 +1,7 @@
 """GBNF grammar tests (analog of reference tests/test-grammar-parser.cpp and
 test-grammar-integration.cpp)."""
 
+import numpy as np
 import pytest
 
 from llama_cpp_tpu.sampling.grammar import GBNFParser, GrammarParseError
@@ -110,3 +111,56 @@ ws ::= [ \t\n]*
     assert g.would_accept('{"a": [1, 2], "b": {"c": "d"}}')
     assert not g.would_accept("[1]")
     assert not g.would_accept('{"a" 1}')
+
+
+def test_lazy_trigger_token():
+    """Lazy grammar (include/llama.h:1415-1422): dormant until a trigger
+    token fires, then constrains from that token onward."""
+    from llama_cpp_tpu.sampling.grammar import GrammarSampler
+
+    class FakeTok:
+        pieces = {0: "x", 1: "<tool>", 2: "a", 3: "b", 4: "</eog>"}
+
+        def piece(self, t):
+            return self.pieces[t]
+
+        def is_eog(self, t):
+            return t == 4
+
+    g = 'root ::= "<tool>" "a" "b"'
+    gs = GrammarSampler(g, FakeTok(), lazy=True, trigger_tokens=(1,))
+    logits = np.zeros(5, dtype=np.float32)
+    # dormant: nothing masked
+    out = gs.filter_logits(logits.copy())
+    assert np.isfinite(out).all()
+    gs.accept(0)  # free text, still dormant
+    assert gs.awaiting
+    gs.accept(1)  # trigger token -> grammar fed "<tool>"
+    assert not gs.awaiting
+    out = gs.filter_logits(logits.copy())
+    assert np.isfinite(out[2]) and np.isneginf(out[3])  # only "a" legal now
+
+
+def test_lazy_trigger_pattern_capture_group():
+    from llama_cpp_tpu.sampling.grammar import GrammarSampler
+
+    class FakeTok:
+        pieces = {0: "I think ", 1: "<call>", 2: "a", 3: "b", 4: ""}
+
+        def piece(self, t):
+            return self.pieces[t]
+
+        def is_eog(self, t):
+            return t == 4
+
+    g = 'root ::= "<call>ab"'
+    gs = GrammarSampler(
+        g, FakeTok(), lazy=True,
+        trigger_patterns=(r".*?(<call>[\s\S]*)",))
+    gs.accept(0)
+    assert gs.awaiting
+    gs.accept(1)  # buffer "I think <call>" matches; grammar fed "<call>"
+    assert not gs.awaiting
+    logits = np.zeros(5, dtype=np.float32)
+    out = gs.filter_logits(logits.copy())
+    assert np.isfinite(out[2]) and np.isneginf(out[3])

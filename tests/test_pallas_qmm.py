@@ -87,3 +87,56 @@ def test_qmm_planes_expert_indexed():
         ref = np.stack([x[r] @ wref[ids[r]] for r in range(R)])
         err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
         assert err < 5e-3, err
+
+
+def test_qmm4_packed_matches_dense():
+    """int4 nibble-packed kernel (qmm4_planes): y == x @ dequant(W)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.ops.pallas.qmm import qmm4_planes
+
+    rng = np.random.default_rng(5)
+    N, K, O, g = 8, 512, 256, 32
+    u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
+    sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
+    mn = rng.uniform(-0.1, 0.0, size=(K // g, O)).astype(np.float32)
+    packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    got = np.asarray(qmm4_planes(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed), jnp.asarray(sc),
+        jnp.asarray(mn), group=g, interpret=True))
+    w = np.repeat(sc, g, axis=0) * u + np.repeat(mn, g, axis=0)
+    want = x @ w
+    denom = np.mean(want**2) + 1e-12
+    assert np.mean((got - want) ** 2) / denom < 5e-3
+
+
+def test_load_weight_packs_q4():
+    """load_weight nibble-packs 4-bit formats; dequant matches the int8
+    plane dequant exactly (offset folded into mins)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.gguf.constants import GGMLType
+    from llama_cpp_tpu.ops.qtensor import load_weight
+    from llama_cpp_tpu.quant.quantize import quantize
+
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((64, 512)).astype(np.float32)
+    for t in (GGMLType.Q4_0, GGMLType.Q4_K):
+        raw = np.frombuffer(quantize(w, t).tobytes(), dtype=np.uint8)
+        qt_p = load_weight(raw, t, (64, 512), transpose=True)
+        assert qt_p.packed, t
+        assert qt_p.q.dtype == jnp.int8 and qt_p.q.shape == (256, 64)
+        import llama_cpp_tpu.ops.qtensor as qtm
+
+        old = qtm._PACK4
+        qtm._PACK4 = False
+        try:
+            qt_i = load_weight(raw, t, (64, 512), transpose=True)
+        finally:
+            qtm._PACK4 = old
+        np.testing.assert_allclose(
+            np.asarray(qt_p.dequant(jnp.float32)),
+            np.asarray(qt_i.dequant(jnp.float32)), rtol=1e-5, atol=1e-6)

@@ -176,3 +176,38 @@ def test_moe_expert_sharded_parity(tmp_path):
         skv = shard_kv(KVCache.create(2, 1, 32, 2, 8, 8, dtype=jnp.float32), mesh)
         got, _ = _run(m, sp, skv, tokens)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ep_all_to_all_dispatch_parity():
+    """Expert-parallel all-to-all dispatch (parallel/expert.py): tokens
+    sharded over the ep axis, experts sharded over devices, two all_to_all
+    hops — output must match the dense single-device expert mix."""
+    from llama_cpp_tpu.parallel.expert import ep_moe
+
+    P_, E, n_exp, k, N, FF = 8, 32, 16, 2, 64, 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, E)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((N, n_exp)), jnp.float32)
+    topw, topi = jax.lax.top_k(jax.nn.softmax(logits), k)
+    gate = jnp.asarray(rng.standard_normal((n_exp, FF, E)) * 0.1, jnp.float32)
+    up = jnp.asarray(rng.standard_normal((n_exp, FF, E)) * 0.1, jnp.float32)
+    down = jnp.asarray(rng.standard_normal((n_exp, E, FF)) * 0.1, jnp.float32)
+
+    import jax.nn as jnn
+
+    # dense reference: every expert over every token
+    ref = np.zeros((N, E), np.float32)
+    xe = np.asarray(x)
+    for e in range(n_exp):
+        h = jnn.silu(xe @ np.asarray(gate[e]).T) * (xe @ np.asarray(up[e]).T)
+        y = np.asarray(h) @ np.asarray(down[e]).T
+        w = np.where(np.asarray(topi) == e, np.asarray(topw), 0).sum(-1)
+        ref += np.asarray(y) * w[:, None]
+
+    mesh = make_mesh(dp=1, tp=P_)
+    mesh = jax.sharding.Mesh(mesh.devices.reshape(-1), ("ep",))
+    with mesh:
+        got = ep_moe(mesh, "ep", x, topi.astype(jnp.int32), topw,
+                     gate, up, down, n_expert=n_exp, act=jnn.silu,
+                     capacity_factor=8.0)  # full capacity: no drops
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-2, atol=2e-2)

@@ -123,3 +123,73 @@ def test_mirostat_runs():
         t = chain.sample(logits.copy())
         assert 0 <= t < 50
     assert chain.state.mu != 0.0
+
+
+def test_mirostat_v1_runs_and_adapts():
+    """Mirostat 1.0 (include/llama.h:1375): truncates to a surprise-bounded
+    top-k and adapts mu toward tau."""
+    p = SamplingParams(temp=1.0, mirostat=1, mirostat_tau=3.0,
+                      mirostat_eta=0.2, seed=7)
+    chain = SamplerChain.from_params(p)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal(256).astype(np.float32) * 3
+    mus = []
+    for _ in range(16):
+        t = chain.sample(logits.copy())
+        assert 0 <= t < 256
+        mus.append(chain.state.mu)
+    assert mus[0] != 0.0  # mu initialized and adapting
+    assert len(set(round(m, 6) for m in mus)) > 1
+
+
+def test_adaptive_p_targets_probability():
+    """Adaptive-p (include/llama.h:1465): picks tokens whose original
+    probability sits near the target."""
+    from llama_cpp_tpu.sampling.samplers import AdaptiveP
+
+    probs = np.array([0.5, 0.3, 0.12, 0.05, 0.03], dtype=np.float32)
+    logits = np.log(probs)
+    p = SamplingParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0,
+                      adaptive_target=0.3, adaptive_decay=0.9, seed=3)
+    chain = SamplerChain.from_params(p)
+    counts = np.zeros(5)
+    for _ in range(200):
+        t = chain.sample(logits.copy())
+        counts[t] += 1
+    # token 1 (p=0.3) should dominate the picks
+    assert counts[1] == counts.max()
+    # -inf passthrough: masked logits stay masked
+    st = SamplerState()
+    ap = AdaptiveP(0.3, 0.9)
+    masked = logits.copy()
+    masked[4] = -np.inf
+    out = ap.apply(st, masked)
+    assert np.isneginf(out[4]) and np.isfinite(out[:4]).all()
+
+
+def test_infill_prefix_merge_and_eog():
+    """Infill sampler (include/llama.h:1475): merges common-prefix
+    candidates and falls back to EOG when text mass is weak."""
+    from llama_cpp_tpu.sampling.samplers import Infill
+
+    class FakeVocab:
+        eot_id = 3
+        eos_id = 3
+
+        def is_eog(self, t):
+            return t == 3
+
+    pieces = {0: "hel", 1: "hello", 2: "world", 3: ""}
+    inf = Infill(FakeVocab(), piece_fn=lambda t: pieces[t])
+    st = SamplerState()
+    # text-dominated: prefix tokens merge into one candidate
+    logits = np.log(np.array([0.30, 0.40, 0.29, 0.01], dtype=np.float32))
+    out = inf.apply(st, logits.copy())
+    probs = _softmax(out)
+    # "hel" merged into "hello" (higher p): 0.70 on token 1
+    assert np.isneginf(out[0])
+    assert abs(probs[1] - 0.70) < 0.02
+    # EOG-dominated: only EOG survives
+    logits = np.log(np.array([0.05, 0.05, 0.05, 0.85], dtype=np.float32))
+    out = inf.apply(st, logits.copy())
+    assert np.isfinite(out[3]) and np.isneginf(out[:3]).all()

@@ -375,3 +375,84 @@ def test_multi_model_router(tmp_path_factory):
     finally:
         for s in scheds:
             s.stop()
+
+
+def test_scheduler_speculative_greedy_identical(tmp_path_factory):
+    """Server-integrated speculative decoding (reference per-slot drafting
+    in update_slots, server-context.cpp:3001-3048): greedy output with a
+    self-draft model must be token-identical to the plain scheduler, with
+    drafted tokens accepted."""
+    import threading
+
+    from llama_cpp_tpu.runtime.speculative import DraftModelSpeculator
+
+    path = str(tmp_path_factory.mktemp("spec") / "tiny.gguf")
+    make_tiny_llama_gguf(path, vocab_size=300, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128)
+    model = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+
+    def run_once(spec: bool):
+        ctx = Context(model, n_ctx=128, n_seqs=2, n_ubatch=32)
+        fac = None
+        if spec:
+            dctx = Context(model, n_ctx=128, n_seqs=2, n_ubatch=32)
+            fac = lambda i: DraftModelSpeculator(dctx, seq=i)
+        sched = Scheduler(ctx, spec_factory=fac, n_draft=4)
+        sched.start()
+        try:
+            ev = threading.Event()
+            out = {}
+
+            def done(r):
+                out.update(r)
+                ev.set()
+
+            sched.submit(GenTask(prompt_ids=[1, 5, 9, 5, 9],
+                                 params=SamplingParams(temp=0.0),
+                                 max_tokens=12, done_cb=done))
+            assert ev.wait(timeout=120)
+            return out, dict(sched.metrics)
+        finally:
+            sched.stop()
+
+    ref, _ = run_once(False)
+    got, metrics = run_once(True)
+    assert got["tokens"] == ref["tokens"]
+    # self-draft at greedy temp: drafts must be produced and mostly accepted
+    assert metrics["draft_tokens_total"] > 0
+    assert metrics["draft_tokens_accepted"] > 0
+
+
+def test_scheduler_ngram_speculative(tmp_path_factory):
+    import threading
+
+    from llama_cpp_tpu.runtime.speculative import NgramSpeculator
+
+    path = str(tmp_path_factory.mktemp("spec2") / "tiny.gguf")
+    make_tiny_llama_gguf(path, vocab_size=300, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128)
+    model = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+
+    def run_once(spec: bool):
+        ctx = Context(model, n_ctx=128, n_seqs=2, n_ubatch=32)
+        fac = (lambda i: NgramSpeculator()) if spec else None
+        sched = Scheduler(ctx, spec_factory=fac, n_draft=4)
+        sched.start()
+        try:
+            ev = threading.Event()
+            out = {}
+
+            def done(r):
+                out.update(r)
+                ev.set()
+
+            # repetitive prompt so the ngram speculator can fire
+            sched.submit(GenTask(prompt_ids=[4, 9, 23, 4, 9, 23, 4, 9],
+                                 params=SamplingParams(temp=0.0),
+                                 max_tokens=10, done_cb=done))
+            assert ev.wait(timeout=120)
+            return out
+        finally:
+            sched.stop()
+
+    assert run_once(True)["tokens"] == run_once(False)["tokens"]

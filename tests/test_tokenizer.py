@@ -98,3 +98,38 @@ def test_eog_detection():
     tok = Tokenizer.from_gguf(f.metadata)
     assert tok.is_eog(tok.eos_id)
     assert not tok.is_eog(100)
+
+
+def test_plamo2_viterbi_and_byte_fallback():
+    """PLaMo-2 tokenizer (reference llm_tokenizer_plamo2, src/llama-vocab
+    .cpp:1351): unigram-score Viterbi with UTF-8 byte-token fallback."""
+    import numpy as np
+
+    from llama_cpp_tpu.tokenizer import PLaMo2Tokenizer
+    from llama_cpp_tpu.tokenizer.vocab import Vocab
+
+    tokens = [f"<0x{i:02X}>" for i in range(256)]
+    types = [6] * 256  # BYTE
+    extra = [("ab", 1.0), ("abc", 5.0), ("c", 0.5), ("d", 0.1), ("こん", 2.0)]
+    for t, _ in extra:
+        tokens.append(t)
+        types.append(1)
+    scores = [0.0] * 256 + [s for _, s in extra]
+    v = Vocab(model="plamo2", tokens=tokens,
+              scores=np.asarray(scores, dtype=np.float32),
+              token_types=np.asarray(types, dtype=np.int32))
+    tk = PLaMo2Tokenizer(v)
+    # "abc" as one high-score token beats "ab"+"c"
+    assert tk.encode_fragment("abc") == [257]
+    assert tk.encode_fragment("abcd") == [257, 259]
+    # unknown char falls back to UTF-8 byte tokens
+    got = tk.encode_fragment("aZ")
+    # 'a' unknown alone -> byte; Z -> byte
+    assert got == [ord("a"), ord("Z")]
+    # multibyte known token
+    assert tk.encode_fragment("こん") == [260]
+    # multibyte unknown char -> one byte token per UTF-8 byte
+    assert tk.encode_fragment("猫") == list("猫".encode("utf-8"))
+    # decode round-trips
+    assert tk.decode_piece(257) == b"abc"
+    assert tk.decode_piece(ord("Z")) == b"Z"
