@@ -40,6 +40,18 @@ LAYER_TENSORS = {
     "attn_k_norm.weight": "attn_k_norm",
     "attn_post_norm.weight": "attn_post_norm",
     "post_attention_norm.weight": "attn_post_norm",
+    "attn_out_norm.weight": "attn_post_norm",  # grok attn output norm
+    "attn_sub_norm.weight": "attn_sub_norm",  # bitnet: norm before o_proj
+    "ffn_sub_norm.weight": "ffn_sub_norm",  # bitnet: norm before ffn_down
+    "ffn_norm_exps.weight": "ffn_norm_exps",  # arctic: MoE-branch norm
+    # bitnet per-tensor scalar scales (folded into the weight at load)
+    "attn_q.scale": "attn_q.__scale",
+    "attn_k.scale": "attn_k.__scale",
+    "attn_v.scale": "attn_v.__scale",
+    "attn_output.scale": "attn_output.__scale",
+    "ffn_gate.scale": "ffn_gate.__scale",
+    "ffn_up.scale": "ffn_up.__scale",
+    "ffn_down.scale": "ffn_down.__scale",
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_bias",
     "ffn_gate.weight": "ffn_gate",
@@ -365,10 +377,33 @@ def load_model(
         ]
     if missing:
         raise ValueError(f"model load incomplete: {missing[:4]}")
+    for lw in layers:
+        _fold_scalar_scales(lw)
     if fuse:
         for lw in layers:
             _fuse_projections(lw)
     return Model(cfg, params, tokenizer, f)
+
+
+def _fold_scalar_scales(lw: dict) -> None:
+    """Fold bitnet-style per-tensor scalar scales (`<w>.scale`, reference
+    src/models/bitnet.cpp wq_s/wo_s/...) into the weight: lossless for
+    quantized planes (scale planes multiply) and dense weights alike."""
+    from dataclasses import replace as _rp
+
+    from ..ops.qtensor import QuantTensor
+
+    for key in [k for k in list(lw) if k.endswith(".__scale")]:
+        base = key[: -len(".__scale")]
+        s = float(np.asarray(lw.pop(key)).reshape(-1)[0])
+        w = lw.get(base)
+        if w is None or s == 1.0:
+            continue
+        if isinstance(w, QuantTensor):
+            lw[base] = _rp(w, scales=w.scales * s,
+                           mins=None if w.mins is None else w.mins * s)
+        else:
+            lw[base] = w * s
 
 
 def _concat_weights(ws: list) -> Any | None:

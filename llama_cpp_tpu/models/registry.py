@@ -859,3 +859,279 @@ def _gpt_oss(cfg: ModelConfig, md) -> ModelConfig:
     # reference pre-FFN norm is stored as attn_post_norm for this arch
     c.extra["tensor_remap"] = {"attn_post_norm": "ffn_norm"}
     return c
+
+
+# ---------------------------------------------------------------------------
+# round-2 tranche (VERDICT r1 item 9): qwen/chatglm/codeshell/refact/plamo/
+# grok/arctic/bitnet/minicpm3/bailingmoe/smallthinker/mistral3/maincoder/
+# llama-embed
+# ---------------------------------------------------------------------------
+
+
+@register("qwen")
+def _qwen(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen v1 (reference src/models/qwen.cpp): fused QKV with bias, NEOX
+    rope, SiLU-GLU FFN."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("chatglm")
+def _chatglm(cfg: ModelConfig, md) -> ModelConfig:
+    """ChatGLM/GLM-3 (reference src/models/chatglm.cpp): partial NORM rope,
+    fused QKV (+bias), single fused gate|up SWIGLU tensor."""
+    # the single ffn_up tensor holds gate|up halves (LLM_FFN_SWIGLU)
+    cfg.extra["tensor_remap"] = {"ffn_up": "ffn_gateup"}
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("codeshell")
+def _codeshell(cfg: ModelConfig, md) -> ModelConfig:
+    """CodeShell (reference src/models/codeshell.cpp): gpt-bigcode-style
+    LayerNorm+bias blocks, fused QKV, GELU FFN, NEOX rope."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="gelu", glu=False)
+
+
+@register("refact")
+def _refact(cfg: ModelConfig, md) -> ModelConfig:
+    """Refact-1.6B (reference src/models/refact.cpp): ALiBi attention
+    (max bias 8), no rope, SiLU-GLU FFN, RMS norms."""
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, alibi_bias=8.0)
+
+
+@register("plamo")
+def _plamo(cfg: ModelConfig, md) -> ModelConfig:
+    """PLaMo-13B (reference src/models/plamo.cpp): parallel residual with the
+    shared attn_norm feeding both attention and FFN, full-head NEOX rope."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, parallel_residual=True,
+                     shared_parallel_norm=True)
+
+
+@register("grok")
+def _grok(cfg: ModelConfig, md) -> ModelConfig:
+    """Grok-1 (reference src/models/grok.cpp): GELU MoE (+optional dense FFN
+    summed then scaled sqrt(2)/2), attention logits scaled by the output
+    multiplier inside a 30.0 tanh softcap, embedding/logit scales, post
+    norms on both halves."""
+    a = cfg.arch
+    cfg.extra["dense_moe_scale"] = 0.7071067811865476
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        expert_weights_norm=True,
+        embd_scale=float(md.get(f"{a}.embedding_scale", 78.38367176906169)),
+        logit_scale=float(md.get(f"{a}.logit_scale", 0.5773502691896257)),
+        attn_scale=float(md.get(f"{a}.attention.output_scale",
+                                0.08838834764831845)),
+        attn_logit_softcap=float(md.get(f"{a}.attn_logit_softcapping", 30.0)),
+        final_logit_softcap=float(md.get(f"{a}.final_logit_softcapping", 0.0)),
+        post_norms=True,
+    )
+
+
+@register("arctic")
+def _arctic(cfg: ModelConfig, md) -> ModelConfig:
+    """Snowflake Arctic (reference src/models/arctic.cpp): dense FFN residual
+    plus a 128-expert MoE branch normed separately off the layer input
+    (ffn_norm_exps; wired in transformer.forward)."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, expert_weights_norm=True)
+
+
+@register("bitnet")
+def _bitnet(cfg: ModelConfig, md) -> ModelConfig:
+    """BitNet b1.58 (reference src/models/bitnet.cpp): ternary weights with
+    per-tensor scalar scales (folded at load), sub-norms before o_proj and
+    ffn_down, tied head."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("minicpm3")
+def _minicpm3(cfg: ModelConfig, md) -> ModelConfig:
+    """MiniCPM3 (reference src/models/minicpm3.cpp): MLA attention like
+    deepseek2 (q-LoRA + kv latent) with MiniCPM mu-param scales (embd 12,
+    residual 1.4/sqrt(L), logit n_embd/dim_model_base)."""
+    a = cfg.arch
+    cfg.extra.update(
+        kv_lora_rank=int(md.get(f"{a}.attention.kv_lora_rank", 256)),
+        q_lora_rank=int(md.get(f"{a}.attention.q_lora_rank", 0) or 0),
+    )
+    dim_base = float(md.get(f"{a}.embedding_scale_base",
+                            md.get(f"{a}.dim_model_base", 256.0)) or 256.0)
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        n_kv_heads=cfg.n_heads,  # naive MHA expansion of the latent
+        embd_scale=12.0,
+        residual_scale=1.4 / (cfg.n_layers ** 0.5),
+        # lm_head scaled by n_embd_base/n_embd (minicpm3.cpp:248)
+        logit_scale=dim_base / max(cfg.n_embd, 1),
+        tie_embeddings=True,
+    )
+
+
+@register("bailingmoe")
+def _bailingmoe(cfg: ModelConfig, md) -> ModelConfig:
+    """BailingMoE / Ling (reference src/models/bailingmoe.cpp): partial NORM
+    rope (head dim = n_rot), softmax-gated MoE with shared experts and
+    leading dense layers."""
+    a = cfg.arch
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NORM,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+    )
+
+
+@register("smallthinker")
+def _smallthinker(cfg: ModelConfig, md) -> ModelConfig:
+    """SmallThinker MoE (reference src/models/smallthinker.cpp): ReLU expert
+    FFNs, router fed the RAW residual stream (not the normed input), optional
+    SWA pattern."""
+    a = cfg.arch
+    cfg.extra["router_raw_input"] = True
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 1) or 1), "softmax")
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, act="relu",
+                     expert_weights_norm=True, expert_gating=gating)
+
+
+@register("mistral3")
+def _mistral3(cfg: ModelConfig, md) -> ModelConfig:
+    """Mistral-3 (reference src/models/mistral3.cpp): llama graph with NORM
+    rope; optional attention-temperature scaling is not applied (reference
+    uses it only when f_attn_temp_scale != 0)."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("maincoder")
+def _maincoder(cfg: ModelConfig, md) -> ModelConfig:
+    """MainCoder (reference src/models/maincoder.cpp): llama-style graph,
+    NORM rope."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("llama-embed")
+def _llama_embed(cfg: ModelConfig, md) -> ModelConfig:
+    """llama-embed (reference src/models/llama-embed.cpp): the llama graph
+    instantiated for embeddings (non-causal pooling handled by the runtime)."""
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("mellum")
+def _mellum(cfg: ModelConfig, md) -> ModelConfig:
+    """JetBrains Mellum (reference src/models/mellum.cpp): qk per-head
+    rmsnorm, MoE FFN, optional SWA pattern with a local freq base."""
+    a = cfg.arch
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
+        swa_pattern=int(md.get(f"{a}.attention.sliding_window_pattern", 4)),
+    )
+    swa_base = md.get(f"{a}.rope.freq_base_swa")
+    if swa_base:
+        c.extra["rope_freq_base_swa"] = float(swa_base)
+    return c
+
+
+@register("pangu-embedded")
+def _pangu_embedded(cfg: ModelConfig, md) -> ModelConfig:
+    """Pangu Embedded (reference src/models/pangu-embed.cpp): llama-family
+    graph, NEOX rope, optional attention/ffn biases."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("minimax-m2")
+def _minimax_m2(cfg: ModelConfig, md) -> ModelConfig:
+    """MiniMax-M2 (reference src/models/minimax-m2.cpp): full-width qk
+    rmsnorm before rope, MoE with expert-selection bias (exp_probs_b) and
+    a configurable gating function."""
+    a = cfg.arch
+    cfg.extra["qk_norm_full"] = True
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+    )
+
+
+@register("hunyuan-moe")
+def _hunyuan_moe(cfg: ModelConfig, md) -> ModelConfig:
+    """HunYuan MoE (reference src/models/hunyuan-moe.cpp): per-head qk
+    rmsnorm after rope (hunyuan-dense style) + MoE with a gated shared
+    expert FFN."""
+    a = cfg.arch
+    cfg.extra["qk_norm_after_rope"] = True
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        n_expert_shared=max(1, int(md.get(f"{a}.expert_shared_count", 1))),
+    )
+
+
+@register("exaone-moe")
+def _exaone_moe(cfg: ModelConfig, md) -> ModelConfig:
+    """EXAONE-MoE (reference src/models/exaone-moe.cpp): pre-norm blocks,
+    per-head qk rmsnorm before rope, iSWA pattern (default window 128 /
+    period 4), MoE with gated shared expert."""
+    a = cfg.arch
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 128)),
+        swa_pattern=int(md.get(f"{a}.attention.sliding_window_pattern", 4)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+    )
+    swa_base = md.get(f"{a}.rope.freq_base_swa")
+    if swa_base:
+        c.extra["rope_freq_base_swa"] = float(swa_base)
+    return c
+
+
+@register("cohere2moe")
+def _cohere2moe(cfg: ModelConfig, md) -> ModelConfig:
+    """Command-A MoE (reference src/models/cohere2moe.cpp): cohere2 parallel
+    residual + iSWA and rope-on-SWA-only, with a sigmoid/softmax-gated MoE
+    and shared dense FFN."""
+    a = cfg.arch
+    pat = int(md.get(f"{a}.attention.sliding_window_pattern", 4))
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 1) or 1), "softmax")
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NORM, use_rms_norm=False,
+        parallel_residual=True, shared_parallel_norm=True,
+        logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
+        swa_pattern=pat,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+        tie_embeddings=True,
+    )
+    if c.sliding_window > 0:
+        c.extra["no_rope_layers"] = tuple(
+            il for il in range(c.n_layers) if not c.is_swa_layer(il))
+    return c
+
+
+@register("llada-moe")
+def _llada_moe(cfg: ModelConfig, md) -> ModelConfig:
+    """LLaDA-MoE diffusion LM (reference src/models/llada-moe.cpp): full
+    bidirectional attention, per-head qk rmsnorm, softmax MoE."""
+    cfg.extra.update(non_causal=True, diffusion=True,
+                     diffusion_shift_logits=False)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     expert_weights_norm=True)
+
+
+@register("rnd1")
+def _rnd1(cfg: ModelConfig, md) -> ModelConfig:
+    """RND1 diffusion LM (reference src/models/rnd1.cpp): qwen3moe-style
+    blocks (per-head qk norm, MoE) with non-causal attention."""
+    cfg.extra.update(non_causal=True, diffusion=True,
+                     diffusion_shift_logits=False)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     expert_weights_norm=True)

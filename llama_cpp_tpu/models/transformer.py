@@ -313,6 +313,10 @@ def attention_block(
             preferred_element_type=jnp.float32,
         )
         out = out.reshape(B, T, H * Dv).astype(x.dtype)
+    if "attn_sub_norm" in lw:
+        # bitnet: rms-normalize the attention output before o_proj
+        # (reference src/models/bitnet.cpp attn_sub_norm)
+        out = rms_norm(out, lw["attn_sub_norm"], cfg.rms_eps)
     if "attn_gate" in lw:
         # qwen3next output gate: sigmoid(gate_proj(x)) scales the attention
         # output before o_proj (reference qwen3next.cpp build_layer_attn)
@@ -532,6 +536,9 @@ def ffn_block(
         if "ffn_up_bias" in lw:
             up = up + lw["ffn_up_bias"]
         h = act(up)
+    if "ffn_sub_norm" in lw:
+        # bitnet: rms-normalize the hidden before ffn_down (ffn_sub_norm)
+        h = rms_norm(h, lw["ffn_sub_norm"], cfg.rms_eps)
     _tap(il, "ffn_down", h)
     y = matmul(h, lw["ffn_down"])
     if "ffn_down_bias" in lw:
@@ -548,7 +555,8 @@ def swiglu_oai(g: jnp.ndarray, u: jnp.ndarray, alpha=1.702, limit=7.0):
 
 
 def moe_block(
-    cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray
+    cfg: ModelConfig, lw: dict[str, Weight], x: jnp.ndarray,
+    router_x: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mixture-of-experts FFN (build_moe_ffn analog, src/llama-graph.cpp:1955-
     2075): router (+bias) -> gating fn -> optional selection bias -> top-k ->
@@ -558,7 +566,9 @@ def moe_block(
     ragged sort-by-expert dispatch lands with the Pallas MoE kernel.
     """
     n_exp, k = cfg.n_expert, cfg.n_expert_used
-    logits = matmul(x, lw["ffn_gate_inp"], dtype=jnp.float32)  # [N, n_exp]
+    # smallthinker routes on the raw residual stream, not the normed input
+    logits = matmul(x if router_x is None else router_x,
+                    lw["ffn_gate_inp"], dtype=jnp.float32)  # [N, n_exp]
     if "ffn_gate_inp_bias" in lw:
         logits = logits + lw["ffn_gate_inp_bias"].astype(jnp.float32)
 
@@ -856,6 +866,7 @@ def forward(
         (i for i, lw in enumerate(params["layers"])
          if "ssm_in" not in lw and "shortconv_in" not in lw), 0)
     for il, lw in enumerate(params["layers"]):
+        x_in = x  # layer input (arctic MoE branch / smallthinker router)
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
@@ -940,7 +951,10 @@ def forward(
         if cfg.parallel_residual:
             # x = x + attn(norm1(x)) + ffn(norm2(x)); phi2 shares one norm
             h2 = h if cfg.shared_parallel_norm else norm(cfg, x, lw, "ffn_norm")
-            ff = ffn_block(cfg, lw, h2, il)
+            if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
+                ff = moe_block(cfg, lw, h2).astype(x.dtype)  # cohere2moe
+            else:
+                ff = ffn_block(cfg, lw, h2, il)
             x = x + attn + ff
         else:
             x = x + (attn * rscale if rscale != 1.0 else attn)
@@ -954,9 +968,20 @@ def forward(
                 continue
             h = x if cfg.norm_after else norm(cfg, x, lw, "ffn_norm")
             if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
-                ff = moe_block(cfg, lw, h)
-                if "ffn_gate" in lw:  # dense+moe hybrid (e.g. deepseek shared)
-                    ff = ff + ffn_block(cfg, lw, h, il)
+                if "ffn_norm_exps" in lw:
+                    # arctic: dense FFN on ffn_norm(x) plus MoE on a separate
+                    # norm of the LAYER INPUT (reference arctic.cpp graph)
+                    moe_in = rms_norm(x_in, lw["ffn_norm_exps"], cfg.rms_eps)
+                    ff = (ffn_block(cfg, lw, h, il).astype(jnp.float32)
+                          + moe_block(cfg, lw, moe_in))
+                else:
+                    rx = x_in if cfg.extra.get("router_raw_input") else None
+                    ff = moe_block(cfg, lw, h, router_x=rx)
+                    if "ffn_gate" in lw:  # dense+moe hybrid (deepseek/grok)
+                        ff = ff + ffn_block(cfg, lw, h, il)
+                        ds = cfg.extra.get("dense_moe_scale", 1.0)
+                        if ds != 1.0:  # grok: (dense+moe) * sqrt(2)/2
+                            ff = ff * ds
             else:
                 ff = ffn_block(cfg, lw, h, il)
             if (cfg.post_norms or cfg.norm_after) and "ffn_post_norm" in lw:
