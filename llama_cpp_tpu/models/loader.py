@@ -151,6 +151,10 @@ T5_LAYER_TENSORS = {
 }
 
 LAYER_TENSORS.update({
+    # MSA block-sparse indexer (reference minimax-m3, llama-arch.cpp:608-610)
+    "indexer.q_proj.weight": "indexer_q_proj",
+    "indexer.k_proj.weight": "indexer_k_proj",
+    "indexer.q_norm.weight": "indexer_q_norm",
     "indexer.k_norm.weight": "indexer_k_norm",
     "indexer.k_norm.bias": "indexer_k_norm_bias",
     "indexer.proj.weight": "indexer_proj",

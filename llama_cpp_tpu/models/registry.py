@@ -1135,3 +1135,32 @@ def _rnd1(cfg: ModelConfig, md) -> ModelConfig:
                      diffusion_shift_logits=False)
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
                      expert_weights_norm=True)
+
+
+@register("minimax-m3")
+def _minimax_m3(cfg: ModelConfig, md) -> ModelConfig:
+    """MiniMax-M3 MSA (reference src/models/minimax-m3.cpp + src/llama-kv-
+    cache-msa.h): dense-lead layers then block-sparse attention — a per-GQA-
+    group indexer scores positions, block-max pooling + forced local blocks,
+    top-k blocks gate the mask. Per-head qk rmsnorm (+1 baked), partial
+    rope, MoE with shared experts."""
+    a = cfg.arch
+    cfg.extra.update(
+        msa=True,
+        indexer_n_head=int(md.get(f"{a}.attention.indexer.head_count",
+                                  cfg.n_kv_heads)),
+        indexer_head_size=int(md.get(f"{a}.attention.indexer.key_length", 128)),
+        indexer_top_k=int(md.get(f"{a}.attention.indexer.top_k", 16)),
+        indexer_block_size=int(md.get(f"{a}.attention.indexer.block_size", 64)),
+        indexer_local_blocks=int(md.get(f"{a}.attention.indexer.local_blocks", 1)),
+        msa_dense_lead=int(md.get(f"{a}.leading_dense_block_count", 0)),
+    )
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 1) or 1), "softmax")
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+    )

@@ -122,6 +122,14 @@ def attention_block(
     H, Hkv = cfg.n_heads, cfg.n_kv_heads
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
 
+    # MSA block-sparse attention (reference minimax-m3 / llama_kv_cache_msa):
+    # the memory wraps a main KV cache and an indexer-key cache
+    mem = None
+    msa = cfg.extra.get("msa") and "indexer_q_proj" in lw and hasattr(kv, "idx")
+    if hasattr(kv, "idx"):
+        mem = kv
+        kv = mem.kv
+
     if "attn_qkv" in lw:  # fused projection (gpt2/gptneox/phi families)
         _tap(il, "attn_qkv", x)
         qkv = matmul(x, lw["attn_qkv"])
@@ -210,6 +218,53 @@ def attention_block(
     )
     kvc, li = kv.layer_view(il)
 
+    group_sel = None  # [B, Hkv, T, S] MSA per-group sparse mask
+    if msa:
+        from dataclasses import replace as _msa_rep
+
+        # index branch (minimax-m3.cpp:100-120): per-GQA-group indexer head,
+        # gemma-style (+1 baked) rmsnorm, partial rope, block-max pooling,
+        # forced local blocks, per-(token, group) top-k block selection
+        Di = cfg.extra["indexer_head_size"]
+        blk = cfg.extra["indexer_block_size"]
+        topk = cfg.extra["indexer_top_k"]
+        local = cfg.extra.get("indexer_local_blocks", 1)
+        rp_i = _rope_params(cfg, il)
+        iq = matmul(x, lw["indexer_q_proj"]).reshape(B, T, Hkv, Di)
+        ik = matmul(x, lw["indexer_k_proj"]).reshape(B, T, 1, Di)
+        iq = rms_norm(iq, lw.get("indexer_q_norm"), cfg.rms_eps)
+        ik = rms_norm(ik, lw.get("indexer_k_norm"), cfg.rms_eps)
+        iq = apply_rope(iq, inputs.positions, rp_i)
+        ik = apply_rope(ik, inputs.positions, rp_i)
+        idxc = mem.idx.write_layer(
+            il, seq_flat, inputs.positions.reshape(-1),
+            ik.reshape(B * T, 1, Di),
+            jnp.zeros((B * T, 1, mem.idx.v.shape[-1]), ik.dtype),
+            update_pos=update_pos, contiguous=B == 1 and T > 1)
+        mem = _msa_rep(mem, idx=idxc)
+        ik_all = idxc.k[il][inputs.seq_idx][:, 0]  # [B, S, Di]
+        ipos = idxc.pos[inputs.seq_idx]  # [B, S] (slot == position layout)
+        sc = jnp.einsum("bthd,bsd->bhts", iq.astype(jnp.float32),
+                        ik_all.astype(jnp.float32))
+        ivalid = (ipos >= 0)[:, None, None, :]
+        icausal = (ipos[:, None, None, :]
+                   <= inputs.positions[:, None, :, None])
+        sc = jnp.where(ivalid & icausal, sc, -jnp.inf)
+        S_ = sc.shape[-1]
+        nblk = S_ // blk
+        bs = sc.reshape(B, Hkv, T, nblk, blk).max(axis=-1)  # [B,Hkv,T,nblk]
+        # local-force bias: the `local` blocks ending at the query's block
+        qblk = inputs.positions // blk  # [B, T]
+        bi = jnp.arange(nblk, dtype=jnp.int32)
+        is_local = ((bi[None, None] <= qblk[:, :, None])
+                    & (bi[None, None] > qblk[:, :, None] - local))
+        bs = bs + jnp.where(is_local[:, None], 1e30, 0.0)
+        k_eff = min(topk, nblk)
+        _, top_idx = jax.lax.top_k(bs, k_eff)  # [B, Hkv, T, k]
+        sel_blocks = jnp.any(
+            jax.nn.one_hot(top_idx, nblk, dtype=bool), axis=-2)
+        group_sel = jnp.repeat(sel_blocks, blk, axis=-1)  # [B, Hkv, T, S]
+
     scale = cfg.attn_scale or (1.0 / float(Dk) ** 0.5)
     window = cfg.sliding_window if (cfg.sliding_window > 0 and cfg.is_swa_layer(il)) else 0
     sinks = lw.get("attn_sinks")  # [H] gpt-oss attention sinks
@@ -228,7 +283,8 @@ def attention_block(
     rows = T * (H // Hkv)
     non_causal = cfg.extra.get("non_causal", False)
     use_flash = (flash_supported(Dk, Dv, kvc.n_slots)
-                 and cfg.alibi_bias == 0.0 and not non_causal)
+                 and cfg.alibi_bias == 0.0 and not non_causal
+                 and group_sel is None)
     if use_flash and min(Dk, Dv) < 128 and rows < 16:
         use_flash = False
     if use_flash and paged:
@@ -296,6 +352,8 @@ def attention_block(
         if cfg.attn_logit_softcap:
             scores = softcap(scores, cfg.attn_logit_softcap)
         scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+        if group_sel is not None:  # MSA: per-GQA-group block selection
+            scores = jnp.where(group_sel[:, :, None], scores, -jnp.inf)
         if sinks is not None:
             # sink = extra always-on logit per q head in the softmax denominator
             sink_col = jnp.broadcast_to(
@@ -326,6 +384,10 @@ def attention_block(
     out = matmul(out, lw["attn_output"])
     if "attn_output_bias" in lw:
         out = out + lw["attn_output_bias"]
+    if mem is not None:
+        from dataclasses import replace as _mem_rep
+
+        return out, _mem_rep(mem, kv=kv)
     return out, kv
 
 

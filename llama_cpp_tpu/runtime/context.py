@@ -89,6 +89,7 @@ class Context:
         if paged is None:
             paged = (self.cfg.extra.get("memory", "attn") == "attn"
                      and not self.cfg.extra.get("dsa")
+                     and not self.cfg.extra.get("msa")
                      and not self.enc_dec
                      and not (self.cfg.sliding_window > 0
                               and self.cfg.swa_pattern > 0))
@@ -135,7 +136,9 @@ class Context:
                 quantized=self._kv_quant,
                 page=self.page,
             )
-        if self.cfg.extra.get("dsa"):
+        if self.cfg.extra.get("dsa") or self.cfg.extra.get("msa"):
+            # two synced caches: main KV + indexer keys (reference
+            # llama_kv_cache_dsa / llama_kv_cache_msa)
             from .memory import DSAMemory
 
             main = KVCache.create(

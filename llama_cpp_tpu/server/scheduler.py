@@ -225,7 +225,22 @@ class Scheduler:
                     self.calls.get_nowait()()
                 except queue.Empty:
                     break
-            did_work = self._step()
+            try:
+                did_work = self._step()
+            except Exception as e:
+                # the inference thread must survive (reference converts step
+                # exceptions into abort_all_slots + HTTP errors,
+                # server-context.cpp:2895): fail the active slots, keep going
+                log.exception("scheduler step failed: %s", e)
+                for s in self.slots:
+                    if s.state != SlotState.IDLE:
+                        try:
+                            self.ctx.seq_rm(s.idx)
+                        except Exception:
+                            pass
+                        s.cache_tokens = []
+                        self._finish(s, f"error: {type(e).__name__}")
+                did_work = True
             if not did_work:
                 try:
                     task = self.tasks.get(timeout=0.05)

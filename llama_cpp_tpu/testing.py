@@ -786,3 +786,77 @@ def make_bench_llama_gguf(
         emit_q(b + "ffn_down.weight", n_embd, n_ff, t_heavy)
     w.write(path)
     return path
+
+
+def make_tiny_wavtokenizer_gguf(path: str, n_codes: int = 64, n_embd: int = 32,
+                                posnet_embd: int = 32, convnext_embd: int = 32,
+                                n_ff: int = 64, n_out: int = 34,
+                                n_convnext: int = 2, seed: int = 0) -> str:
+    """Tiny WavTokenizer decoder (reference src/models/wavtokenizer-dec.cpp
+    tensor inventory: conv1d stem, 6-layer posnet 0,1=res 2=attn 3,4=res
+    5=norm, convnext stack, spectral head)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    a = "wavtokenizer-dec"
+    w.add(Keys.General.ARCHITECTURE, a)
+    w.add(Keys.General.NAME, "tiny-wavtok")
+    w.add(f"{a}.vocab_size", np.uint32(n_codes))
+    w.add(f"{a}.embedding_length", np.uint32(n_embd))
+    w.add(f"{a}.feed_forward_length", np.uint32(n_ff))
+    w.add(f"{a}.posnet.embedding_length", np.uint32(posnet_embd))
+    w.add(f"{a}.posnet.block_count", np.uint32(6))
+    w.add(f"{a}.convnext.embedding_length", np.uint32(convnext_embd))
+    w.add(f"{a}.convnext.block_count", np.uint32(n_convnext))
+    w.add(f"{a}.attention.layer_norm_epsilon", 1e-6)
+    w.add(f"{a}.attention.group_norm_epsilon", 1e-6)
+    w.add(f"{a}.attention.group_norm_groups", np.uint32(4))
+    # minimal vocab so the reader doesn't choke
+    w.add(Keys.Tokenizer.MODEL, "none")
+
+    def emit(name, *shape, ones=False):
+        arr = (np.ones(shape, np.float32) if ones
+               else (rng.standard_normal(shape) * 0.1).astype(np.float32))
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                     GGMLType.F32)
+
+    E, P, C = n_embd, posnet_embd, convnext_embd
+    emit("token_embd.weight", n_codes, E)
+    emit("conv1d.weight", P, E, 7)
+    emit("conv1d.bias", P)
+    for i in (0, 1, 3, 4):
+        b = f"posnet.{i}."
+        emit(b + "norm1.weight", P, ones=True)
+        emit(b + "norm1.bias", P)
+        emit(b + "conv1.weight", P, P, 3)
+        emit(b + "conv1.bias", P)
+        emit(b + "norm2.weight", P, ones=True)
+        emit(b + "norm2.bias", P)
+        emit(b + "conv2.weight", P, P, 3)
+        emit(b + "conv2.bias", P)
+    b = "posnet.2."
+    emit(b + "attn_norm.weight", P, ones=True)
+    emit(b + "attn_norm.bias", P)
+    for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+        emit(b + nm + ".weight", P, P, 1)
+        emit(b + nm + ".bias", P)
+    emit("posnet.5.attn_norm.weight", P, ones=True)
+    emit("posnet.5.attn_norm.bias", P)
+    emit("token_embd_norm.weight", P, ones=True)
+    emit("token_embd_norm.bias", P)
+    for i in range(n_convnext):
+        b = f"convnext.{i}."
+        emit(b + "dw.weight", C, 1, 7)
+        emit(b + "dw.bias", C)
+        emit(b + "norm.weight", C, ones=True)
+        emit(b + "norm.bias", C)
+        emit(b + "pw1.weight", n_ff, C)
+        emit(b + "pw1.bias", n_ff)
+        emit(b + "pw2.weight", C, n_ff)
+        emit(b + "pw2.bias", C)
+        emit(b + "gamma.weight", C, ones=True)
+    emit("output_norm.weight", C, ones=True)
+    emit("output_norm.bias", C)
+    emit("output.weight", n_out, C)
+    emit("output.bias", n_out)
+    w.write(path)
+    return path

@@ -463,3 +463,59 @@ def test_pangu_embedded(tmp_path):
     p = str(tmp_path / "m.gguf")
     w.write(p)
     _run(p)
+
+
+def test_minimax_m3_msa(tmp_path):
+    """MSA block-sparse attention (reference minimax-m3 + llama-kv-cache-
+    msa): with top_k >= n_blocks every block is selected, so sparse output
+    must equal the dense twin exactly; with top_k=1 it must differ."""
+    import jax.numpy as jnp
+
+    n_rot = HD // 2
+
+    def build(path, topk):
+        w = _writer("minimax-m3", n_rot=n_rot, extra_md={
+            "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+            "attention.indexer.head_count": np.uint32(HKV),
+            "attention.indexer.key_length": np.uint32(16),
+            "attention.indexer.top_k": np.uint32(topk),
+            "attention.indexer.block_size": np.uint32(8),
+            "attention.indexer.local_blocks": np.uint32(1),
+        })
+        _common(w)
+        global _rng
+        _rng = np.random.default_rng(3)  # identical weights per build
+        for i in range(L):
+            b = f"blk.{i}."
+            _std_attn(w, b, qk_norm=True)
+            emit(w, b + "indexer.q_proj.weight", HKV * 16, E)
+            emit(w, b + "indexer.k_proj.weight", 16, E)
+            emit(w, b + "indexer.q_norm.weight", 16, ones=True)
+            emit(w, b + "indexer.k_norm.weight", 16, ones=True)
+            emit(w, b + "ffn_norm.weight", E, ones=True)
+            _emit_moe(w, b, 4, FF)
+        w.write(path)
+
+    p_all = str(tmp_path / "all.gguf")
+    build(p_all, topk=64)  # >= n_blocks -> dense-equivalent
+    p_sparse = str(tmp_path / "sparse.gguf")
+    build(p_sparse, topk=1)
+
+    m_all = load_model(p_all, prefer_quant=False)
+    assert m_all.cfg.extra["msa"]
+    prompt = [3, 5, 9, 2, 7, 11, 13, 17] * 5  # 40 tokens, 5 blocks of 8
+    ctx = Context(m_all, n_ctx=64, n_seqs=1)
+    out_all = ctx.generate(prompt, max_new_tokens=4)
+
+    # dense twin: same weights, MSA disabled
+    m_dense = load_model(p_all, prefer_quant=False)
+    m_dense.cfg.extra.pop("msa")
+    ctx_d = Context(m_dense, n_ctx=64, n_seqs=1)
+    out_dense = ctx_d.generate(prompt, max_new_tokens=4)
+    assert out_all == out_dense, (out_all, out_dense)
+
+    # top-1 sparse: a valid decode that (generically) diverges from dense
+    m_sp = load_model(p_sparse, prefer_quant=False)
+    ctx_s = Context(m_sp, n_ctx=64, n_seqs=1)
+    out_sparse = ctx_s.generate(prompt, max_new_tokens=4)
+    assert all(0 <= t < V for t in out_sparse)

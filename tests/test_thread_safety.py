@@ -49,3 +49,70 @@ def test_results_drift_tool(tmp_path):
     base = snapshot(p, n_tokens=6)
     rep = check(p, base, n_tokens=6)
     assert rep["ok"] and rep["token_mismatches"] == 0
+
+
+def test_scheduler_concurrent_submission_stress(tmp_path):
+    """Server-scheduler stress (reference test-thread-safety.cpp style):
+    many HTTP-thread submitters racing into the task queue + run_sync calls
+    interleaved with decoding; all tasks must complete with coherent output
+    and the prompt-cache slot reuse must stay position-aligned."""
+    import queue as _q
+
+    from llama_cpp_tpu.sampling.samplers import SamplingParams
+    from llama_cpp_tpu.server.scheduler import GenTask, Scheduler
+
+    import jax.numpy as jnp
+
+    p = str(tmp_path / "st.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    # f32 compute: XLA:CPU lacks bf16 dot thunks in some fused shapes
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(model, n_ctx=96, n_seqs=3)
+    sched = Scheduler(ctx)
+    sched.start()
+    try:
+        prompts = [[5, 9, 23, 42], [7, 7, 7, 9, 1], [3, 15, 8]]
+        # single-threaded references
+        refctx = Context(model, n_ctx=96, n_seqs=1)
+        refs = []
+        for pr in prompts:
+            refctx.seq_rm(0)
+            refs.append(refctx.generate(pr, max_new_tokens=5))
+
+        done: _q.Queue = _q.Queue()
+        n_tasks = 24
+
+        def submit(i):
+            pr = prompts[i % len(prompts)]
+            sched.submit(GenTask(
+                prompt_ids=pr, params=SamplingParams(temp=0.0), max_tokens=5,
+                done_cb=lambda r, i=i: done.put((i, r))))
+
+        submitters = [threading.Thread(target=submit, args=(i,))
+                      for i in range(n_tasks)]
+        for t in submitters:
+            t.start()
+        # hammer run_sync from another thread while decoding
+        stats = []
+
+        def syncer():
+            for _ in range(10):
+                stats.append(sched.run_sync(lambda: int(ctx.seq_len.sum())))
+
+        ts = threading.Thread(target=syncer)
+        ts.start()
+        for t in submitters:
+            t.join()
+        ts.join()
+
+        got = {}
+        for _ in range(n_tasks):
+            i, r = done.get(timeout=180)
+            got[i] = r
+        assert len(got) == n_tasks
+        for i, r in got.items():
+            assert r["tokens"] == refs[i % len(prompts)], (i, r["tokens"])
+        assert len(stats) == 10
+    finally:
+        sched.stop()
