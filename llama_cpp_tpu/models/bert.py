@@ -13,7 +13,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..ops.basic import layer_norm
+from ..ops.basic import layer_norm, rms_norm
 from ..ops.qtensor import embed_lookup, matmul
 from .config import ModelConfig
 from .transformer import AttnInputs, _rope_params
@@ -51,13 +51,23 @@ def forward(
     mask = valid[:, None, :] & valid[:, :, None]  # [B, T, T] bidirectional
     pre_norm = cfg.extra.get("pre_norm_encoder", False)
 
+    def nrm(v, w, b):  # rms-norm encoders (neo-bert/eurobert) vs layernorm
+        if cfg.use_rms_norm:
+            return rms_norm(v, w, cfg.rms_eps).astype(jnp.float32)
+        return layer_norm(v, w, b, eps)
+
+    def act_fn(v):
+        if cfg.act == "silu":
+            return jax.nn.silu(v)
+        return jax.nn.gelu(v, approximate=True)
+
     for il, lw in enumerate(params["layers"]):
         # modernbert pre-norm: h = norm(x) feeds attention (layer 0 has no
         # attn norm at all — embeddings are already normalized)
         h_in = x
         if pre_norm:
-            h_in = (layer_norm(x, lw["attn_norm"], lw.get("attn_norm_bias"),
-                               eps) if "attn_norm" in lw else x)
+            h_in = (nrm(x, lw["attn_norm"], lw.get("attn_norm_bias"))
+                    if "attn_norm" in lw else x)
         if "attn_qkv" in lw:
             qkv = matmul(h_in, lw["attn_qkv"], dtype=jnp.float32)
             if "attn_qkv_bias" in lw:
@@ -105,12 +115,17 @@ def forward(
 
         if pre_norm:
             x = x + attn
-            h2 = layer_norm(x, lw["ffn_norm"], lw.get("ffn_norm_bias"), eps)
-            up = matmul(h2, lw["ffn_up"], dtype=jnp.float32)
-            half = up.shape[-1] // 2  # GEGLU: act(first) * second
-            x = x + matmul(
-                jax.nn.gelu(up[..., :half], approximate=True) * up[..., half:],
-                lw["ffn_down"], dtype=jnp.float32)
+            h2 = nrm(x, lw["ffn_norm"], lw.get("ffn_norm_bias"))
+            if "ffn_gate" in lw:  # eurobert: llama-style gated FFN
+                h3 = act_fn(matmul(h2, lw["ffn_gate"], dtype=jnp.float32)) \
+                    * matmul(h2, lw["ffn_up"], dtype=jnp.float32)
+            else:  # fused gate|up halves (modernbert GEGLU / neo-bert
+                # SWIGLU; load-time gate+up fusion also lands here)
+                up = matmul(h2, lw.get("ffn_gateup", lw.get("ffn_up")),
+                            dtype=jnp.float32)
+                half = up.shape[-1] // 2
+                h3 = act_fn(up[..., :half]) * up[..., half:]
+            x = x + matmul(h3, lw["ffn_down"], dtype=jnp.float32)
             continue
 
         # post-norm: LN(x + attn)
@@ -118,6 +133,24 @@ def forward(
                        lw.get("attn_output_norm_bias"), eps)
 
         ffn_inp = x
+        if "ffn_up_exps" in lw:
+            # nomic-bert-moe: gelu experts without gate, softmax top-k with
+            # normalized weights (reference nomic-bert-moe.cpp build_moe_ffn)
+            logits = matmul(x, lw["ffn_gate_inp"], dtype=jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            topw, topi = jax.lax.top_k(probs, cfg.n_expert_used)
+            topw = topw / jnp.clip(topw.sum(-1, keepdims=True), 1e-9, None)
+            y = jnp.zeros_like(x)
+            for e in range(cfg.n_expert):
+                w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), -1)  # [B,T]
+                he = jax.nn.gelu(
+                    jnp.einsum("bte,fe->btf", x, lw["ffn_up_exps"][e]),
+                    approximate=True)
+                ye = jnp.einsum("btf,ef->bte", he, lw["ffn_down_exps"][e])
+                y = y + ye * w_e[..., None]
+            x = layer_norm(ffn_inp + y, lw.get("layer_output_norm"),
+                           lw.get("layer_output_norm_bias"), eps)
+            continue
         up = matmul(x, lw["ffn_up"], dtype=jnp.float32)
         if "ffn_up_bias" in lw:
             up = up + lw["ffn_up_bias"]
@@ -133,8 +166,9 @@ def forward(
                        lw.get("layer_output_norm_bias"), eps)
 
     if pre_norm and "output_norm" in params:  # modernbert final norm
-        x = layer_norm(x, params["output_norm"],
-                       params.get("output_norm_bias"), eps)
+        x = nrm(x, params["output_norm"], params.get("output_norm_bias"))
+    elif "enc_output_norm" in params:  # neo-bert enc.output_norm
+        x = nrm(x, params["enc_output_norm"], None)
     x = x.reshape(B * T, -1)
     if output_rows is not None:
         x = x[output_rows]

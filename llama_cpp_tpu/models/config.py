@@ -91,6 +91,9 @@ class ModelConfig:
     def is_swa_layer(self, il: int) -> bool:
         if self.sliding_window <= 0:
             return False
+        arr = self.extra.get("is_swa_layers")  # explicit per-layer array
+        if arr is not None:
+            return bool(arr[il])
         if self.swa_pattern <= 0:
             return True
         if self.extra.get("swa_first_global"):  # modernbert: il%p==0 global

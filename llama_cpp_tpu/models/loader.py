@@ -83,6 +83,10 @@ LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "exp_probs_b",
+    # GroveMoE adjugate chunk experts (reference grovemoe.cpp)
+    "ffn_gate_chexps.weight": "ffn_gate_chexps",
+    "ffn_up_chexps.weight": "ffn_up_chexps",
+    "ffn_down_chexps.weight": "ffn_down_chexps",
     # SSM / Mamba (reference src/llama-arch.cpp LLM_TENSOR_SSM_*)
     "ssm_in.weight": "ssm_in",
     "ssm_conv1d.weight": "ssm_conv1d",
@@ -366,11 +370,12 @@ def load_model(
         req = ("attn_output", "attn_post_norm", "ffn_post_norm")
     else:
         req = ("attn_norm", "attn_output", "ffn_norm")
+    _SUBS = {"ffn_up": ("ffn_gateup", "ffn_up_exps")}  # acceptable stand-ins
     missing = [
         f"layer {i} missing {k}"
         for i, lw in enumerate(layers)
         for k in req
-        if k not in lw
+        if k not in lw and not any(a in lw for a in _SUBS.get(k, ()))
     ]
     if cfg.extra.get("memory") == "hybrid":
         missing += [

@@ -1164,3 +1164,111 @@ def _minimax_m3(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
         n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
     )
+
+
+@register("neo-bert")
+def _neo_bert(cfg: ModelConfig, md) -> ModelConfig:
+    """NeoBERT (reference src/models/neo-bert.cpp): pre-norm RMS encoder,
+    NEOX rope, fused gate|up SWIGLU FFN, enc.output_norm final norm."""
+    cfg.extra.update(encoder=True, pre_norm_encoder=True)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, act="silu")
+
+
+@register("eurobert")
+def _eurobert(cfg: ModelConfig, md) -> ModelConfig:
+    """EuroBERT (reference src/models/eurobert.cpp): pre-norm RMS encoder
+    with llama-style gated SiLU FFN and NEOX rope."""
+    cfg.extra.update(encoder=True, pre_norm_encoder=True)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, act="silu")
+
+
+@register("nomic-bert-moe")
+def _nomic_bert_moe(cfg: ModelConfig, md) -> ModelConfig:
+    """nomic-embed-text-v2 MoE (reference src/models/nomic-bert-moe.cpp):
+    nomic encoder where every moe_every_n-th layer swaps the FFN for
+    gate-less GELU experts with softmax-normalized top-k routing."""
+    cfg.extra["encoder"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="gelu", glu=False)
+
+
+def _swa_pattern_extra(cfg: ModelConfig, md, a: str) -> ModelConfig:
+    """Shared SWA-pattern plumbing: scalar period or per-layer bool array
+    (LLM_KV_ATTENTION_SLIDING_WINDOW_PATTERN get_key_or_arr), plus the
+    optional local-layer rope base."""
+    pat = md.get(f"{a}.attention.sliding_window_pattern", 4)
+    if isinstance(pat, (list, tuple)) or hasattr(pat, "__len__"):
+        cfg.extra["is_swa_layers"] = tuple(bool(int(v)) for v in pat)
+        pat_i = 0
+    else:
+        pat_i = int(pat)
+    swa_base = md.get(f"{a}.rope.freq_base_swa")
+    if swa_base:
+        cfg.extra["rope_freq_base_swa"] = float(swa_base)
+    return cfg.with_(
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
+        swa_pattern=pat_i,
+    )
+
+
+@register("bailingmoe2")
+def _bailingmoe2(cfg: ModelConfig, md) -> ModelConfig:
+    """Ling/Ring 2.0 (reference src/models/bailingmoe2.cpp): NEOX rope,
+    per-head qk rmsnorm, dense-lead layers then MoE with selection bias +
+    gated shared expert; optional nextn (MTP) tail layers are draft-only
+    tensors and are skipped here."""
+    a = cfg.arch
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 1) or 1), "softmax")
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+    )
+
+
+@register("step35")
+def _step35(cfg: ModelConfig, md) -> ModelConfig:
+    """Step-3.5 (reference src/models/step35.cpp): NEOX MoE with sigmoid
+    gating by default, shared expert, per-layer SWA pattern array with a
+    local rope base."""
+    a = cfg.arch
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+    )
+    return _swa_pattern_extra(c, md, a)
+
+
+@register("mimo2")
+def _mimo2(cfg: ModelConfig, md) -> ModelConfig:
+    """MiMo-2 (reference src/models/mimo2.cpp): MoE + per-layer SWA array,
+    attention sinks, optional value scale folded by the converter; nextn
+    (MTP) tail layers skipped."""
+    a = cfg.arch
+    c = cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
+    return _swa_pattern_extra(c, md, a)
+
+
+@register("grovemoe")
+def _grovemoe(cfg: ModelConfig, md) -> ModelConfig:
+    """GroveMoE (reference src/models/grovemoe.cpp): softmax MoE plus
+    adjugate per-group chunk experts applied to the expert-mix output and
+    scaled by expert_group_scale; per-head qk rmsnorm, NEOX rope."""
+    a = cfg.arch
+    cfg.extra.update(
+        n_group_experts=int(md.get(f"{a}.experts_per_group", 1)),
+        expert_group_scale=float(md.get(f"{a}.expert_group_scale", 0.05)),
+    )
+    n_group = max(1, cfg.extra["n_group_experts"])
+    n_exp = int(md.get(f"{a}.expert_count", 0) or 0)
+    if n_exp:
+        cfg.extra["n_chunk_expert"] = max(1, n_exp // n_group)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)

@@ -724,7 +724,9 @@ def _dequant_all_experts(w: Weight, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.astype(dtype).transpose(0, 2, 1)  # dense [E, O, K] -> [E, K, O]
 
 
-def _moe_ragged(cfg, lw, x, topi, topw, act) -> jnp.ndarray:
+def _moe_ragged(cfg, lw, x, topi, topw, act,
+                keys=("ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"),
+                n_expert: int | None = None) -> jnp.ndarray:
     """Sort-by-expert ragged dispatch for prefill-sized token counts:
     flatten (token, slot) pairs, sort by expert id, run the three FFN GEMMs
     as grouped matmuls (jax.lax.ragged_dot), unsort, and mix by gate weight.
@@ -734,7 +736,7 @@ def _moe_ragged(cfg, lw, x, topi, topw, act) -> jnp.ndarray:
     E = x.shape[-1]
     N = int(np.prod(lead)) if lead else 1
     k = topi.shape[-1]
-    n_exp = cfg.n_expert
+    n_exp = n_expert or cfg.n_expert
     M = N * k
     xf = x.reshape(N, E)
     e_flat = topi.reshape(M).astype(jnp.int32)
@@ -760,16 +762,17 @@ def _moe_ragged(cfg, lw, x, topi, topw, act) -> jnp.ndarray:
     def bias(name):
         return jnp.take(lw[name], es, axis=0).astype(jnp.float32)
 
-    g = emm(lw["ffn_gate_exps"], xs)
-    u = emm(lw["ffn_up_exps"], xs)
-    if "ffn_gate_exps_bias" in lw:
-        g = g + bias("ffn_gate_exps_bias")
-    if "ffn_up_exps_bias" in lw:
-        u = u + bias("ffn_up_exps_bias")
+    gate_key, up_key, down_key = keys
+    g = emm(lw[gate_key], xs)
+    u = emm(lw[up_key], xs)
+    if gate_key + "_bias" in lw:
+        g = g + bias(gate_key + "_bias")
+    if up_key + "_bias" in lw:
+        u = u + bias(up_key + "_bias")
     h = swiglu_oai(g, u) if cfg.moe_act == "swiglu_oai" else act(g) * u
-    y = emm(lw["ffn_down_exps"], h.astype(mdt))
-    if "ffn_down_exps_bias" in lw:
-        y = y + bias("ffn_down_exps_bias")
+    y = emm(lw[down_key], h.astype(mdt))
+    if down_key + "_bias" in lw:
+        y = y + bias(down_key + "_bias")
 
     y = y[inv].reshape(N, k, E)  # unsort back to (token, slot) order
     if weight_before:
@@ -895,6 +898,37 @@ def _moe_gather(cfg, lw, x, topi, topw, act):
     else:
         out = jnp.sum(y * tw[:, :, None], axis=1)  # [N, E]
     return out.reshape(*lead, E).astype(jnp.float32)
+
+
+def _grovemoe_ffn(cfg, lw, h) -> jnp.ndarray:
+    """GroveMoE adjugate experts (reference src/models/grovemoe.cpp): the
+    router's top-k drives BOTH the main expert mix and a second pass of
+    per-group chunk experts applied to the main mix's OUTPUT, scaled by
+    expert_group_scale: ff = moe(h) + group_scale * chunk_moe(moe(h))."""
+    n_group = max(1, int(cfg.extra.get("n_group_experts", 1)))
+    group_scale = float(cfg.extra.get("expert_group_scale", 0.05))
+    n_chunk = int(cfg.extra.get("n_chunk_expert",
+                                max(1, cfg.n_expert // n_group)))
+    k = cfg.n_expert_used
+    act = ACTIVATIONS[cfg.act]
+    logits = matmul(h, lw["ffn_gate_inp"], dtype=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, k)
+    topw = topw / jnp.clip(topw.sum(-1, keepdims=True), 1e-9, None)
+    topw = topw * cfg.expert_weights_scale
+    main = _moe_ragged(cfg, lw, h, topi, topw, act).astype(h.dtype)
+
+    chunk_i = topi // n_group
+    kc = min(k, n_chunk)
+    chunk_i = chunk_i[..., :kc]
+    cw = jnp.take_along_axis(probs, chunk_i, axis=-1)
+    cw = cw / jnp.clip(cw.sum(-1, keepdims=True), 1e-9, None)
+    cw = cw * cfg.expert_weights_scale
+    chunk = _moe_ragged(
+        cfg, lw, main, chunk_i, cw, act,
+        keys=("ffn_gate_chexps", "ffn_up_chexps", "ffn_down_chexps"),
+        n_expert=n_chunk)
+    return main.astype(jnp.float32) + group_scale * chunk
 
 
 def forward(
@@ -1036,6 +1070,8 @@ def forward(
                     moe_in = rms_norm(x_in, lw["ffn_norm_exps"], cfg.rms_eps)
                     ff = (ffn_block(cfg, lw, h, il).astype(jnp.float32)
                           + moe_block(cfg, lw, moe_in))
+                elif "ffn_up_chexps" in lw:
+                    ff = _grovemoe_ffn(cfg, lw, h)
                 else:
                     rx = x_in if cfg.extra.get("router_raw_input") else None
                     ff = moe_block(cfg, lw, h, router_x=rx)

@@ -519,3 +519,105 @@ def test_minimax_m3_msa(tmp_path):
     ctx_s = Context(m_sp, n_ctx=64, n_seqs=1)
     out_sparse = ctx_s.generate(prompt, max_new_tokens=4)
     assert all(0 <= t < V for t in out_sparse)
+
+
+def test_neo_bert_and_eurobert(tmp_path):
+    """Pre-norm RMS encoders (reference neo-bert.cpp / eurobert.cpp)."""
+    from llama_cpp_tpu.models.loader import load_model as _lm
+
+    for arch, fused in (("neo-bert", True), ("eurobert", False)):
+        w = _writer(arch)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "enc.output_norm.weight", E, ones=True)
+        for i in range(L):
+            b = f"blk.{i}."
+            emit(w, b + "attn_norm.weight", E, ones=True)
+            emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+            emit(w, b + "attn_output.weight", E, H * HD)
+            emit(w, b + "ffn_norm.weight", E, ones=True)
+            if fused:
+                emit(w, b + "ffn_up.weight", 2 * FF, E)
+            else:
+                emit(w, b + "ffn_gate.weight", FF, E)
+                emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        m = _lm(p, prefer_quant=False)
+        from llama_cpp_tpu.runtime.context import Context as _C
+
+        emb = _C(m, n_ctx=64, n_seqs=1).embed([3, 5, 9, 2], pooling="mean")
+        assert emb.shape == (E,) and np.isfinite(emb).all()
+
+
+def test_nomic_bert_moe(tmp_path):
+    w = _writer("nomic-bert-moe", extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "moe_every_n_layers": np.uint32(2)})
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "token_embd_norm.weight", E, ones=True)
+    emit(w, "token_embd_norm.bias", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+        emit(w, b + "attn_qkv.bias", H * HD + 2 * HKV * HD)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "attn_output.bias", E)
+        emit(w, b + "attn_output_norm.weight", E, ones=True)
+        emit(w, b + "attn_output_norm.bias", E)
+        if i % 2 == 1:  # MoE layer (gate-less gelu experts)
+            emit(w, b + "ffn_gate_inp.weight", 4, E)
+            emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+        else:
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_up.bias", FF)
+            emit(w, b + "ffn_down.weight", E, FF)
+            emit(w, b + "ffn_down.bias", E)
+        emit(w, b + "layer_output_norm.weight", E, ones=True)
+        emit(w, b + "layer_output_norm.bias", E)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    from llama_cpp_tpu.models.loader import load_model as _lm
+    from llama_cpp_tpu.runtime.context import Context as _C
+
+    m = _lm(p, prefer_quant=False)
+    emb = _C(m, n_ctx=64, n_seqs=1).embed([3, 5, 9, 2], pooling="mean")
+    assert emb.shape == (E,) and np.isfinite(emb).all()
+
+
+@pytest.mark.parametrize("arch,qk", [("bailingmoe2", True), ("step35", False),
+                                     ("mimo2", True)])
+def test_swa_moe_variants(tmp_path, arch, qk):
+    w = _writer(arch, extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "attention.sliding_window": np.uint32(16),
+        "attention.sliding_window_pattern": np.uint32(2)})
+    _common(w)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=qk)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        _emit_moe(w, b, 4, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+def test_grovemoe_chunk_experts(tmp_path):
+    w = _writer("grovemoe", extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "experts_per_group": np.uint32(2),
+        "expert_group_scale": np.float32(0.05)})
+    _common(w)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        _emit_moe(w, b, 4, FF)
+        emit(w, b + "ffn_gate_chexps.weight", 2, FF // 2, E)
+        emit(w, b + "ffn_up_chexps.weight", 2, FF // 2, E)
+        emit(w, b + "ffn_down_chexps.weight", 2, E, FF // 2)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
