@@ -90,9 +90,7 @@ class Context:
             paged = (self.cfg.extra.get("memory", "attn") == "attn"
                      and not self.cfg.extra.get("dsa")
                      and not self.cfg.extra.get("msa")
-                     and not self.enc_dec
-                     and not (self.cfg.sliding_window > 0
-                              and self.cfg.swa_pattern > 0))
+                     and not self.enc_dec)
         self.paged = paged
         self.alloc = None
         if paged:
@@ -121,7 +119,10 @@ class Context:
     def _make_memory(self, n_seqs: int | None = None, n_slots: int | None = None,
                      paged: bool | None = None):
         kind = self.cfg.extra.get("memory", "attn")
-        if (paged if paged is not None else self.paged) and n_slots is None:
+        use_paged = (paged if paged is not None else self.paged) and n_slots is None
+        is_iswa = (self.cfg.sliding_window > 0 and self.cfg.swa_pattern > 0
+                   and not self.cfg.extra.get("encoder"))
+        if use_paged and not is_iswa:
             from .paged_kv import PagedKVCache
 
             return PagedKVCache.create(
@@ -182,10 +183,25 @@ class Context:
 
             ring = -(-(cfg.sliding_window + self.n_ubatch + 1) // 256) * 256
             ring = min(ring, n_slots or self.n_slots)
-            return ISWACache.build(
+            iswa = ISWACache.build(
                 cfg, n_seqs or self.n_seqs, n_slots or self.n_slots, ring,
                 dtype=self._kv_dtype, quantized=self._kv_quant,
             )
+            if use_paged:
+                # full-attention layers use the paged pool (HBM bounded by
+                # kv_total); SWA layers keep their O(window) rings
+                from dataclasses import replace as _rp
+
+                from .paged_kv import PagedKVCache
+
+                nf = iswa.full.k.shape[0]
+                iswa = _rp(iswa, full=PagedKVCache.create(
+                    nf, n_seqs or self.n_seqs, self.alloc.n_pages,
+                    self.alloc.max_pages, self.cfg.n_kv_heads,
+                    self.cfg.head_dim_k, self.cfg.head_dim_v,
+                    dtype=self._kv_dtype, quantized=self._kv_quant,
+                    page=self.page))
+            return iswa
         return KVCache.create(
             self.cfg.n_layers,
             n_seqs or self.n_seqs,
@@ -242,7 +258,12 @@ class Context:
         if self.alloc is not None and self.alloc.dirty:
             from dataclasses import replace
 
-            self.kv = replace(self.kv, table=jnp.asarray(self.alloc.table))
+            tbl = jnp.asarray(self.alloc.table)
+            if hasattr(self.kv, "full"):  # iSWA: pool backs the full layers
+                self.kv = replace(self.kv,
+                                  full=replace(self.kv.full, table=tbl))
+            else:
+                self.kv = replace(self.kv, table=tbl)
             self.alloc.dirty = False
 
     # ------------------------------------------------------------------
@@ -631,13 +652,20 @@ class Context:
 
     def seq_cp(self, dst: int, src: int):
         if self.alloc is not None:
+            from dataclasses import replace
+
             # page-granular copy: dst gets fresh pages mirroring src's
             self.alloc.trim(dst, 0)
             self.alloc.ensure(dst, int(self.alloc.count[src]) * self.page)
             self._sync_table()
-            self.kv = self.kv.copy_pages(
-                jnp.asarray(self.alloc.table[src]),
-                jnp.asarray(self.alloc.table[dst]))
+            src_p = jnp.asarray(self.alloc.table[src])
+            dst_p = jnp.asarray(self.alloc.table[dst])
+            if hasattr(self.kv, "full"):  # iSWA: pages + SWA ring copy
+                self.kv = replace(self.kv,
+                                  full=self.kv.full.copy_pages(src_p, dst_p),
+                                  swa=self.kv.swa.seq_cp(dst, src))
+            else:
+                self.kv = self.kv.copy_pages(src_p, dst_p)
         else:
             self.kv = self.kv.seq_cp(dst, src)
         self.seq_len[dst] = self.seq_len[src]

@@ -121,7 +121,8 @@ def load_state(ctx, path: str) -> dict:
 def _rebuild_allocator(ctx):
     """Re-derive host page-allocator state from a restored device table."""
     alloc = ctx.alloc
-    table = np.asarray(ctx.kv.table)
+    kvp = ctx.kv.full if hasattr(ctx.kv, "full") else ctx.kv
+    table = np.asarray(kvp.table)
     alloc.table = table.copy()
     used = set()
     for s in range(table.shape[0]):
@@ -228,9 +229,9 @@ def _rs_inject(rs, seq: int, z, prefix: str):
     )
 
 
-def _paged_extract(ctx, seq: int, prefix: str) -> dict:
+def _paged_extract(ctx, seq: int, prefix: str, kvc=None) -> dict:
     """Paged pool rows of one sequence, ordered by position."""
-    kvc = ctx.kv
+    kvc = ctx.kv if kvc is None else kvc
     pages = ctx.alloc.seq_pages(seq)
     rows = (pages[:, None] * kvc.page
             + np.arange(kvc.page)[None, :]).reshape(-1)
@@ -249,15 +250,16 @@ def _paged_extract(ctx, seq: int, prefix: str) -> dict:
     return out
 
 
-def _paged_inject(ctx, seq: int, z, prefix: str):
+def _paged_inject(ctx, seq: int, z, prefix: str, kvc=None):
     from dataclasses import replace
 
-    kvc = ctx.kv
+    nested = kvc is not None
     positions = np.asarray(z[prefix + "positions"])
     if positions.size:
         ctx.alloc.ensure(seq, int(positions.max()) + 1)
         ctx._sync_table()
-        kvc = ctx.kv
+    # _sync_table may have rebuilt the pytree: re-fetch the paged cache
+    kvc = ctx.kv.full if nested else ctx.kv
     pg = ctx.alloc.table[seq, positions // kvc.page]
     slots = jnp.asarray(pg * kvc.page + positions % kvc.page, jnp.int32)
     new = replace(
@@ -290,7 +292,8 @@ def _seq_parts(kv) -> list[tuple[str, object, str]]:
     if isinstance(kv, KVCache):
         return [("kv", kv, "")]
     if isinstance(kv, ISWACache):
-        return [("kv", kv.full, "full_"), ("kv", kv.swa, "swa_")]
+        kf = "paged" if isinstance(kv.full, PagedKVCache) else "kv"
+        return [(kf, kv.full, "full_"), ("kv", kv.swa, "swa_")]
     if isinstance(kv, RecurrentState):
         return [("rs", kv, "rs_")]
     if isinstance(kv, HybridMemory):
@@ -328,7 +331,8 @@ def save_seq_state(ctx, seq: int) -> bytes:
     arrays: dict = {}
     for kind, sub, prefix in _seq_parts(ctx.kv):
         if kind == "paged":
-            arrays.update(_paged_extract(ctx, seq, prefix))
+            arrays.update(_paged_extract(ctx, seq, prefix,
+                                         kvc=None if sub is ctx.kv else sub))
         elif kind == "kv":
             arrays.update(_kv_extract(sub, seq, prefix))
         else:
@@ -361,7 +365,8 @@ def load_seq_state(ctx, seq: int, blob: bytes) -> int:
     parts = []
     for kind, sub, prefix in _seq_parts(ctx.kv):
         if kind == "paged":
-            parts.append(_paged_inject(ctx, seq, z, prefix))
+            parts.append(_paged_inject(
+                ctx, seq, z, prefix, kvc=None if sub is ctx.kv else sub))
             n = max(n, int(np.asarray(z[prefix + "positions"]).size))
         elif kind == "kv":
             parts.append(_kv_inject(sub, seq, z, prefix))

@@ -161,7 +161,7 @@ def test_iswa_ring_cache_matches_unified(tmp_path):
 
     # unified-cache reference: disable the pattern trigger by constructing
     # a plain Context with swa masks still applied (same cfg but no ring)
-    ctx2 = Context(m, n_ctx=1024, n_seqs=1, n_ubatch=32)
+    ctx2 = Context(m, n_ctx=1024, n_seqs=1, n_ubatch=32, paged=False)
     ctx2.kv = KVCache.create(4, 1, ctx2.n_slots, 2, 16, 16, dtype=jnp.bfloat16)
     ctx2._steps.clear()
     out_full = ctx2.generate(prompt, max_new_tokens=10)
@@ -193,7 +193,7 @@ def test_iswa_ring_wrap(tmp_path):
     ctx._steps.clear()
     out_ring = ctx.generate(prompt, max_new_tokens=8)
 
-    ctx2 = Context(m, n_ctx=512, n_seqs=1, n_ubatch=32)
+    ctx2 = Context(m, n_ctx=512, n_seqs=1, n_ubatch=32, paged=False)
     ctx2.kv = KVCache.create(2, 1, ctx2.n_slots, 2, 16, 16, dtype=jnp.bfloat16)
     ctx2._steps.clear()
     out_full = ctx2.generate(prompt, max_new_tokens=8)

@@ -200,3 +200,36 @@ def test_decode_steps_greedy_scan(tmp_path):
             cur = int(np.argmax(logits))
             seq_ref.append(cur)
         assert [int(step[sq])] + list(got[sq]) == seq_ref
+
+
+def test_paged_iswa_full_cache(tmp_path):
+    """iSWA models: full-attention layers use the paged pool (memory bound
+    by kv_total), SWA layers keep O(window) rings; outputs match the
+    non-paged iSWA cache."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.runtime.kv_cache import ISWACache
+
+    p = str(tmp_path / "swa.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=4, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    m = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    m.cfg = m.cfg.with_(sliding_window=16, swa_pattern=2)
+    prompt = [5, 9, 23, 42, 7, 7, 9] * 6
+
+    ctx = Context(m, n_ctx=256, n_seqs=4, kv_total=512)
+    assert isinstance(ctx.kv, ISWACache)
+    assert isinstance(ctx.kv, ISWACache) and hasattr(ctx.kv.full, "table")
+    out_paged = ctx.generate(prompt, max_new_tokens=8)
+
+    ref = Context(m, n_ctx=256, n_seqs=4, paged=False).generate(
+        prompt, max_new_tokens=8)
+    assert out_paged == ref
+
+    # seq ops on the hybrid layout
+    ctx.seq_cp(1, 0)
+    a = _continue(ctx, out_paged, 4, seq=0)
+    b = _continue(ctx, out_paged, 4, seq=1)
+    assert a == b
+    ctx.seq_rm(1)
+    assert int(ctx.seq_len[1]) == 0
