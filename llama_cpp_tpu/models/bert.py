@@ -133,6 +133,16 @@ def forward(
                        lw.get("attn_output_norm_bias"), eps)
 
         ffn_inp = x
+        if "ffn_gateup" in lw:  # load-time fused gate|up (jina-v3 GLU)
+            gu = matmul(x, lw["ffn_gateup"], dtype=jnp.float32)
+            half_ = gu.shape[-1] // 2
+            h = act_fn(gu[..., :half_]) * gu[..., half_:]
+            y = matmul(h, lw["ffn_down"], dtype=jnp.float32)
+            if "ffn_down_bias" in lw:
+                y = y + lw["ffn_down_bias"]
+            x = layer_norm(ffn_inp + y, lw.get("layer_output_norm"),
+                           lw.get("layer_output_norm_bias"), eps)
+            continue
         if "ffn_up_exps" in lw:
             # nomic-bert-moe: gelu experts without gate, softmax top-k with
             # normalized weights (reference nomic-bert-moe.cpp build_moe_ffn)

@@ -1272,3 +1272,40 @@ def _grovemoe(cfg: ModelConfig, md) -> ModelConfig:
     if n_exp:
         cfg.extra["n_chunk_expert"] = max(1, n_exp // n_group)
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
+
+
+@register("gemma-embedding")
+def _gemma_embedding(cfg: ModelConfig, md) -> ModelConfig:
+    """EmbeddingGemma (reference src/models/gemma-embedding.cpp): the gemma3
+    stack run bidirectionally with SYMMETRIC sliding windows; pooling is the
+    runtime's job (Context.embed)."""
+    a = cfg.arch
+    cfg.extra.update(non_causal=True)
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        embd_scale=float(cfg.n_embd) ** 0.5,
+        post_norms=True,
+        qk_norm=True,
+        tie_embeddings=True,
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
+        swa_pattern=int(md.get(f"{a}.attention.sliding_window_pattern", 6)),
+        attn_scale=1.0 / (float(cfg.head_dim_k) ** 0.5),
+    )
+    swa_base = md.get(f"{a}.rope.freq_base_swa")
+    if swa_base:
+        c.extra["rope_freq_base_swa"] = float(swa_base)
+    return c
+
+
+@register("jina-bert-v3")
+def _jina_bert_v3(cfg: ModelConfig, md) -> ModelConfig:
+    """jina-embeddings-v3 (reference src/models/jina-bert-v3.cpp): post-norm
+    BERT encoder with rope (NEOX) and GLU FFN; the attn_out_norm tensor is
+    this family's per-layer output norm."""
+    cfg.extra["encoder"] = True
+    # the loader's grok-oriented attn_out_norm->attn_post_norm mapping must
+    # land on the encoder's attn_output_norm slot here
+    cfg.extra["tensor_remap"] = {"attn_post_norm": "attn_output_norm",
+                                 "ffn_post_norm": "layer_output_norm"}
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False, act="gelu")

@@ -328,9 +328,16 @@ def attention_block(
             causal = jnp.ones_like(causal)
         mask = valid[:, None, :] & causal
         if window > 0:
-            mask = mask & (
-                slot_pos[:, None, :] > inputs.positions[:, :, None] - window
-            )
+            if non_causal:
+                # symmetric local window (reference SWA_TYPE_SYMMETRIC:
+                # |p1 - p0| > n_swa/2 masked; gemma-embedding)
+                diff = jnp.abs(slot_pos[:, None, :]
+                               - inputs.positions[:, :, None])
+                mask = mask & (diff <= window // 2)
+            else:
+                mask = mask & (
+                    slot_pos[:, None, :] > inputs.positions[:, :, None] - window
+                )
 
         groups = H // Hkv
         # matmul inputs follow the activation dtype (bf16 serving path keeps

@@ -621,3 +621,55 @@ def test_grovemoe_chunk_experts(tmp_path):
     p = str(tmp_path / "m.gguf")
     w.write(p)
     _run(p)
+
+
+def test_gemma_embedding(tmp_path):
+    w = _writer("gemma-embedding", extra_md={
+        "attention.sliding_window": np.uint32(16),
+        "attention.sliding_window_pattern": np.uint32(2)})
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "attn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    from llama_cpp_tpu.models.loader import load_model as _lm
+    from llama_cpp_tpu.runtime.context import Context as _C
+
+    m = _lm(p, prefer_quant=False)
+    assert m.cfg.extra.get("non_causal")
+    emb = _C(m, n_ctx=64, n_seqs=1).embed([3, 5, 9, 2, 8, 1], pooling="mean")
+    assert emb.shape == (E,) and np.isfinite(emb).all()
+
+
+def test_jina_bert_v3(tmp_path):
+    w = _writer("jina-bert-v3")
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "token_embd_norm.weight", E, ones=True)
+    emit(w, "token_embd_norm.bias", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "attn_out_norm.weight", E, ones=True)
+        emit(w, b + "attn_out_norm.bias", E)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "layer_output_norm.weight", E, ones=True)
+        emit(w, b + "layer_output_norm.bias", E)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    from llama_cpp_tpu.models.loader import load_model as _lm
+    from llama_cpp_tpu.runtime.context import Context as _C
+
+    m = _lm(p, prefer_quant=False)
+    emb = _C(m, n_ctx=64, n_seqs=1).embed([3, 5, 9, 2], pooling="mean")
+    assert emb.shape == (E,) and np.isfinite(emb).all()
