@@ -299,3 +299,59 @@ def forward(
         out_w = params["token_embd"]
     logits = matmul(x, out_w, dtype=jnp.float32)
     return logits, mem
+
+
+def plamo2_layer(cfg, lw, h, mem: RecurrentState, seq_idx, il: int):
+    """PLaMo-2 mamba mixer (reference src/models/plamo2.cpp
+    build_plamo2_mamba_layer): per-head-interleaved [z|x] in-projection,
+    conv over x only, mamba1-style x_proj AFTER the conv producing
+    rms-normed B/C/dt, per-head dt/A/D (mamba2-style scalar decay), and a
+    swiglu_split(z, y) gate. No HF oracle offline — structural parity with
+    the reference graph."""
+    ex = cfg.extra
+    d_conv, d_state = ex["ssm_d_conv"], ex["ssm_d_state"]
+    d_inner = ex["ssm_d_inner"]
+    H = ex["ssm_dt_rank"]  # plamo2 stores n_heads in time_step_rank
+    P = d_inner // H
+    B_, T = h.shape[:2]
+
+    zx = matmul(h, lw["ssm_in"], dtype=jnp.float32)  # [B,T, 2*d_inner]
+    zx = zx.reshape(B_, T, H, 2 * P)  # per-head [z_h | x_h] interleave
+    z = zx[..., :P].reshape(B_, T, d_inner)
+    x = zx[..., P:].reshape(B_, T, d_inner)
+
+    x, new_conv = _causal_conv(mem, il, seq_idx, x, lw, d_conv)
+
+    bcdt = matmul(x, lw["ssm_x"], dtype=jnp.float32)  # [B,T, 2S+dt_dim]
+    Bm = rms_norm(bcdt[..., :d_state], lw.get("ssm_b_norm"), cfg.rms_eps)
+    Cm = rms_norm(bcdt[..., d_state : 2 * d_state], lw.get("ssm_c_norm"),
+                  cfg.rms_eps)
+    dt = rms_norm(bcdt[..., 2 * d_state :], lw.get("ssm_dt_norm"), cfg.rms_eps)
+    dt = matmul(dt, lw["ssm_dt"], dtype=jnp.float32)  # [B,T,H]
+    if "ssm_dt_bias" in lw:
+        dt = dt + lw["ssm_dt_bias"]
+    dt = jax.nn.softplus(dt)
+    A = lw["ssm_a"].reshape(-1).astype(jnp.float32)  # [H]
+    a = jnp.exp(dt * A)
+
+    xh = x.reshape(B_, T, H, P)
+    b = (dt[..., None] * xh)[..., None] * Bm[:, :, None, None, :]  # [B,T,H,P,S]
+    s0 = mem.ssm[il][seq_idx]  # [B, S, I]
+    s0 = s0.transpose(0, 2, 1).reshape(B_, H, P, d_state)
+    a5 = a[..., None, None]
+    b = b.at[:, 0].add(a5[:, 0] * s0)
+
+    def combine(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a1 * a2, a2 * b1 + b2
+
+    _, s_all = jax.lax.associative_scan(
+        combine, (jnp.broadcast_to(a5, b.shape), b), axis=1)
+    y = jnp.einsum("bts,bthps->bthp", Cm.astype(jnp.float32), s_all)
+    y = y + xh * lw["ssm_d"].reshape(-1)[None, None, :, None]
+    y = y.reshape(B_, T, d_inner)
+    y = jax.nn.silu(z) * y  # swiglu_split(z, y)
+    out = matmul(y, lw["ssm_out"], dtype=jnp.float32)
+    s_last = s_all[:, -1].reshape(B_, d_inner, d_state).transpose(0, 2, 1)
+    return out, new_conv, s_last

@@ -1309,3 +1309,59 @@ def _jina_bert_v3(cfg: ModelConfig, md) -> ModelConfig:
     cfg.extra["tensor_remap"] = {"attn_post_norm": "attn_output_norm",
                                  "ffn_post_norm": "layer_output_norm"}
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False, act="gelu")
+
+
+@register("afmoe")
+def _afmoe(cfg: ModelConfig, md) -> ModelConfig:
+    """AFMoE (reference src/models/afmoe.cpp): sigmoid attention gate before
+    o_proj (qwen3next-style attn_gate), per-head qk rmsnorm, periodic NoPE
+    layers, dual post-norms, dense-lead then sigmoid-gated MoE with
+    selection bias and shared experts, optional SWA pattern."""
+    a = cfg.arch
+    step = int(md.get(f"{a}.rope.no_rope_layer_step", 0) or 0)
+    if step > 0:
+        cfg.extra["no_rope_layers"] = tuple(
+            il for il in range(cfg.n_layers) if (il + 1) % step == 0)
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True, post_norms=True,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+    )
+    return _swa_pattern_extra(c, md, a)
+
+
+@register("plamo2")
+def _plamo2(cfg: ModelConfig, md) -> ModelConfig:
+    """PLaMo-2 hybrid (reference src/models/plamo2.cpp): interleaved mamba
+    (per-head dt/A/D, post-conv x_proj with rms-normed B/C/dt, swiglu z
+    gate) and attention (fused qkv, per-head-weight qk rmsnorm, full-dim
+    rope) layers; post-norms on both block halves; fused SWIGLU FFN. Uses
+    the PLaMo-2 Aho-Corasick/Viterbi tokenizer (tokenizer/PLaMo2Tokenizer)."""
+    a = cfg.arch
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 2 * cfg.n_embd))
+    cfg.extra.update(
+        memory="hybrid", plamo2=True,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner,
+        ssm_d_state=int(md.get(f"{a}.ssm.state_size", 64)),
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", d_inner // 64)),
+        ssm_n_group=0,
+        ssm_conv_dim=d_inner,
+    )
+    cfg.extra["tensor_remap"] = {"ffn_up": "ffn_gateup"}
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True, post_norms=True)
+
+
+@register("plamo3")
+def _plamo3(cfg: ModelConfig, md) -> ModelConfig:
+    """PLaMo-3 (reference src/models/plamo3.cpp): pure-attention plamo2
+    successor — fused qkv, per-head qk rmsnorm, post-norms on both halves,
+    fused SWIGLU FFN, optional SWA with a local rope base."""
+    a = cfg.arch
+    cfg.extra["tensor_remap"] = {"ffn_up": "ffn_gateup"}
+    c = cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True, post_norms=True)
+    return _swa_pattern_extra(c, md, a)

@@ -1019,9 +1019,12 @@ def forward(
 
             from . import mamba as _mamba
 
-            mixer = (_mamba.mamba2_layer
-                     if cfg.extra.get("ssm_version", 1) == 2
-                     else _mamba.mamba1_layer)
+            if cfg.extra.get("plamo2"):
+                mixer = _mamba.plamo2_layer
+            elif cfg.extra.get("ssm_version", 1) == 2:
+                mixer = _mamba.mamba2_layer
+            else:
+                mixer = _mamba.mamba1_layer
             attn, new_conv, s_last = mixer(cfg, lw, h, kv.rs, inputs.seq_idx, il)
             attn = attn.astype(x.dtype)
             kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))

@@ -673,3 +673,99 @@ def test_jina_bert_v3(tmp_path):
     m = _lm(p, prefer_quant=False)
     emb = _C(m, n_ctx=64, n_seqs=1).embed([3, 5, 9, 2], pooling="mean")
     assert emb.shape == (E,) and np.isfinite(emb).all()
+
+
+def test_afmoe_gated_attention(tmp_path):
+    w = _writer("afmoe", extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "expert_gating_func": np.uint32(2)})
+    _common(w)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "attn_gate.weight", H * HD, E)
+        emit(w, b + "attn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_post_norm.weight", E, ones=True)
+        _emit_moe(w, b, 4, FF)
+        emit(w, b + "exp_probs_b.bias", 4, scale=0.1)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+def test_plamo2_hybrid(tmp_path):
+    """PLaMo-2 hybrid: interleaved mamba/attention layers, fused SWIGLU FFN,
+    post-norms; decode == prefill consistency for the recurrent state."""
+    a = "plamo2"
+    d_state, d_inner, n_heads, d_conv = 8, 64, 4, 4
+    dt_dim = 16
+    w = _writer(a, extra_md={
+        "ssm.conv_kernel": np.uint32(d_conv),
+        "ssm.inner_size": np.uint32(d_inner),
+        "ssm.state_size": np.uint32(d_state),
+        "ssm.time_step_rank": np.uint32(n_heads),
+        "ssm.group_count": np.uint32(0),
+    })
+    _common(w, tie=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_up.weight", 2 * FF, E)  # fused gate|up
+        emit(w, b + "ffn_down.weight", E, FF)
+        if i % 2 == 0:  # mamba layer
+            emit(w, b + "ssm_in.weight", 2 * d_inner, E)
+            emit(w, b + "ssm_conv1d.weight", d_inner, d_conv)
+            emit(w, b + "ssm_x.weight", 2 * d_state + dt_dim, d_inner)
+            emit(w, b + "ssm_dt.weight", n_heads, dt_dim)
+            emit(w, b + "ssm_dt.bias", n_heads)
+            emit(w, b + "ssm_a", n_heads)
+            emit(w, b + "ssm_d", n_heads, ones=True)
+            emit(w, b + "ssm_out.weight", E, d_inner)
+            emit(w, b + "ssm_dt_norm.weight", dt_dim, ones=True)
+            emit(w, b + "ssm_b_norm.weight", d_state, ones=True)
+            emit(w, b + "ssm_c_norm.weight", d_state, ones=True)
+        else:  # attention layer
+            emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+            emit(w, b + "attn_q_norm.weight", H, HD, ones=True)
+            emit(w, b + "attn_k_norm.weight", HKV, HD, ones=True)
+            emit(w, b + "attn_output.weight", E, H * HD)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    from llama_cpp_tpu.models.loader import load_model as _lm
+
+    m = _lm(p, prefer_quant=False)
+    assert m.cfg.extra.get("plamo2")
+    out = _run(p, n_new=6)
+    # decode==prefill: feeding the whole sequence at once must match
+    ctx = Context(_lm(p, prefer_quant=False), n_ctx=64, n_seqs=1)
+    pre = [3, 5, 9, 2, 7] + out[:-1]
+    import numpy as _np
+
+    logits = ctx.prefill(pre)
+    assert int(_np.argmax(logits)) == out[-1]
+
+
+def test_plamo3(tmp_path):
+    w = _writer("plamo3", extra_md={
+        "attention.sliding_window": np.uint32(16),
+        "attention.sliding_window_pattern": np.uint32(2)})
+    _common(w, tie=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+        emit(w, b + "attn_q_norm.weight", HD, ones=True)
+        emit(w, b + "attn_k_norm.weight", HD, ones=True)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "attn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_up.weight", 2 * FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
