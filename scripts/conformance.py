@@ -124,7 +124,7 @@ def sweep_flash_paged(rows, quick=False):
     page = 256
     for B, H, R, D, npages, mp in ([(2, 4, 8, 128, 9, 4)] if quick else
                                    [(2, 4, 8, 128, 9, 4), (1, 8, 16, 128, 17, 8),
-                                    (4, 2, 8, 256, 9, 4)]):
+                                    (4, 2, 8, 256, 17, 4)]):
         # build a pool where each seq's pages are scattered (non-contiguous)
         k4 = rng.standard_normal((H, npages, page, D)).astype(np.float32)
         v4 = rng.standard_normal((H, npages, page, D)).astype(np.float32)

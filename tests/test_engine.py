@@ -186,7 +186,7 @@ def test_iswa_ring_wrap(tmp_path):
     m.cfg = m.cfg.with_(sliding_window=16, swa_pattern=2)
 
     prompt = list(np.random.default_rng(1).integers(4, 250, 100))
-    ctx = Context(m, n_ctx=512, n_seqs=1, n_ubatch=32)
+    ctx = Context(m, n_ctx=512, n_seqs=1, n_ubatch=32, paged=False)
     # shrink the ring below the sequence length to force wrapping
     ctx.kv = ISWACache.build(m.cfg, 1, ctx.n_slots, 64,
                              dtype=jnp.bfloat16)
