@@ -83,6 +83,7 @@ LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "exp_probs_b",
+    "layer_output_scale.weight": "layer_out_scale",  # talkie embd-skip scale
     # GroveMoE adjugate chunk experts (reference grovemoe.cpp)
     "ffn_gate_chexps.weight": "ffn_gate_chexps",
     "ffn_up_chexps.weight": "ffn_up_chexps",

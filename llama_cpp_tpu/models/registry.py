@@ -1365,3 +1365,18 @@ def _plamo3(cfg: ModelConfig, md) -> ModelConfig:
     cfg.extra["tensor_remap"] = {"ffn_up": "ffn_gateup"}
     c = cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True, post_norms=True)
     return _swa_pattern_extra(c, md, a)
+
+
+@register("talkie")
+def _talkie(cfg: ModelConfig, md) -> ModelConfig:
+    """Talkie (reference src/models/talkie.cpp): weightless RMS norms
+    throughout, qk-norm after rope (per-head scalar weight on q only), and
+    the rms-normalized EMBEDDING added to every layer output scaled by a
+    per-layer layer_output_scale scalar; logit scale on the head."""
+    a = cfg.arch
+    cfg.extra.update(weightless_norm=True, embd_skip=True,
+                     qk_norm_after_rope=True)
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
+    )

@@ -965,6 +965,12 @@ def forward(
         x = layer_norm(x, params["token_embd_norm"],
                        params.get("token_embd_norm_bias"), cfg.norm_eps)
 
+    embd_skip = None
+    if cfg.extra.get("embd_skip"):
+        # talkie: weightless-rms-normalized embedding added to every layer
+        # output, scaled by a per-layer scalar (layer_output_scale)
+        x = rms_norm(x, None, cfg.rms_eps).astype(x.dtype)
+        embd_skip = x
     first_attn = next(
         (i for i, lw in enumerate(params["layers"])
          if "ssm_in" not in lw and "shortconv_in" not in lw), 0)
@@ -1096,6 +1102,8 @@ def forward(
                 ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
             x = x + (ff * rscale if rscale != 1.0 else ff)
 
+        if embd_skip is not None and "layer_out_scale" in lw:
+            x = x + embd_skip * lw["layer_out_scale"].reshape(-1)[0].astype(x.dtype)
         if "cvec" in params:  # control vector (build_cvec analog)
             x = x + params["cvec"][il].astype(x.dtype)
         _tap(il, "l_out", x)  # residual stream (cvector-generator collection)

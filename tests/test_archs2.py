@@ -769,3 +769,25 @@ def test_plamo3(tmp_path):
     p = str(tmp_path / "m.gguf")
     w.write(p)
     _run(p)
+
+
+def test_talkie_embd_skip(tmp_path):
+    w = _writer("talkie", extra_md={"logit_scale": np.float32(0.5)})
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+        emit(w, b + "attn_q_norm.weight", H, 1, ones=True)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+        w.add_tensor(b + "layer_output_scale.weight",
+                     np.asarray([0.1], np.float32).tobytes(), (1,),
+                     GGMLType.F32)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    m = load_model(p, prefer_quant=False)
+    assert m.cfg.extra.get("embd_skip")
+    _run(p)
