@@ -334,14 +334,28 @@ def load_model(
         # the embedding table stays row-major for gather
         transpose = (not dense and key not in ("token_embd", "pos_embd")
                      and len(info.shape) >= 2)
-        w = load_weight(
-            np.asarray(info.data),
-            info.dtype,
-            info.shape,
-            prefer_quant=prefer_quant and not dense,
-            dense_dtype=jnp.float32 if dense else dense_dtype,
-            transpose=transpose,
-        )
+        w = None
+        if device_put is None:
+            # TPU-side unpack: ship raw block bytes, bit-twiddle on the VPU
+            # (quant/device_repack.py) — the 1-core host only memcpys
+            from ..quant.device_repack import device_load_weight
+            from ..ops.qtensor import _PACK4
+
+            w = device_load_weight(
+                np.asarray(info.data), info.dtype, tuple(info.shape),
+                prefer_quant=prefer_quant and not dense,
+                dense_dtype=jnp.float32 if dense else dense_dtype,
+                transpose=transpose, pack4=_PACK4,
+            )
+        if w is None:
+            w = load_weight(
+                np.asarray(info.data),
+                info.dtype,
+                info.shape,
+                prefer_quant=prefer_quant and not dense,
+                dense_dtype=jnp.float32 if dense else dense_dtype,
+                transpose=transpose,
+            )
         if device_put is not None:
             w = device_put(name, w)
         target[key] = w
@@ -392,7 +406,35 @@ def load_model(
     if fuse:
         for lw in layers:
             _fuse_projections(lw)
+    if cfg.extra.get("mla_absorb"):
+        for lw in layers:
+            _split_mla_kv_b(lw, cfg)
     return Model(cfg, params, tokenizer, f)
+
+
+def _split_mla_kv_b(lw: dict, cfg) -> None:
+    """Split the fused MLA decompression weight into absorbed operands
+    (reference llama-model.cpp wk_b/wv_b split for the MLA path): attn_kv_b
+    [H*(nope+Dv), kv_lora] -> mla_k_b [C, H, nope] (absorbs W_UK into the
+    q@c_kv contraction) and mla_v_b [C, H, Dv] (applied to the latent
+    attention output)."""
+    from ..ops.qtensor import QuantTensor
+
+    w = lw.pop("attn_kv_b", None)
+    if w is None:
+        return
+    nope = cfg.head_dim_k - cfg.rope_dims
+    dv = cfg.head_dim_v
+    h = cfg.n_heads
+    if isinstance(w, QuantTensor):
+        dq = w.dequant(jnp.bfloat16)  # transposed -> [C, H*(nope+Dv)]
+        if not w.transposed:
+            dq = dq.T
+    else:
+        dq = w.T  # dense stored [out, in]; keep its dtype (f32 oracles)
+    dq = dq.reshape(dq.shape[0], h, nope + dv)
+    lw["mla_k_b"] = dq[:, :, :nope]
+    lw["mla_v_b"] = dq[:, :, nope:]
 
 
 def _fold_scalar_scales(lw: dict) -> None:

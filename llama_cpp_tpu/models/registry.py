@@ -204,6 +204,28 @@ def _nemotron(cfg: ModelConfig, md) -> ModelConfig:
                      act="relu2", glu=False)
 
 
+def _mla_absorb_extras(cfg: ModelConfig) -> None:
+    """Absorbed-latent MLA cache config (reference build_attn_mha MLA path,
+    src/llama-graph.cpp:2499-2618): the cache stores the 576-dim compressed
+    [c_kv | k_pe] latent per token as ONE kv head instead of the expanded
+    per-head K/V — ~(2*H*(Dk+Dv))/(c+rot) x fewer KV bytes/token. The pad
+    keeps the row a lane multiple for the flash kernel; it sits BETWEEN c_kv
+    and k_pe so the context-shift re-rotation's tail-rope convention holds."""
+    import os as _os
+
+    if _os.environ.get("LLAMA_TPU_MLA_NAIVE"):
+        return
+    c = cfg.extra["kv_lora_rank"]
+    rot = cfg.rope_dims
+    pad = (-(c + rot)) % 128
+    cfg.extra.update(
+        mla_absorb=True, mla_pad=pad,
+        cache_n_kv_heads=1,
+        cache_head_dim_k=c + pad + rot,
+        cache_head_dim_v=c,
+    )
+
+
 @register("deepseek2")
 def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
     """DeepSeek-V2/V3 MLA (reference src/models/deepseek2.cpp): latent KV
@@ -218,7 +240,7 @@ def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
         yarn_log_mul=float(md.get("deepseek2.rope.scaling.yarn_log_mul", 0.0)) / 0.1
         if md.get("deepseek2.rope.scaling.yarn_log_mul") else 0.0,
     )
-    return cfg.with_(
+    c = cfg.with_(
         rope_type=ROPE_TYPE_NEOX,
         n_kv_heads=cfg.n_heads,  # naive MHA expansion of the latent
         head_dim_k=head_k,
@@ -229,6 +251,8 @@ def _deepseek2(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_norm=bool(md.get("deepseek2.expert_weights_norm", False)),
         expert_weights_scale=float(md.get("deepseek2.expert_weights_scale", 1.0)),
     )
+    _mla_absorb_extras(c)
+    return c
 
 
 @register("deepseek32")
@@ -238,6 +262,9 @@ def _deepseek32(cfg: ModelConfig, md) -> ModelConfig:
     per-query top-k columns gate the attention mask."""
     md2 = {k.replace("deepseek32.", "deepseek2."): v for k, v in md.items()}
     c = _deepseek2(cfg.with_(arch="deepseek2"), md2).with_(arch=cfg.arch)
+    for k in ("mla_absorb", "mla_pad", "cache_n_kv_heads",
+              "cache_head_dim_k", "cache_head_dim_v"):
+        c.extra.pop(k, None)  # DSA keeps the naive expanded cache for now
     c.extra.update(
         dsa=True,
         indexer_n_head=int(md.get("deepseek32.attention.indexer.head_count", 64)),
@@ -957,7 +984,7 @@ def _minicpm3(cfg: ModelConfig, md) -> ModelConfig:
     )
     dim_base = float(md.get(f"{a}.embedding_scale_base",
                             md.get(f"{a}.dim_model_base", 256.0)) or 256.0)
-    return cfg.with_(
+    c = cfg.with_(
         rope_type=ROPE_TYPE_NEOX,
         n_kv_heads=cfg.n_heads,  # naive MHA expansion of the latent
         embd_scale=12.0,
@@ -966,6 +993,8 @@ def _minicpm3(cfg: ModelConfig, md) -> ModelConfig:
         logit_scale=dim_base / max(cfg.n_embd, 1),
         tie_embeddings=True,
     )
+    _mla_absorb_extras(c)
+    return c
 
 
 @register("bailingmoe")

@@ -444,15 +444,6 @@ def mla_attention_block(
     q_pe = apply_rope(q_pe, inputs.positions, rp)
     k_pe = apply_rope(k_pe, inputs.positions, rp)
 
-    # --- decompress K/V (wkv_b) --------------------------------------------
-    kv_dec = matmul(kv_cmpr, lw["attn_kv_b"]).reshape(B, T, H, nope + Dv)
-    k_nope = kv_dec[..., :nope]
-    v = kv_dec[..., nope:]
-
-    qf = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, T, H, Dk]
-    kf = jnp.concatenate(
-        [k_nope, jnp.broadcast_to(k_pe, (B, T, H, n_rot))], axis=-1)
-
     # YaRN-corrected kq scale (deepseek2.cpp:26-28); 1/sqrt(Dk) without yarn
     mscale = 1.0
     if cfg.rope_ext_factor > 0.0 and cfg.rope_freq_scale != 1.0:
@@ -464,6 +455,25 @@ def mla_attention_block(
         mscale = attn_factor_org * (
             1.0 + 0.1 * log_mul * _math.log(1.0 / cfg.rope_freq_scale))
     kq_scale = mscale * mscale / float(Dk) ** 0.5
+
+    if "mla_k_b" in lw and not dsa:
+        # absorbed-latent path (reference build_attn_mha MLA absorption,
+        # src/llama-graph.cpp:2499-2618): cache [c_kv | pad | k_pe] once per
+        # token (one kv head), absorb W_UK into the q contraction and apply
+        # W_UV to the latent attention output — identical math to the naive
+        # expansion, ~70x fewer KV bytes/token for DeepSeek-V3 shapes.
+        return _mla_absorbed_attention(
+            cfg, lw, x, inputs, kv, il, q_nope, q_pe, kv_cmpr, k_pe,
+            kq_scale, update_pos)
+
+    # --- decompress K/V (wkv_b) --------------------------------------------
+    kv_dec = matmul(kv_cmpr, lw["attn_kv_b"]).reshape(B, T, H, nope + Dv)
+    k_nope = kv_dec[..., :nope]
+    v = kv_dec[..., nope:]
+
+    qf = jnp.concatenate([q_nope, q_pe], axis=-1)  # [B, T, H, Dk]
+    kf = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, T, H, n_rot))], axis=-1)
 
     seq_flat = jnp.repeat(inputs.seq_idx, T)
     kv = kv.write_layer(
@@ -566,6 +576,92 @@ def mla_attention_block(
         from dataclasses import replace as _dsa_rep2
 
         return out, _dsa_rep2(mem, kv=kv)
+    return out, kv
+
+
+def _mla_absorbed_attention(cfg, lw, x, inputs, kv, il, q_nope, q_pe,
+                            kv_cmpr, k_pe, kq_scale, update_pos):
+    """Absorbed MLA attention: MQA over the cached compressed latent.
+
+    q_eff = [q_nope @ W_UK | 0-pad | q_pe]  (per head, width C+pad+rot)
+    k_eff = [c_kv | 0-pad | k_pe]           (ONE shared kv head)
+    v_eff = c_kv                            (width C)
+    out   = softmax(q_eff k_eff^T * scale) v_eff @ W_UV   per head.
+    """
+    from ..ops.pallas.flash_attn import mha_flash, mha_flash_paged
+
+    B, T, H, _ = q_nope.shape
+    C = kv_cmpr.shape[-1]
+    pad = cfg.extra.get("mla_pad", 0)
+    Dv = cfg.head_dim_v
+    mdt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    wk = lw["mla_k_b"]  # [C, H, nope]
+    wv = lw["mla_v_b"]  # [C, H, Dv]
+
+    q_abs = jnp.einsum(
+        "bthn,chn->bthc", q_nope.astype(mdt), wk.astype(mdt),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    parts_q = [q_abs]
+    parts_k = [kv_cmpr[:, :, None, :].astype(x.dtype)]
+    if pad:
+        parts_q.append(jnp.zeros((B, T, H, pad), q_abs.dtype))
+        parts_k.append(jnp.zeros((B, T, 1, pad), q_abs.dtype))
+    parts_q.append(q_pe.astype(q_abs.dtype))
+    parts_k.append(k_pe.astype(q_abs.dtype))
+    qf = jnp.concatenate(parts_q, axis=-1)  # [B, T, H, Dc]
+    kf = jnp.concatenate(parts_k, axis=-1)  # [B, T, 1, Dc]
+    vf = kv_cmpr[:, :, None, :].astype(x.dtype)  # [B, T, 1, C]
+    Dc = qf.shape[-1]
+
+    seq_flat = jnp.repeat(inputs.seq_idx, T)
+    kv = kv.write_layer(
+        il, seq_flat, inputs.positions.reshape(-1),
+        kf.reshape(B * T, 1, Dc), vf.reshape(B * T, 1, C),
+        update_pos=update_pos, contiguous=B == 1 and T > 1,
+    )
+    paged = hasattr(kv, "table")
+    interp = jax.default_backend() != "tpu"
+    if flash_supported(Dc, C, kv.n_slots) and paged:
+        out_lat = mha_flash_paged(
+            qf, kv, il, inputs.seq_idx, inputs.positions,
+            sm_scale=kq_scale, interpret=interp)  # [B, T, H*C]
+    elif flash_supported(Dc, C, kv.n_slots):
+        slot_pos = kv.pos[inputs.seq_idx]
+        k_raw = kv.k[il][inputs.seq_idx]
+        v_raw = kv.v[il][inputs.seq_idx]
+        ks = kv.k_scale[il][inputs.seq_idx] if kv.quantized else None
+        vs = kv.v_scale[il][inputs.seq_idx] if kv.quantized else None
+        out_lat = mha_flash(
+            qf, k_raw, v_raw, inputs.positions, slot_pos,
+            sm_scale=kq_scale, k_scale=ks, v_scale=vs,
+            interpret=interp, ring=kv.ring)
+    else:
+        if paged:
+            k_seq, v_seq, slot_pos = kv.gather_seq(il, inputs.seq_idx)
+        else:
+            slot_pos = kv.pos[inputs.seq_idx]
+            k_all, v_all = kv.read(il)
+            k_seq = k_all[inputs.seq_idx]  # [B, 1, S, Dc]
+            v_seq = v_all[inputs.seq_idx]
+        valid = slot_pos >= 0
+        causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]
+        mask = valid[:, None, :] & causal  # [B, T, S]
+        scores = jnp.einsum(
+            "bthd,bsd->bhts", qf.astype(mdt), k_seq[:, 0].astype(mdt),
+            preferred_element_type=jnp.float32) * kq_scale
+        scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+        out_lat = jnp.einsum(
+            "bhts,bsd->bthd", probs.astype(mdt), v_seq[:, 0].astype(mdt),
+            preferred_element_type=jnp.float32).reshape(B, T, H * C)
+
+    out_lat = out_lat.reshape(B, T, H, C)
+    out = jnp.einsum(
+        "bthc,chd->bthd", out_lat.astype(mdt), wv.astype(mdt),
+        preferred_element_type=jnp.float32)
+    out = out.reshape(B, T, H * Dv).astype(x.dtype)
+    out = matmul(out, lw["attn_output"])
     return out, kv
 
 

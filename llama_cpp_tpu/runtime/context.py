@@ -119,6 +119,11 @@ class Context:
     def _make_memory(self, n_seqs: int | None = None, n_slots: int | None = None,
                      paged: bool | None = None):
         kind = self.cfg.extra.get("memory", "attn")
+        # absorbed-MLA caches store the compressed latent as one kv head
+        # (registry _mla_absorb_extras); plain attention uses cfg head dims
+        ckvh = self.cfg.extra.get("cache_n_kv_heads", self.cfg.n_kv_heads)
+        cdk = self.cfg.extra.get("cache_head_dim_k", self.cfg.head_dim_k)
+        cdv = self.cfg.extra.get("cache_head_dim_v", self.cfg.head_dim_v)
         use_paged = (paged if paged is not None else self.paged) and n_slots is None
         is_iswa = (self.cfg.sliding_window > 0 and self.cfg.swa_pattern > 0
                    and not self.cfg.extra.get("encoder"))
@@ -130,9 +135,9 @@ class Context:
                 n_seqs or self.n_seqs,
                 self.alloc.n_pages,
                 self.alloc.max_pages,
-                self.cfg.n_kv_heads,
-                self.cfg.head_dim_k,
-                self.cfg.head_dim_v,
+                ckvh,
+                cdk,
+                cdv,
                 dtype=self._kv_dtype,
                 quantized=self._kv_quant,
                 page=self.page,
@@ -206,9 +211,9 @@ class Context:
             self.cfg.n_layers,
             n_seqs or self.n_seqs,
             n_slots or self.n_slots,
-            self.cfg.n_kv_heads,
-            self.cfg.head_dim_k,
-            self.cfg.head_dim_v,
+            ckvh,
+            cdk,
+            cdv,
             dtype=self._kv_dtype,
             quantized=self._kv_quant,
         )

@@ -58,9 +58,12 @@ def run_ours(path, tokens, n_slots=32, prefer_quant=False):
             m.params, m.cfg, jnp.asarray(tokens, jnp.int32)[None, :], inputs, kv
         )
         return m, np.asarray(logits), kv
+    ex = m.cfg.extra
     kv = KVCache.create(
-        m.cfg.n_layers, 1, n_slots, m.cfg.n_kv_heads, m.cfg.head_dim_k,
-        m.cfg.head_dim_v, dtype=jnp.float32,
+        m.cfg.n_layers, 1, n_slots,
+        ex.get("cache_n_kv_heads", m.cfg.n_kv_heads),
+        ex.get("cache_head_dim_k", m.cfg.head_dim_k),
+        ex.get("cache_head_dim_v", m.cfg.head_dim_v), dtype=jnp.float32,
     )
     inputs = AttnInputs(
         seq_idx=jnp.zeros(1, jnp.int32),
