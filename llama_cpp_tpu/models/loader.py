@@ -199,6 +199,8 @@ GLOBAL_TENSORS = {
     "output.weight": "output",
     "output.bias": "output_bias",
     "rope_freqs.weight": "rope_factors",
+    "fc.weight": "fc",  # EAGLE3 feature-fusion encoder (llama-arch.cpp:618)
+    "enc.output_norm.weight": "enc_output_norm",  # eagle3 norm_before_fc
     "token_types.weight": "token_types",
     "cls.weight": "cls",
     "cls.bias": "cls_bias",
@@ -301,6 +303,11 @@ def load_model(
     for name, info in f.tensors.items():
         key = None
         target: dict | None = None
+        if name == "d2t":  # EAGLE3 draft->target vocab map (int, kept exact)
+            params["d2t"] = jnp.asarray(
+                np.asarray(info.data).view(np.int64).astype(np.int32))
+            n_done += 1
+            continue
         if name in GLOBAL_TENSORS:
             key = GLOBAL_TENSORS[name]
             target = params

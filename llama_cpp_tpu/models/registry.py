@@ -1409,3 +1409,25 @@ def _talkie(cfg: ModelConfig, md) -> ModelConfig:
         rope_type=ROPE_TYPE_NEOX, qk_norm=True,
         logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
     )
+
+
+@register("eagle3")
+def _eagle3(cfg: ModelConfig, md) -> ModelConfig:
+    """EAGLE3 speculative draft head (reference src/models/eagle3.cpp):
+    ONE llama-style decoder layer whose attention input is
+    concat(norm(tok_embd), norm(g)) — 2*n_embd wide — plus an `fc`
+    feature-fusion encoder over 3 extracted target layers. Driven by
+    models/eagle3.py::Eagle3Speculator, not the shared forward."""
+    ids = md.get("eagle3.target_layers")
+    if ids is None:
+        raise ValueError("EAGLE3 model requires eagle3.target_layers metadata")
+    if hasattr(ids, "tolist"):
+        ids = ids.tolist()
+    cfg.extra.update(
+        target_layers=tuple(int(i) for i in ids),
+        target_hidden_size=int(md.get("eagle3.target_hidden_size", cfg.n_embd)),
+        norm_before_residual=bool(md.get("eagle3.norm_before_residual", False)),
+        norm_before_fc=bool(md.get("eagle3.norm_before_fc", False)),
+        draft_only=True,  # no standalone generate: paired with a target
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NORM)

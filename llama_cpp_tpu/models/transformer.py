@@ -792,10 +792,32 @@ def moe_block(
             out = out + sh
         return out.astype(x.dtype)
 
-    # prefill shapes: sort-by-expert ragged segment GEMM (the TPU answer to
-    # GGML_OP_MUL_MAT_ID, ggml.h:514) — FLOPs scale with tokens*top_k, not
-    # tokens*n_expert, and XLA's ragged_dot tiles the segments on the MXU
-    out = _moe_ragged(cfg, lw, x, topi, topw, act)
+    # expert parallelism: when the session plan names an ep axis and the
+    # shapes divide, dispatch tokens to expert owners over ICI all-to-all
+    # (parallel/expert.py) instead of computing every expert's share locally
+    from ..parallel.state import get_plan
+
+    plan = get_plan()
+    if (plan.ep and n_exp % plan.mesh.shape[plan.ep_axis] == 0
+            and n_tok % plan.mesh.shape[plan.ep_axis] == 0
+            and not cfg.extra.get("moe_weight_before")
+            and "ffn_gate_exps_bias" not in lw
+            and "ffn_up_exps_bias" not in lw
+            and "ffn_down_exps_bias" not in lw):
+        from ..parallel.expert import ep_moe
+
+        lead = x.shape[:-1]
+        out = ep_moe(
+            plan.mesh, plan.ep_axis, x.reshape(n_tok, x.shape[-1]),
+            topi.reshape(n_tok, k), topw.reshape(n_tok, k),
+            gate_w, up_w, down_w, n_expert=n_exp, act=act,
+            moe_act=cfg.moe_act, capacity_factor=plan.capacity_factor,
+        ).reshape(*lead, x.shape[-1])
+    else:
+        # prefill shapes: sort-by-expert ragged segment GEMM (the TPU answer
+        # to GGML_OP_MUL_MAT_ID, ggml.h:514) — FLOPs scale with tokens*top_k,
+        # not tokens*n_expert, and XLA's ragged_dot tiles the segments on MXU
+        out = _moe_ragged(cfg, lw, x, topi, topw, act)
 
     if cfg.n_expert_shared > 0 and "ffn_gate_shexp" in lw:
         h = act(matmul(x, lw["ffn_gate_shexp"])) * matmul(x, lw["ffn_up_shexp"])
@@ -1072,6 +1094,7 @@ def forward(
          if "ssm_in" not in lw and "shortconv_in" not in lw), 0)
     for il, lw in enumerate(params["layers"]):
         x_in = x  # layer input (arctic MoE branch / smallthinker router)
+        _tap(il, "l_in", x)  # EAGLE3 target-feature capture (layer input)
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
@@ -1204,6 +1227,10 @@ def forward(
             x = x + params["cvec"][il].astype(x.dtype)
         _tap(il, "l_out", x)  # residual stream (cvector-generator collection)
 
+    # pre-output-norm residual stream: "layer input" of layer n_layers (the
+    # reference's embeddings_nextn row, read when an EAGLE3 target_layer id
+    # equals n_layer — common/speculative.cpp:694-699)
+    _tap(len(params["layers"]), "l_in", x)
     B, T, E = x.shape
     x = x.reshape(B * T, E)
     if output_rows is not None:

@@ -294,6 +294,120 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 # paged variant: KV tiles resolved through a scalar-prefetched page table
 # ---------------------------------------------------------------------------
+#
+# The grid folds ALL KV heads into one step (grid = B x row-blocks x pages,
+# loop over Hkv inside the kernel) instead of a per-head grid axis. TPU
+# Pallas grids execute sequentially on the TensorCore, so at decode shapes
+# (R = gqa a handful of rows) a per-head grid is pure per-step latency:
+# 8 heads x 5 live pages = 40 steps of ~6 us overhead each dwarfs the
+# ~0.2 ms/layer the bytes actually cost. Folding heads cuts steps 8x and
+# makes each K/V DMA Hkv x page x D (~1 MB) instead of 128 KB, and the
+# position mask is computed once per page instead of once per (head, page).
+
+
+def _fa_kernel_allheads(
+    lim_ref,
+    q_ref,  # [1, Hkv, br, D]
+    k_ref,  # [Hkv, 1, page, D]
+    v_ref,  # [Hkv, 1, page, Dv]
+    rp_ref,  # [1, br, 1]
+    cp_ref,  # [1, 1, page]
+    *rest,
+    sm_scale: float,
+    window: int,
+    softcap: float,
+    quantized: bool,
+    has_sinks: bool,
+    bs: int,
+    dv: int,
+):
+    idx = 0
+    ks_ref = vs_ref = sinks_ref = None
+    if quantized:
+        ks_ref, vs_ref = rest[idx], rest[idx + 1]  # [Hkv, 1, 1, page]
+        idx += 2
+    if has_sinks:
+        sinks_ref = rest[idx]  # [Hkv, br, 1]
+        idx += 1
+    out_ref, m_ref, l_ref, acc_ref = (
+        rest[idx], rest[idx + 1], rest[idx + 2], rest[idx + 3])
+
+    s_idx = pl.program_id(2)
+    n_s = pl.num_programs(2)
+    n_h = q_ref.shape[1]
+    br = q_ref.shape[2]
+
+    @pl.when(s_idx == 0)
+    def _init():
+        if has_sinks:
+            m_ref[...] = jnp.broadcast_to(
+                sinks_ref[...].astype(jnp.float32), m_ref.shape)
+            l_ref[...] = jnp.ones_like(l_ref)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    live = s_idx < lim_ref[pl.program_id(0), pl.program_id(1)]
+
+    @pl.when(live)
+    def _tile():
+        rp = rp_ref[0]  # [br, 1]
+        cp = cp_ref[0]  # [1, page]
+        mask = (cp >= 0) & (cp <= rp)
+        if window > 0:
+            mask = mask & (cp > rp - window)
+
+        @pl.when(jnp.any(mask))
+        def _inner():
+            for h in range(n_h):  # static unroll over KV heads
+                q = q_ref[0, h]  # [br, D]
+                k = k_ref[h, 0]  # [page, D]
+                s = jax.lax.dot_general(
+                    q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [br, page]
+                if quantized:
+                    s = s * ks_ref[h, 0, 0][None, :].astype(jnp.float32)
+                s = s * sm_scale
+                if softcap:
+                    s = softcap * jnp.tanh(s / softcap)
+                s = jnp.where(mask, s, MASK_VALUE)
+
+                m_prev = m_ref[h]  # [br, 128]
+                l_prev = l_ref[h]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - pltpu.repeat(m_next, bs // LANES, axis=1))
+                l_ref[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_ref[h] = m_next
+
+                if quantized:
+                    p = p * vs_ref[h, 0, 0][None, :].astype(jnp.float32)
+                o_curr = jnp.dot(
+                    p.astype(jnp.bfloat16),
+                    v_ref[h, 0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)  # [br, Dv]
+
+                def _to_dv(stat128):
+                    if dv >= LANES:
+                        return pltpu.repeat(stat128, dv // LANES, axis=1)
+                    return stat128[:, :dv]
+
+                acc_ref[h] = acc_ref[h] * _to_dv(alpha) + o_curr
+
+    def _to_dv(stat128):
+        if dv >= LANES:
+            return pltpu.repeat(stat128, dv // LANES, axis=1)
+        return stat128[:, :dv]
+
+    @pl.when(s_idx == n_s - 1)
+    def _store():
+        for h in range(n_h):
+            l = l_ref[h]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            out_ref[0, h] = (acc_ref[h] * _to_dv(l_inv)).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -345,61 +459,112 @@ def flash_attention_paged(
     rmax = row_pos.reshape(B, Rp // br, br).max(axis=-1)
     lim = jnp.clip(rmax // page + 1, 1, MP).astype(jnp.int32)
 
-    grid = (B, Hkv, Rp // br, MP)
+    # fold all KV heads into one grid step when the K+V page tile fits VMEM
+    # (double-buffered); otherwise fall back to a per-head grid axis
+    kv_tile = Hkv * page * (D + Dv) * k4.dtype.itemsize
+    fold = kv_tile <= 4 * 1024 * 1024
 
-    def kv_map(b, h, r, s, lim, tab):
-        return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+    if fold:
+        grid = (B, Rp // br, MP)
 
-    def cp_map(b, h, r, s, lim, tab):
-        return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+        def kv_map(b, r, s, lim, tab):
+            return (0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
 
-    def sc_map(b, h, r, s, lim, tab):
-        return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+        def cp_map(b, r, s, lim, tab):
+            return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, br, D), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
-        pl.BlockSpec((1, 1, page, D), kv_map),
-        pl.BlockSpec((1, 1, page, Dv), kv_map),
-        pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (b, r, 0)),
-        pl.BlockSpec((1, 1, page), cp_map),
-    ]
-    args = [q, k4, v4, rp3, pos3]
-    if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, 1, page), sc_map))
-        in_specs.append(pl.BlockSpec((1, 1, 1, page), sc_map))
-        args.append(k_scale4)
-        args.append(v_scale4)
-    if has_sinks:
-        in_specs.append(
-            pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (h, r, 0)))
-        args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
+        in_specs = [
+            pl.BlockSpec((1, Hkv, br, D), lambda b, r, s, lim, tab: (b, 0, r, 0)),
+            pl.BlockSpec((Hkv, 1, page, D), kv_map),
+            pl.BlockSpec((Hkv, 1, page, Dv), kv_map),
+            pl.BlockSpec((1, br, 1), lambda b, r, s, lim, tab: (b, r, 0)),
+            pl.BlockSpec((1, 1, page), cp_map),
+        ]
+        args = [q, k4, v4, rp3, pos3]
+        if quantized:
+            in_specs.append(pl.BlockSpec((Hkv, 1, 1, page), kv_map))
+            in_specs.append(pl.BlockSpec((Hkv, 1, 1, page), kv_map))
+            args.append(k_scale4)
+            args.append(v_scale4)
+        if has_sinks:
+            in_specs.append(
+                pl.BlockSpec((Hkv, br, 1), lambda b, r, s, lim, tab: (0, r, 0)))
+            args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, br, Dv), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((br, LANES), jnp.float32),
-            pltpu.VMEM((br, LANES), jnp.float32),
-            pltpu.VMEM((br, Dv), jnp.float32),
-        ],
-    )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, Hkv, br, Dv), lambda b, r, s, lim, tab: (b, 0, r, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, br, LANES), jnp.float32),
+                pltpu.VMEM((Hkv, br, LANES), jnp.float32),
+                pltpu.VMEM((Hkv, br, Dv), jnp.float32),
+            ],
+        )
 
-    def body(lim_ref, tab_ref, *refs):
-        _fa_kernel(lim_ref, *refs,
-                   sm_scale=float(sm_scale), window=int(window),
-                   softcap=float(softcap), quantized=quantized,
-                   has_sinks=has_sinks, bs=page, dv=Dv)
+        def body(lim_ref, tab_ref, *refs):
+            _fa_kernel_allheads(
+                lim_ref, *refs,
+                sm_scale=float(sm_scale), window=int(window),
+                softcap=float(softcap), quantized=quantized,
+                has_sinks=has_sinks, bs=page, dv=Dv)
+
+        dims = ("parallel", "parallel", "arbitrary")
+    else:
+        grid = (B, Hkv, Rp // br, MP)
+
+        def kv_map(b, h, r, s, lim, tab):
+            return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+        def cp_map(b, h, r, s, lim, tab):
+            return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+        in_specs = [
+            pl.BlockSpec((1, 1, br, D), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
+            pl.BlockSpec((1, 1, page, D), kv_map),
+            pl.BlockSpec((1, 1, page, Dv), kv_map),
+            pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (b, r, 0)),
+            pl.BlockSpec((1, 1, page), cp_map),
+        ]
+        args = [q, k4, v4, rp3, pos3]
+        if quantized:
+            in_specs.append(pl.BlockSpec((1, 1, 1, page), kv_map))
+            in_specs.append(pl.BlockSpec((1, 1, 1, page), kv_map))
+            args.append(k_scale4)
+            args.append(v_scale4)
+        if has_sinks:
+            in_specs.append(
+                pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (h, r, 0)))
+            args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, br, Dv), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((br, LANES), jnp.float32),
+                pltpu.VMEM((br, LANES), jnp.float32),
+                pltpu.VMEM((br, Dv), jnp.float32),
+            ],
+        )
+
+        def body(lim_ref, tab_ref, *refs):
+            _fa_kernel(lim_ref, *refs,
+                       sm_scale=float(sm_scale), window=int(window),
+                       softcap=float(softcap), quantized=quantized,
+                       has_sinks=has_sinks, bs=page, dv=Dv)
+
+        dims = ("parallel", "parallel", "parallel", "arbitrary")
 
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, Dv), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=dims),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * Rp * MP * page * (D + Dv),
             bytes_accessed=(

@@ -98,14 +98,15 @@ def ep_moe(
         ok = rank < cap  # beyond-capacity pairs dropped
 
         x_pairs = x_l[jnp.arange(m) // k]  # [m, E]
-        send_x = jnp.zeros((p, cap, emb), x_l.dtype).at[
-            dest, jnp.where(ok, rank, cap - 1)].set(
-            jnp.where(ok[:, None], x_pairs, 0))
-        send_e = jnp.full((p, cap), 0, jnp.int32).at[
-            dest, jnp.where(ok, rank, cap - 1)].set(
-            jnp.where(ok, e_flat % e_local, 0))
-        send_v = jnp.zeros((p, cap), bool).at[
-            dest, jnp.where(ok, rank, cap - 1)].set(ok)
+        # dropped pairs scatter into a trash slot (index cap) so their
+        # duplicate writes can never clobber a kept pair at rank cap-1
+        slot = jnp.where(ok, rank, cap)
+        send_x = jnp.zeros((p, cap + 1, emb), x_l.dtype).at[
+            dest, slot].set(x_pairs)[:, :cap]
+        send_e = jnp.zeros((p, cap + 1), jnp.int32).at[
+            dest, slot].set(e_flat % e_local)[:, :cap]
+        send_v = jnp.zeros((p, cap + 1), bool).at[
+            dest, slot].set(ok)[:, :cap]
 
         # ---- all-to-all: pairs travel to their expert's owner ----
         recv_x = jax.lax.all_to_all(send_x, axis, 0, 0, tiled=True)

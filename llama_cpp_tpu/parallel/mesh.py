@@ -128,3 +128,49 @@ def shard_kv(kv, mesh: Mesh):
         k_scale=None if kv.k_scale is None else jax.device_put(kv.k_scale, sc_spec),
         v_scale=None if kv.v_scale is None else jax.device_put(kv.v_scale, sc_spec),
     )
+
+
+def shard_paged_kv(kv, mesh: Mesh):
+    """Paged pool sharding: KV heads over tp (GQA co-location — the paged
+    flash kernel then reads only local heads); the pool's page axis is shared
+    by every sequence, so it stays unsharded. pos/table are small int32
+    metadata, replicated."""
+    from dataclasses import replace as _rp
+
+    tp = mesh.shape.get("tp", 1)
+    head_ax = "tp" if kv.k.shape[1] % max(tp, 1) == 0 else None
+    spec = NamedSharding(mesh, P(None, head_ax, None, None))
+    sc_spec = NamedSharding(mesh, P(None, head_ax, None))
+    rep = NamedSharding(mesh, P())
+    return _rp(
+        kv,
+        k=jax.device_put(kv.k, spec),
+        v=jax.device_put(kv.v, spec),
+        pos=jax.device_put(kv.pos, rep),
+        table=jax.device_put(kv.table, rep),
+        k_scale=None if kv.k_scale is None else jax.device_put(kv.k_scale, sc_spec),
+        v_scale=None if kv.v_scale is None else jax.device_put(kv.v_scale, sc_spec),
+    )
+
+
+def shard_memory(kv, mesh: Mesh):
+    """Dispatch over the memory classes (Context._make_memory results)."""
+    from ..runtime.kv_cache import KVCache
+    from ..runtime.paged_kv import PagedKVCache
+
+    if isinstance(kv, PagedKVCache):
+        return shard_paged_kv(kv, mesh)
+    if isinstance(kv, KVCache):
+        return shard_kv(kv, mesh)
+    if hasattr(kv, "full") and hasattr(kv, "swa"):  # ISWACache
+        from dataclasses import replace as _rp
+
+        return _rp(kv, full=shard_memory(kv.full, mesh),
+                   swa=shard_memory(kv.swa, mesh))
+    if hasattr(kv, "kv") and hasattr(kv, "idx"):  # DSAMemory
+        from dataclasses import replace as _rp
+
+        return _rp(kv, kv=shard_memory(kv.kv, mesh),
+                   idx=shard_memory(kv.idx, mesh))
+    # recurrent/hybrid states: replicate (tiny vs KV)
+    return jax.device_put(kv, NamedSharding(mesh, P()))

@@ -61,6 +61,9 @@ class Context:
         quantized_kv: bool = False,
         paged: bool | None = None,
         kv_total: int | None = None,
+        mesh=None,
+        ep: bool = False,
+        ep_capacity: float = 2.0,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -104,6 +107,19 @@ class Context:
             n_pages = -(-pool_tokens // self.page) + 1  # + trash page
             self.alloc = PageAllocator(n_seqs, n_pages, max_pages, self.page)
         self.kv = self._make_memory()
+        # multi-chip serving: shard weights + memory over the mesh and (for
+        # MoE) record the expert-parallel plan consulted at trace time by
+        # moe_block. One plan per process — the analog of the reference's
+        # global device prep (src/llama.cpp:149-230).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_memory, shard_params
+            from ..parallel.state import set_plan
+
+            model.params = shard_params(model.params, mesh)
+            self.kv = shard_memory(self.kv, mesh)
+            if ep:
+                set_plan(mesh=mesh, ep_axis="tp", capacity_factor=ep_capacity)
         self.trash_slot = self.n_slots - 1
         self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths
         self.perf = PerfCounters()
@@ -114,6 +130,10 @@ class Context:
             # non-power-of-two ubatch: the largest bucket must still hold it
             self.prefill_buckets.append(n_ubatch)
         self._steps: dict[int, Callable] = {}
+        # EAGLE3 target-feature capture (llama_get_embeddings_layer_inp
+        # analog): layer ids whose INPUT hidden states decode_aux returns
+        self.aux_layers: tuple[int, ...] = ()
+        self._aux_steps: dict[int, Callable] = {}
 
     # ------------------------------------------------------------------
     def _make_memory(self, n_seqs: int | None = None, n_slots: int | None = None,
@@ -244,6 +264,46 @@ class Context:
         self._steps[shape] = step
         return step
 
+    def set_aux_capture(self, layer_ids) -> None:
+        """Arm decode_aux: capture the INPUT hidden state of each named
+        layer (id == n_layers -> pre-output-norm row), concatenated along
+        the feature axis — the reference's layer_inp/nextn extraction that
+        feeds EAGLE3 (common/speculative.cpp:604-618)."""
+        self.aux_layers = tuple(int(i) for i in layer_ids)
+        self._aux_steps = {}
+
+    def _aux_step_fn(self, shape: tuple[int, int]) -> Callable:
+        fn = self._aux_steps.get(shape)
+        if fn is not None:
+            self.perf.n_reused_graphs += 1
+            return fn
+        assert not self.enc_dec, "aux capture targets decoder-only models"
+        cfg, fwd, aux_ids = self.cfg, self._fwd, self.aux_layers
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step(params, tokens, kv, seq_idx, slots, positions, output_rows):
+            from ..models import transformer as _tr
+
+            feats: dict[int, jnp.ndarray] = {}
+
+            def tapfn(il, key, xx):
+                if key == "l_in" and il in aux_ids:
+                    feats[il] = xx
+
+            _tr.set_activation_tap(tapfn)
+            try:
+                inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
+                                    positions=positions)
+                logits, kv2 = fwd(params, cfg, tokens, inputs, kv, output_rows)
+            finally:
+                _tr.set_activation_tap(None)
+            f = jnp.concatenate(
+                [feats[i].astype(jnp.float32) for i in aux_ids], axis=-1)
+            return logits, kv2, f
+
+        self._aux_steps[shape] = step
+        return step
+
     # ------------------------------------------------------------------
     def _ensure_pages(self, seq_idx, positions):
         """Host-side page allocation before a decode dispatch (find_slot
@@ -278,9 +338,11 @@ class Context:
         seq_idx: np.ndarray,  # [B]
         positions: np.ndarray,  # [B, T]
         output_rows: np.ndarray,  # [M] flat indices into B*T
+        aux: bool = False,  # also return captured layer-input features
     ) -> np.ndarray:
         """Low-level ubatch decode -> logits [M, vocab]. Slots = positions
-        (identity layout; context-shift remaps later)."""
+        (identity layout; context-shift remaps later). With aux=True returns
+        (logits, feats [B, T, n_aux*n_embd]) for EAGLE3 drafting."""
         tokens = np.atleast_2d(np.asarray(tokens))
         positions = np.atleast_2d(np.asarray(positions))
         seq_idx = np.asarray(seq_idx).reshape(-1)
@@ -329,6 +391,14 @@ class Context:
             extra_args = (jnp.asarray(cross), jnp.asarray(cross_pos))
             shape_key = (Bb, Tb, ne_b)
         self._ensure_pages(sidx[:B], pos[:B])
+        if aux:
+            step = self._aux_step_fn(shape_key)
+            logits, self.kv, feats = step(
+                self.model.params, jnp.asarray(toks), self.kv,
+                jnp.asarray(sidx), jnp.asarray(slots), jnp.asarray(pos),
+                jnp.asarray(out_rows),
+            )
+            return np.asarray(logits[:m]), feats[:B, :T]
         step = self._step_fn(shape_key)
         logits, self.kv = step(
             self.model.params,

@@ -103,7 +103,26 @@ def speculative_generate(
         sampler = SamplerChain.from_params(SamplingParams(temp=0.0))
     vocab = ctx.model.tokenizer.vocab if ctx.model.tokenizer else None
 
-    logits = ctx.prefill(prompt, seq=seq)
+    feat = bool(getattr(speculator, "needs_features", False))  # EAGLE3
+    if feat:
+        ctx.set_aux_capture(speculator.target_layers)
+        # chunked prefill with feature capture; process() per chunk keeps
+        # the draft KV in sync (cross-chunk boundary bridged internally)
+        pos0 = int(ctx.seq_len[seq])
+        assert pos0 == 0, "EAGLE3 generate expects a fresh sequence"
+        logits = None
+        for off in range(0, len(prompt), ctx.n_ubatch):
+            chunk = prompt[off: off + ctx.n_ubatch]
+            positions = np.arange(off, off + len(chunk))
+            logits, feats = ctx.decode(
+                np.asarray(chunk)[None, :], np.asarray([seq]),
+                positions[None, :], np.asarray([len(chunk) - 1]), aux=True)
+            speculator.process(chunk, feats[0], off)
+        ctx.seq_len[seq] = len(prompt)
+        ctx.perf.n_prefill += len(prompt)
+        logits = logits[0]
+    else:
+        logits = ctx.prefill(prompt, seq=seq)
     cur = sampler.sample(logits)
     out = [cur]
     if stream:
@@ -125,12 +144,18 @@ def speculative_generate(
         toks = [cur] + drafted
         pos0 = len(all_toks) - 1
         positions = np.arange(pos0, pos0 + len(toks))
-        logits_all = ctx.decode(
-            np.asarray(toks)[None, :],
-            np.asarray([seq]),
-            positions[None, :],
-            np.arange(len(toks)),
-        )
+        vfeats = None
+        if feat:
+            logits_all, vfeats = ctx.decode(
+                np.asarray(toks)[None, :], np.asarray([seq]),
+                positions[None, :], np.arange(len(toks)), aux=True)
+        else:
+            logits_all = ctx.decode(
+                np.asarray(toks)[None, :],
+                np.asarray([seq]),
+                positions[None, :],
+                np.arange(len(toks)),
+            )
         ctx.perf.n_decode += len(toks)
         stats["n_steps"] += 1
         stats["n_draft"] += len(drafted)
@@ -159,6 +184,13 @@ def speculative_generate(
             ctx.seq_rm(seq, p0=pos0 + n_acc + 1)
         ctx.seq_len[seq] = pos0 + n_acc + 1
         all_toks.extend(drafted[:n_acc])
+
+        if feat and nxt is not None:
+            # feed the accepted rows' features back (the reference re-runs
+            # process() on every verify batch); the trailing corrected token
+            # completes pairs up to the new deferred boundary
+            speculator.process(
+                toks[: n_acc + 1] + [nxt], vfeats[0][: n_acc + 1], pos0)
 
         if nxt is None:  # stopped inside the accept loop (EOG / budget)
             break

@@ -618,9 +618,14 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
         server-context.cpp:3001; draft model shares one context with one
         draft sequence per target slot)."""
         if draft_model:
+            dmodel = load_model(draft_model)
+            if dmodel.cfg.arch == "eagle3":
+                from ..models.eagle3 import Eagle3Speculator
+
+                return lambda i: Eagle3Speculator(
+                    dmodel, ctx.model, n_ctx=ctx.n_ctx)
             from ..runtime.speculative import DraftModelSpeculator
 
-            dmodel = load_model(draft_model)
             dctx = Context(dmodel, n_ctx=ctx.n_ctx, n_seqs=n_seqs)
             return lambda i: DraftModelSpeculator(dctx, seq=i)
         if spec_mode == "ngram":

@@ -148,6 +148,10 @@ class Scheduler:
             slot.speculator = self.spec_factory(slot.idx)
             if slot.speculator is not None and hasattr(slot.speculator, "reset"):
                 slot.speculator.reset()
+            if getattr(slot.speculator, "needs_features", False):
+                # EAGLE3: arm target layer-input capture once per context
+                if not self.ctx.aux_layers:
+                    self.ctx.set_aux_capture(slot.speculator.target_layers)
         if task.grammar and tok is not None:
             try:
                 slot.grammar = GrammarSampler(
@@ -296,7 +300,8 @@ class Scheduler:
             chunk = remaining[: self.ctx.n_ubatch]
             is_last = len(chunk) == len(remaining)
             try:
-                logits = self._prefill_chunk(slot.idx, chunk, slot.prompt_pos)
+                logits = self._prefill_chunk(slot.idx, chunk, slot.prompt_pos,
+                                             slot=slot)
             except KVCacheFull:
                 # pool over-committed (reference FAILED_PREPARE): release
                 # this slot's pages; retry once other slots free capacity,
@@ -402,8 +407,10 @@ class Scheduler:
                 cap = s.task.max_tokens - len(s.generated) - 1
                 d = d[: max(0, min(len(d), room, cap))]
             drafts.append(d)
+        featured = any(getattr(s.speculator, "needs_features", False)
+                       for s in gen)
         T = 1 + max((len(d) for d in drafts), default=0)
-        if T == 1:
+        if T == 1 and not featured:
             return False
         B = len(gen)
         Bb = 1
@@ -418,8 +425,15 @@ class Scheduler:
             toks[i, : len(row)] = row
             pos[i, : len(row)] = np.arange(p0, p0 + len(row))
             seqs[i] = s.idx
+        feats = None
         try:
-            logits = ctx.decode(toks, seqs, pos, np.arange(Bb * T))
+            if featured:
+                # EAGLE3: one batched verify decode also captures every
+                # row's target features for the speculators' process()
+                logits, feats = ctx.decode(toks, seqs, pos,
+                                           np.arange(Bb * T), aux=True)
+            else:
+                logits = ctx.decode(toks, seqs, pos, np.arange(Bb * T))
         except KVCacheFull:
             self._reclaim_victim(gen)
             return True
@@ -450,6 +464,13 @@ class Scheduler:
             s.cache_tokens.extend(d[:n_acc])
             self.metrics["draft_tokens_accepted"] += n_acc
 
+            if (feats is not None
+                    and getattr(s.speculator, "needs_features", False)):
+                # accepted rows' features + the corrective token complete
+                # the draft's (token[P+1], g_P) pairs up to the boundary
+                row = [int(toks[i, 0])] + d[:n_acc] + [int(emit[n_acc])]
+                s.speculator.process(row, feats[i, : n_acc + 1], p0)
+
             for t in emit:
                 self._process_token(s, int(t))
                 if s.state != SlotState.GENERATING:
@@ -465,14 +486,23 @@ class Scheduler:
             slot.grammar.accept(token)
         return token
 
-    def _prefill_chunk(self, seq: int, chunk: list[int], pos0: int):
+    def _prefill_chunk(self, seq: int, chunk: list[int], pos0: int,
+                       slot: Slot | None = None):
         positions = np.arange(pos0, pos0 + len(chunk))
-        logits = self.ctx.decode(
-            np.asarray(chunk)[None, :],
-            np.asarray([seq]),
-            positions[None, :],
-            np.asarray([len(chunk) - 1]),
-        )
+        featured = (slot is not None and
+                    getattr(slot.speculator, "needs_features", False))
+        if featured:
+            logits, feats = self.ctx.decode(
+                np.asarray(chunk)[None, :], np.asarray([seq]),
+                positions[None, :], np.asarray([len(chunk) - 1]), aux=True)
+            slot.speculator.process(chunk, feats[0], pos0)
+        else:
+            logits = self.ctx.decode(
+                np.asarray(chunk)[None, :],
+                np.asarray([seq]),
+                positions[None, :],
+                np.asarray([len(chunk) - 1]),
+            )
         self.ctx.seq_len[seq] = pos0 + len(chunk)
         return logits[0]
 

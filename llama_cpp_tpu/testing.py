@@ -860,3 +860,72 @@ def make_tiny_wavtokenizer_gguf(path: str, n_codes: int = 64, n_embd: int = 32,
     emit("output.bias", n_out)
     w.write(path)
     return path
+
+
+def make_tiny_eagle3_gguf(
+    path: str,
+    target_layers=(0, 1, 2),
+    n_embd_tgt: int = 64,
+    n_embd: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    n_ff: int = 128,
+    vocab_size: int = 300,
+    seed: int = 11,
+    own_head: bool = True,
+    embd_vocab: int | None = None,
+) -> str:
+    """Random-weight EAGLE3 draft GGUF (reference src/models/eagle3.cpp
+    tensor inventory): fc fusion over 3 target layers + ONE decoder layer
+    whose q/k/v take 2*n_embd inputs. vocab_size is the DRAFT (output)
+    vocab; embd_vocab (default: same) sizes token_embd, which embeds
+    TARGET-vocab ids (reference eagle3.cpp:72-77)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "eagle3")
+    w.add(Keys.General.NAME, "tiny-eagle3")
+    w.add("eagle3.block_count", np.uint32(1))
+    w.add("eagle3.context_length", np.uint32(256))
+    w.add("eagle3.embedding_length", np.uint32(n_embd))
+    w.add("eagle3.feed_forward_length", np.uint32(n_ff))
+    w.add("eagle3.attention.head_count", np.uint32(n_heads))
+    w.add("eagle3.attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add("eagle3.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("eagle3.rope.freq_base", 10000.0)
+    w.add("eagle3.rope.dimension_count", np.uint32(head_dim))
+    w.add("eagle3.vocab_size", np.uint32(vocab_size))
+    w.add("eagle3.target_layers",
+          np.asarray(target_layers, dtype=np.int32))
+    w.add("eagle3.target_hidden_size", np.uint32(n_embd_tgt))
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                     GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    n_inp = len(target_layers) * n_embd_tgt
+    kv_dim = n_kv_heads * head_dim
+    emit("fc.weight", rand(n_embd, n_inp))
+    b = "blk.0."
+    emit(b + "attn_norm.weight", np.ones(n_embd))
+    emit(b + "attn_norm_2.weight", np.ones(n_embd))
+    emit(b + "attn_q.weight", rand(n_embd, 2 * n_embd))
+    emit(b + "attn_k.weight", rand(kv_dim, 2 * n_embd))
+    emit(b + "attn_v.weight", rand(kv_dim, 2 * n_embd))
+    emit(b + "attn_output.weight", rand(n_embd, n_embd))
+    emit(b + "ffn_norm.weight", np.ones(n_embd))
+    emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+    emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+    emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+    emit("output_norm.weight", np.ones(n_embd))
+    if own_head:
+        emit("token_embd.weight",
+             rand(embd_vocab or vocab_size, n_embd, scale=0.02))
+        emit("output.weight", rand(vocab_size, n_embd))
+    w.write(path)
+    return path

@@ -97,10 +97,16 @@ def main(argv=None):
 
     speculator = None
     if args.model_draft:
-        from ..runtime.speculative import DraftModelSpeculator
-
         dmodel = load_model(args.model_draft, prefer_quant=not args.no_quant)
-        speculator = DraftModelSpeculator(Context(dmodel, n_ctx=args.ctx_size))
+        if dmodel.cfg.arch == "eagle3":
+            from ..models.eagle3 import Eagle3Speculator
+
+            speculator = Eagle3Speculator(dmodel, model, n_ctx=args.ctx_size)
+        else:
+            from ..runtime.speculative import DraftModelSpeculator
+
+            speculator = DraftModelSpeculator(
+                Context(dmodel, n_ctx=args.ctx_size))
     elif args.spec_ngram:
         from ..runtime.speculative import NgramSpeculator
 

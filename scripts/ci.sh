@@ -1,7 +1,8 @@
 #!/usr/bin/env bash
 # Fast CI tier (VERDICT r1 item 10): core unit tests + kernel conformance in
-# interpret mode, guaranteed CPU (no chip needed), target < 5 minutes.
-# Slow tiers: `pytest tests/` (adds HF torch oracles, ~15 min) and
+# interpret mode, guaranteed CPU (no chip needed), ~11 min on a 1-vCPU box
+# (faster with real cores — interpret-mode Pallas dominates).
+# Slow tiers: `pytest tests/` (adds HF torch oracles, ~25 min) and
 # `python scripts/conformance.py` on a TPU host (on-chip sweep).
 set -euo pipefail
 cd "$(dirname "$0")/.."

@@ -17,17 +17,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(r):
+    """Force completion: block_until_ready is a NO-OP on the axon relay
+    backend — only a host read truly waits for the device."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timeit(fn, *args, n=5, warm=2):
     for _ in range(warm):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
         r = fn(*args)
-        jax.block_until_ready(r)
+        _sync(r)
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+_FLOOR = None
+
+
+def floor_s():
+    """Dispatch + host-readback round-trip floor, subtracted from chains."""
+    global _FLOOR
+    if _FLOOR is None:
+        x = jnp.ones((8, 128), jnp.float32)
+
+        @jax.jit
+        def null(x):
+            return x * 1.0000001
+
+        _FLOOR = timeit(null, x, n=10)
+    return _FLOOR
 
 
 def log(msg):
@@ -54,9 +78,16 @@ def main():
     ctx = Context(model, n_ctx=4096, n_seqs=1, n_ubatch=512,
                   quantized_kv=True, kv_total=8192)
     rng = np.random.default_rng(0)
-    log("prefill 2048 ...")
-    ctx.prefill(list(rng.integers(10, 100000, 2048)), seq=0)
-    log("prefill done")
+    if stages & {"full", "attn"}:
+        log("prefill 2048 ...")
+        ctx.prefill(list(rng.integers(10, 100000, 2048)), seq=0)
+        log("prefill done")
+    else:
+        # page-table state only (kv writes at pos 2048 need live pages)
+        ctx.alloc.ensure(0, 2050)
+        ctx._sync_table()
+        ctx.seq_len[0] = 2048
+    log(f"dispatch+readback floor: {floor_s()*1e3:.2f} ms")
     layers = model.params["layers"]
     keys = [k for k in ("attn_qkv", "attn_output", "ffn_gateup", "ffn_down")
             if k in layers[0]]
@@ -68,14 +99,14 @@ def main():
         log("compiling full gen chunk ...")
         kv, toks = fn(model.params, ctx.kv, jnp.int32(1), jnp.int32(2048),
                       jnp.int32(0), key)
-        jax.block_until_ready(toks)
+        _sync(toks)
         log("compiled")
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             kv, toks = fn(model.params, kv, jnp.int32(2), jnp.int32(2080),
                           jnp.int32(0), key)
-            jax.block_until_ready(toks)
+            _sync(toks)
             best = min(best, time.perf_counter() - t0)
         ctx.kv = kv
         full_ms = best / chunk * 1e3
@@ -85,7 +116,7 @@ def main():
         log("compiling qmm chain ...")
 
         @jax.jit
-        def qmm_chain(x):
+        def qmm_chain(layers, x):
             acc = jnp.float32(0)
             for lw in layers:
                 for k in keys:
@@ -94,18 +125,17 @@ def main():
             return acc
 
         x = jnp.ones((1, cfg.n_embd), jnp.bfloat16)
-        t = timeit(qmm_chain, x)
+        t = timeit(qmm_chain, layers, x) - floor_s()
         log(f"qmm chain (4x32 GEMMs): {t*1e3:.2f} ms "
             f"({t*1e3/32*1e3:.0f} us/layer)")
 
+        @jax.jit
+        def one(x, w):
+            return matmul(x, w)
+
         for k in keys:
             w = layers[0][k]
-
-            @jax.jit
-            def one(x, w=w):
-                return matmul(x, w)
-
-            t1 = timeit(one, x, n=10)
+            t1 = timeit(one, x, w, n=10)
             nb = sum(getattr(a, "nbytes", 0) for a in
                      jax.tree_util.tree_leaves(w))
             log(f"  {k}: {t1*1e6:.0f} us, {nb/1e6:.1f} MB -> "
@@ -115,23 +145,22 @@ def main():
         out_w = model.params.get("output", model.params["token_embd"])
 
         @jax.jit
-        def head(x):
+        def head(x, out_w):
             return jnp.argmax(matmul(x, out_w, dtype=jnp.float32))
 
         xh = jnp.ones((1, cfg.n_embd), jnp.bfloat16)
-        t = timeit(head, xh, n=10)
+        t = timeit(head, xh, out_w, n=10)
         nb = sum(getattr(a, "nbytes", 0) for a in jax.tree_util.tree_leaves(out_w))
         log(f"lm_head+argmax: {t*1e3:.2f} ms ({nb/1e6:.0f} MB -> "
             f"{nb/t/1e9:.0f} GB/s)")
 
     if "attn" in stages:
         from llama_cpp_tpu.ops.pallas.flash_attn import mha_flash_paged
-        kvc = ctx.kv
         seq_idx = jnp.zeros(1, jnp.int32)
         positions = jnp.full((1, 1), 2048, jnp.int32)
 
         @jax.jit
-        def attn_chain(q):
+        def attn_chain(kvc, q):
             acc = jnp.float32(0)
             for il in range(cfg.n_layers):
                 o = mha_flash_paged(q + acc * 0, kvc, il, seq_idx, positions,
@@ -140,7 +169,7 @@ def main():
             return acc
 
         q = jnp.ones((1, 1, cfg.n_heads, cfg.head_dim_k), jnp.bfloat16)
-        t = timeit(attn_chain, q)
+        t = timeit(attn_chain, ctx.kv, q) - floor_s()
         log(f"attn chain (32x paged flash @d2048): {t*1e3:.2f} ms "
             f"({t/32*1e6:.0f} us/layer)")
 
@@ -156,14 +185,14 @@ def main():
         k1 = jnp.ones((1, cfg.n_kv_heads, cfg.head_dim_k), jnp.bfloat16)
         v1 = jnp.ones((1, cfg.n_kv_heads, cfg.head_dim_v), jnp.bfloat16)
         kv2 = kv_write_chain(ctx.kv, k1, v1)
-        jax.block_until_ready(kv2)
+        _sync(kv2.pos)
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
             kv2 = kv_write_chain(kv2, k1, v1)
-            jax.block_until_ready(kv2)
+            _sync(kv2.pos)
             best = min(best, time.perf_counter() - t0)
-        log(f"kv write chain (32x): {best*1e3:.2f} ms")
+        log(f"kv write chain (32x): {(best - floor_s())*1e3:.2f} ms")
 
     if "glue" in stages:
         from llama_cpp_tpu.ops.basic import rms_norm
