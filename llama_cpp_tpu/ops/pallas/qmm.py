@@ -222,6 +222,196 @@ def qmm4_planes(
     )(*args)
 
 
+def _qmm_prefill_kernel(x_ref, q_ref, sc_ref, out_ref, wbuf, *, group: int,
+                        tk: int):
+    """Dequant-hoisted prefill variant: grid (O/to, N/tn, K/tk) keeps the
+    N-loop INSIDE each column block, so the weight tile is dequantized once
+    into VMEM scratch (at i==0) and re-used by every N tile — the VPU
+    dequant cost amortizes over N/tn instead of being paid per N tile,
+    which is what capped pp-shape MFU at ~25% (VERDICT r2 item 2; the
+    reference's mmq.cu plays the same role for CUDA prefill)."""
+    i = pl.program_id(1)
+    kt = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        w = q_ref[:, :].astype(jnp.float32) * _expand_scales(sc_ref[:, :], group)
+        wbuf[pl.ds(kt * tk, tk), :] = w.astype(jnp.bfloat16)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += jnp.dot(
+        x_ref[:, :].astype(jnp.bfloat16),
+        wbuf[pl.ds(kt * tk, tk), :],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _qmm_prefill_min_kernel(x_ref, q_ref, sc_ref, mn_ref, out_ref, wbuf, *,
+                            group: int, tk: int):
+    _qmm_prefill_kernel(x_ref, q_ref, sc_ref, out_ref, wbuf, group=group,
+                        tk=tk)
+    xf = x_ref[:, :].astype(jnp.float32)
+    xg = jnp.dot(xf, _group_sum_matrix(xf.shape[1], group),
+                 preferred_element_type=jnp.float32)
+    out_ref[:, :] += jnp.dot(xg, mn_ref[:, :], preferred_element_type=jnp.float32)
+
+
+def _qmm4_prefill_kernel(xe_ref, xo_ref, q_ref, sc_ref, out_ref, wlo, whi, *,
+                         group: int, tk: int, dot_dtype=jnp.bfloat16):
+    """Nibble-packed prefill variant: unpack lo/hi planes once per column
+    block into two bf16 scratch halves (same even/odd K split as
+    _qmm4_kernel, so results are bit-identical to the decode kernel)."""
+    i = pl.program_id(1)
+    kt = pl.program_id(2)
+    th = tk // 2
+
+    @pl.when(i == 0)
+    def _():
+        q32 = q_ref[:, :].astype(jnp.int32)
+        sch = _expand_scales(sc_ref[:, :], group // 2)
+        wlo[pl.ds(kt * th, th), :] = (
+            (q32 & 0xF).astype(jnp.float32) * sch).astype(wlo.dtype)
+        whi[pl.ds(kt * th, th), :] = (
+            ((q32 >> 4) & 0xF).astype(jnp.float32) * sch).astype(whi.dtype)
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += jnp.dot(
+        xe_ref[:, :].astype(dot_dtype),
+        wlo[pl.ds(kt * th, th), :],
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:, :] += jnp.dot(
+        xo_ref[:, :].astype(dot_dtype),
+        whi[pl.ds(kt * th, th), :],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _qmm4_prefill_min_kernel(xe_ref, xo_ref, q_ref, sc_ref, mn_ref, out_ref,
+                             wlo, whi, *, group: int, tk: int,
+                             dot_dtype=jnp.bfloat16):
+    _qmm4_prefill_kernel(xe_ref, xo_ref, q_ref, sc_ref, out_ref, wlo, whi,
+                         group=group, tk=tk, dot_dtype=dot_dtype)
+    xs = xe_ref[:, :].astype(jnp.float32) + xo_ref[:, :].astype(jnp.float32)
+    xg = jnp.dot(xs, _group_sum_matrix(xs.shape[1], group // 2),
+                 preferred_element_type=jnp.float32)
+    out_ref[:, :] += jnp.dot(xg, mn_ref[:, :], preferred_element_type=jnp.float32)
+
+
+# VMEM budget for the dequantized column-block scratch (v5e VMEM ~= 16 MiB;
+# leave room for double-buffered x/q tiles and the f32 out tile)
+_PREFILL_SCRATCH_BYTES = 8 * 1024 * 1024
+# fused kernels see N tiles of at least this many rows before the
+# dequant-hoisted grid pays off (several i steps amortize one dequant)
+PREFILL_MIN_N = 512
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "interpret", "tile_n", "tile_o", "tile_k")
+)
+def qmm_planes_prefill(
+    x: jnp.ndarray,  # [N, K] (N multiple of tile_n)
+    qT: jnp.ndarray,  # [K, O] int8
+    scalesT: jnp.ndarray,  # [K//group, O] f32
+    minsT: jnp.ndarray | None = None,
+    *,
+    group: int,
+    interpret: bool = False,
+    tile_n: int = 0,
+    tile_o: int = 0,
+    tile_k: int = 0,
+) -> jnp.ndarray:
+    N, K = x.shape
+    O = qT.shape[1]
+    tn = tile_n or _pick_tile(N, (512, 256, 128, 64, 32, 16, 8))
+    to = tile_o or _pick_tile(O, (256, 128, 512))
+    tk = tile_k or _pick_tile(K, (1024, 512, 2048, 256))
+    grid = (O // to, N // tn, K // tk)
+    kern = _qmm_prefill_min_kernel if minsT is not None else _qmm_prefill_kernel
+    in_specs = [
+        pl.BlockSpec((tn, tk), lambda j, i, k: (i, k)),
+        pl.BlockSpec((tk, to), lambda j, i, k: (k, j)),
+        pl.BlockSpec((tk // group, to), lambda j, i, k: (k, j)),
+    ]
+    args = [x, qT, scalesT]
+    if minsT is not None:
+        in_specs.append(pl.BlockSpec((tk // group, to), lambda j, i, k: (k, j)))
+        args.append(minsT)
+    return pl.pallas_call(
+        functools.partial(kern, group=group, tk=tk),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, to), lambda j, i, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K, to), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * O * K,
+            bytes_accessed=N * K * 2 + O * K + O * (K // group) * 4 + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def qmm4_planes_prefill(
+    x: jnp.ndarray,  # [N, K]
+    qp: jnp.ndarray,  # [K//2, O] nibble pairs
+    scalesT: jnp.ndarray,  # [K//group, O] f32
+    minsT: jnp.ndarray | None = None,
+    *,
+    group: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    N, K = x.shape
+    O = qp.shape[1]
+    tn = _pick_tile(N, (512, 256, 128, 64, 32, 16, 8))
+    to = _pick_tile(O, (256, 128, 512))
+    tk = _pick_tile(K, (1024, 512, 2048, 256))
+    grid = (O // to, N // tn, K // tk)
+    kern = _qmm4_prefill_min_kernel if minsT is not None else _qmm4_prefill_kernel
+    dot_dtype = jnp.float32 if interpret else jnp.bfloat16
+    xe = x[:, 0::2]
+    xo = x[:, 1::2]
+    in_specs = [
+        pl.BlockSpec((tn, tk // 2), lambda j, i, k: (i, k)),
+        pl.BlockSpec((tn, tk // 2), lambda j, i, k: (i, k)),
+        pl.BlockSpec((tk // 2, to), lambda j, i, k: (k, j)),
+        pl.BlockSpec((tk // group, to), lambda j, i, k: (k, j)),
+    ]
+    args = [xe, xo, qp, scalesT]
+    if minsT is not None:
+        in_specs.append(pl.BlockSpec((tk // group, to), lambda j, i, k: (k, j)))
+        args.append(minsT)
+    return pl.pallas_call(
+        functools.partial(kern, group=group, tk=tk, dot_dtype=dot_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, to), lambda j, i, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K // 2, to), dot_dtype),
+                        pltpu.VMEM((K // 2, to), dot_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * O * K,
+            bytes_accessed=N * K * 2 + O * K // 2 + O * (K // group) * 4 + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _qmm_id_kernel(ids_ref, x_ref, q_ref, sc_ref, out_ref, *, group: int):
     kt = pl.program_id(2)
 
@@ -329,7 +519,13 @@ def qmm(x: jnp.ndarray, qt, interpret: bool = False) -> jnp.ndarray:
     Np = max(_round_up(N, 8), 8)
     if Np != N:
         x2 = jnp.pad(x2, ((0, Np - N), (0, 0)))
-    fn = qmm4_planes if qt.packed else qmm_planes
+    O = qt.q.shape[1]
+    to = _pick_tile(O, (256, 128, 512))
+    # scratch = K*to bf16 either way (one [K,to] buffer, or two [K/2,to])
+    if Np >= PREFILL_MIN_N and K * to * 2 <= _PREFILL_SCRATCH_BYTES:
+        fn = qmm4_planes_prefill if qt.packed else qmm_planes_prefill
+    else:
+        fn = qmm4_planes if qt.packed else qmm_planes
     out = fn(
         x2,
         qt.q,

@@ -40,7 +40,8 @@ def log(msg):
 
 
 def main():
-    from llama_cpp_tpu.ops.pallas.qmm import qmm_planes, qmm4_planes
+    from llama_cpp_tpu.ops.pallas.qmm import (
+        qmm4_planes, qmm4_planes_prefill, qmm_planes, qmm_planes_prefill)
 
     rng = np.random.default_rng(0)
     # llama-8B ffn_gateup shape: K=4096, O=28672 (gate+up fused)
@@ -61,8 +62,16 @@ def main():
         log(f"N={N} qmm_planes int8: {t*1e3:.2f} ms = {fl/t/1e12:.1f} TF/s "
             f"({fl/t/peak*100:.0f}% MFU)")
 
+        t = timeit(lambda x: qmm_planes_prefill(x, qT, sc, group=group), x)
+        log(f"N={N} qmm_prefill int8: {t*1e3:.2f} ms = {fl/t/1e12:.1f} TF/s "
+            f"({fl/t/peak*100:.0f}% MFU)")
+
         t = timeit(lambda x: qmm4_planes(x, qp, sc4, group=group), x)
         log(f"N={N} qmm4_planes int4: {t*1e3:.2f} ms = {fl/t/1e12:.1f} TF/s "
+            f"({fl/t/peak*100:.0f}% MFU)")
+
+        t = timeit(lambda x: qmm4_planes_prefill(x, qp, sc4, group=group), x)
+        log(f"N={N} qmm4_prefill int4: {t*1e3:.2f} ms = {fl/t/1e12:.1f} TF/s "
             f"({fl/t/peak*100:.0f}% MFU)")
 
         bf = jax.jit(lambda x, w: jnp.dot(x, w,

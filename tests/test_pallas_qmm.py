@@ -140,3 +140,44 @@ def test_load_weight_packs_q4():
         np.testing.assert_allclose(
             np.asarray(qt_p.dequant(jnp.float32)),
             np.asarray(qt_i.dequant(jnp.float32)), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "qtype,O,K",
+    [
+        (GGMLType.Q8_0, 256, 512),
+        (GGMLType.Q4_K, 256, 256),   # mins; nibble-packed at load
+        (GGMLType.Q6_K, 256, 512),   # group 16
+    ],
+    ids=lambda v: str(v),
+)
+def test_qmm_prefill_matches_decode_kernel(qtype, O, K):
+    """Dequant-hoisted prefill grid (qmm_planes_prefill / qmm4_planes_prefill)
+    is numerically identical to the decode kernel: same dequant math, only
+    the loop order + scratch reuse differ. N=512 engages the prefill path
+    via qmm()'s dispatch threshold."""
+    from llama_cpp_tpu.ops.pallas import qmm as qmm_mod
+
+    qt = make_qt(qtype, O, K)
+    rng = np.random.default_rng(7)
+    N = qmm_mod.PREFILL_MIN_N
+    x = jnp.asarray((rng.standard_normal((N, K)) * 0.5), jnp.bfloat16)
+
+    sc = qt.scales.astype(jnp.float32)
+    mn = None if qt.mins is None else qt.mins.astype(jnp.float32)
+    if qt.packed:
+        ref = qmm_mod.qmm4_planes(x, qt.q, sc, mn, group=qt.group,
+                                  interpret=True)
+        got = qmm_mod.qmm4_planes_prefill(x, qt.q, sc, mn, group=qt.group,
+                                          interpret=True)
+    else:
+        ref = qmm_mod.qmm_planes(x, qt.q, sc, mn, group=qt.group,
+                                 interpret=True)
+        got = qmm_mod.qmm_planes_prefill(x, qt.q, sc, mn, group=qt.group,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # and the public entry dispatches to the prefill variant at this N
+    full = qmm(x, qt, interpret=True)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(got),
+                               rtol=2e-3, atol=2e-3)
