@@ -370,6 +370,12 @@ def load_model(
         if progress:
             progress(n_done / total)
 
+    # nanbeige looped layers: only the physical stack carries tensors; the
+    # trailing logical slots are filled by replication below
+    n_loops = int(cfg.extra.get("n_loops", 1))
+    if n_loops > 1:
+        layers = layers[: cfg.n_layers // n_loops]
+
     # fuse per-head norm weights shape: gguf stores [head_dim]
     if cfg.extra.get("t5_encoder_only"):
         req = ()
@@ -390,6 +396,8 @@ def load_model(
         req = ("attn_norm", "attn_output")  # phi2: one norm feeds both branches
     elif cfg.norm_after:
         req = ("attn_output", "attn_post_norm", "ffn_post_norm")
+    elif cfg.extra.get("n_head_arr") is not None:
+        req = ()  # deci/openelm: per-layer head arrays allow partial blocks
     else:
         req = ("attn_norm", "attn_output", "ffn_norm")
     _SUBS = {"ffn_up": ("ffn_gateup", "ffn_up_exps")}  # acceptable stand-ins
@@ -416,6 +424,12 @@ def load_model(
     if cfg.extra.get("mla_absorb"):
         for lw in layers:
             _split_mla_kv_b(lw, cfg)
+    if n_loops > 1:
+        # nanbeige (reference nanbeige.cpp:66-70 "share physical weights
+        # across loops"): logical layer il aliases physical il % n_phys —
+        # same dict objects, no weight copies; each logical layer still owns
+        # its KV lines since caches allocate cfg.n_layers (logical) entries
+        params["layers"] = list(layers) * n_loops
     return Model(cfg, params, tokenizer, f)
 
 

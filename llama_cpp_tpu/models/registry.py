@@ -1431,3 +1431,79 @@ def _eagle3(cfg: ModelConfig, md) -> ModelConfig:
         draft_only=True,  # no standalone generate: paired with a target
     )
     return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+def _as_arr(v):
+    """GGUF per-layer int array -> tuple (handles numpy arrays/lists)."""
+    if v is None:
+        return None
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    return tuple(int(x) for x in v)
+
+
+@register("starcoder")
+def _starcoder(cfg: ModelConfig, md) -> ModelConfig:
+    """StarCoder / gpt-bigcode (reference src/models/starcoder.cpp): learned
+    absolute positions, layernorm blocks, fused biased QKV (MQA), sequential
+    gelu FFN with biases; output falls back to tok_embd."""
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, use_rms_norm=False,
+                     act="gelu", glu=False, tie_embeddings=True)
+
+
+@register("jais2")
+def _jais2(cfg: ModelConfig, md) -> ModelConfig:
+    """Jais-2 (reference src/models/jais2.cpp): layernorm blocks, separate
+    biased Q/K/V + NEOX RoPE (llama-model.cpp:2664 rope table), non-gated
+    relu^2 FFN with biases."""
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
+                     act="relu2", glu=False, tie_embeddings=True)
+
+
+@register("openelm")
+def _openelm(cfg: ModelConfig, md) -> ModelConfig:
+    """Apple OpenELM (reference src/models/openelm.cpp): per-layer head/kv
+    head/ffn arrays, fused QKV split [q|k|v] per layer, shared [head_dim]
+    q/k rmsnorm, NEOX rope, silu GLU FFN, tied output."""
+    a = cfg.arch
+    heads = _as_arr(md.get(f"{a}.attention.head_count"))
+    kvh = _as_arr(md.get(f"{a}.attention.head_count_kv"))
+    if heads is not None:
+        cfg.extra.update(n_head_arr=heads)
+    if kvh is not None:
+        cfg.extra.update(n_head_kv_arr=kvh)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     tie_embeddings=True)
+
+
+@register("deci")
+def _deci(cfg: ModelConfig, md) -> ModelConfig:
+    """DeciLM / Llama-3_1-Nemotron NAS (reference src/models/deci.cpp):
+    llama graph with per-layer head arrays where a layer may be normal
+    attention, "linear attention" (n_head>0, n_head_kv==0: out = wo@norm(x)),
+    attention-free (n_head==0: FFN only, normed by ffn_norm), or a dummy
+    identity layer (both 0)."""
+    a = cfg.arch
+    heads = _as_arr(md.get(f"{a}.attention.head_count"))
+    kvh = _as_arr(md.get(f"{a}.attention.head_count_kv"))
+    if heads is not None:
+        cfg.extra.update(n_head_arr=heads)
+    if kvh is not None:
+        cfg.extra.update(n_head_kv_arr=kvh)
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, tie_embeddings=True)
+
+
+@register("nanbeige")
+def _nanbeige(cfg: ModelConfig, md) -> ModelConfig:
+    """Nanbeige looped-layer llama (reference src/models/nanbeige.cpp): the
+    physical layer stack runs num_loops times with shared weights (each
+    logical pass keeps separate KV), re-applying output_norm at every loop
+    boundary unless skip_loop_final_norm."""
+    a = cfg.arch
+    loops = int(md.get(f"{a}.num_loops", 1))
+    cfg.extra.update(
+        n_loops=loops,
+        skip_loop_final_norm=bool(md.get(f"{a}.skip_loop_final_norm", False)),
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NORM,
+                     n_layers=cfg.n_layers * max(loops, 1))

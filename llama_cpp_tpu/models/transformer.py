@@ -121,6 +121,16 @@ def attention_block(
     B, T = x.shape[:2]
     H, Hkv = cfg.n_heads, cfg.n_kv_heads
     Dk, Dv = cfg.head_dim_k, cfg.head_dim_v
+    # per-layer head-count arrays (deci/openelm/nanbeige — reference
+    # hparams.n_head(il)/n_head_kv(il)); the KV cache is allocated with the
+    # MAX kv-head count, this layer pads writes / slices reads to its own
+    ha = cfg.extra.get("n_head_arr")
+    hka = cfg.extra.get("n_head_kv_arr")
+    if ha is not None:
+        H = int(ha[il])
+    if hka is not None:
+        Hkv = int(hka[il])
+    cache_heads = cfg.n_kv_heads  # allocation width of every KV memory class
 
     # MSA block-sparse attention (reference minimax-m3 / llama_kv_cache_msa):
     # the memory wraps a main KV cache and an indexer-key cache
@@ -207,12 +217,17 @@ def attention_block(
     # position-addressed write (SET_ROWS analog): flatten [B,T] token grid;
     # the cache derives slots (iSWA ring layers wrap positions)
     seq_flat = jnp.repeat(inputs.seq_idx, T)
+    k_wr = k.reshape(B * T, Hkv, Dk)
+    v_wr = v.reshape(B * T, Hkv, Dv)
+    if Hkv != cache_heads:  # pad this layer's rows to the cache width
+        k_wr = jnp.pad(k_wr, ((0, 0), (0, cache_heads - Hkv), (0, 0)))
+        v_wr = jnp.pad(v_wr, ((0, 0), (0, cache_heads - Hkv), (0, 0)))
     kv = kv.write_layer(
         il,
         seq_flat,
         inputs.positions.reshape(-1),
-        k.reshape(B * T, Hkv, Dk),
-        v.reshape(B * T, Hkv, Dv),
+        k_wr,
+        v_wr,
         update_pos=update_pos,
         contiguous=B == 1 and T > 1,
     )
@@ -284,7 +299,10 @@ def attention_block(
     non_causal = cfg.extra.get("non_causal", False)
     use_flash = (flash_supported(Dk, Dv, kvc.n_slots)
                  and cfg.alibi_bias == 0.0 and not non_causal
-                 and group_sel is None)
+                 and group_sel is None
+                 # kernels infer GQA grouping from cache width: layers whose
+                 # kv-head count differs from the allocation take einsum
+                 and Hkv == cache_heads)
     if use_flash and min(Dk, Dv) < 128 and rows < 16:
         use_flash = False
     if use_flash and paged:
@@ -321,6 +339,9 @@ def attention_block(
             k_all, v_all = kvc.read(li)  # [n_seqs, Hkv, slots, D]
             k_seq = seq_view(k_all)  # [B, Hkv, S, Dk]
             v_seq = seq_view(v_all)
+        if Hkv != cache_heads:  # drop this layer's pad heads
+            k_seq = k_seq[:, :Hkv]
+            v_seq = v_seq[:, :Hkv]
 
         valid = slot_pos >= 0
         causal = slot_pos[:, None, :] <= inputs.positions[:, :, None]  # [B, T, S]
@@ -1089,12 +1110,27 @@ def forward(
         # output, scaled by a per-layer scalar (layer_output_scale)
         x = rms_norm(x, None, cfg.rms_eps).astype(x.dtype)
         embd_skip = x
+    # nanbeige looped layers (reference src/models/nanbeige.cpp:20-31): the
+    # loader already replicated the physical stack n_loops times (shared
+    # weight dicts), so each LOGICAL layer has its own KV lines; phys marks
+    # the loop boundary for the inter-loop norm
+    layer_seq = params["layers"]
+    n_loops = cfg.extra.get("n_loops", 1)
+    phys = len(layer_seq) // max(n_loops, 1)
     first_attn = next(
-        (i for i, lw in enumerate(params["layers"])
+        (i for i, lw in enumerate(layer_seq)
          if "ssm_in" not in lw and "shortconv_in" not in lw), 0)
-    for il, lw in enumerate(params["layers"]):
+    ha = cfg.extra.get("n_head_arr")
+    hka = cfg.extra.get("n_head_kv_arr")
+    for il, lw in enumerate(layer_seq):
         x_in = x  # layer input (arctic MoE branch / smallthinker router)
         _tap(il, "l_in", x)  # EAGLE3 target-feature capture (layer input)
+        if ha is not None and int(ha[il]) == 0 and "ffn_up" not in lw \
+                and "ffn_gateup" not in lw and "ffn_gate_exps" not in lw:
+            # deci dummy layer (attention-free AND FFN-free: the reference
+            # graph leaves inpL untouched — deci.cpp n_head==0 + n_ff==0)
+            _tap(il, "l_out", x)
+            continue
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
@@ -1103,6 +1139,10 @@ def forward(
             # mixer-less block (nemotron-h "F" layers): the whole block is
             # one FFN on the shared norm (reference nemotron-h.cpp
             # build_ffn_layer; x = x + ffn(norm(x)))
+            if "attn_norm" not in lw and "ffn_norm" in lw:
+                # deci attention-free layer: the block norm is ffn_norm
+                # (deci.cpp n_head==0 path: ffn(build_norm(x, ffn_norm)))
+                h = norm(cfg, x, lw, "ffn_norm")
             if cfg.n_expert > 0 and "ffn_gate_exps" in lw:
                 ff = moe_block(cfg, lw, h)
                 if "ffn_up_shexp" in lw and "ffn_gate_shexp" not in lw:
@@ -1163,6 +1203,15 @@ def forward(
                                              update_pos=up)
                 kv = _replace(kv, kv=akv)
                 attn = attn + attn2.astype(attn.dtype)
+        elif (hka is not None and int(hka[il]) == 0
+              and (ha is None or int(ha[il]) > 0)
+              and "attn_q" not in lw and "attn_qkv" not in lw):
+            # deci "linear attention" (deci.cpp n_head>0, n_head_kv==0):
+            # the whole mixer is wo @ norm(x) — no heads, no KV
+            attn = matmul(h, lw["attn_output"])
+            if "attn_output_bias" in lw:
+                attn = attn + lw["attn_output_bias"]
+            attn = attn.astype(x.dtype)
         else:
             akv = kv.kv if hasattr(kv, "rs") else kv
             blk = mla_attention_block if "attn_kv_a_mqa" in lw else attention_block
@@ -1227,10 +1276,16 @@ def forward(
             x = x + params["cvec"][il].astype(x.dtype)
         _tap(il, "l_out", x)  # residual stream (cvector-generator collection)
 
+        if (n_loops > 1 and (il + 1) % phys == 0 and il + 1 < len(layer_seq)
+                and not cfg.extra.get("skip_loop_final_norm")):
+            # nanbeige inter-loop norm: output_norm re-applied at each loop
+            # boundary (nanbeige.cpp:163-170 "loop_norm")
+            x = norm(cfg, x, params, "output_norm")
+
     # pre-output-norm residual stream: "layer input" of layer n_layers (the
     # reference's embeddings_nextn row, read when an EAGLE3 target_layer id
     # equals n_layer — common/speculative.cpp:694-699)
-    _tap(len(params["layers"]), "l_in", x)
+    _tap(len(layer_seq), "l_in", x)
     B, T, E = x.shape
     x = x.reshape(B * T, E)
     if output_rows is not None:

@@ -1,0 +1,391 @@
+"""Round-3 architecture tranche. Beyond the structural-smoke tier, these
+tests carry NUMERIC checks (VERDICT r2 item 6): exact-equivalence against a
+differently-expressed model (deci-uniform == llama, nanbeige loops ==
+unrolled llama) and transcribed numpy forwards for the genuinely new math
+(deci special layers, openelm per-layer head arrays)."""
+
+import numpy as np
+import pytest
+
+from llama_cpp_tpu.gguf.constants import GGMLType, Keys
+from llama_cpp_tpu.gguf.writer import GGUFWriter
+from llama_cpp_tpu.models.loader import load_model
+from llama_cpp_tpu.runtime.context import Context
+from llama_cpp_tpu.testing import tiny_spm_vocab
+
+V, L, E, H, HKV, FF = 96, 2, 64, 4, 2, 96
+HD = E // H
+
+PROMPT = [3, 5, 9, 2, 7]
+
+
+def _writer(arch, extra_md=None, n_layers=L, heads=H, kv=HKV, n_rot=None):
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, f"tiny-{arch}")
+    P = arch + "."
+    w.add(P + "block_count", np.uint32(n_layers))
+    w.add(P + "context_length", np.uint32(256))
+    w.add(P + "embedding_length", np.uint32(E))
+    w.add(P + "feed_forward_length", np.uint32(FF))
+    if isinstance(heads, (list, tuple)):
+        w.add(P + "attention.head_count", np.asarray(heads, np.uint32))
+    else:
+        w.add(P + "attention.head_count", np.uint32(heads))
+    if isinstance(kv, (list, tuple)):
+        w.add(P + "attention.head_count_kv", np.asarray(kv, np.uint32))
+    else:
+        w.add(P + "attention.head_count_kv", np.uint32(kv))
+    w.add(P + "attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(P + "attention.layer_norm_epsilon", 1e-5)
+    w.add(P + "rope.freq_base", 10000.0)
+    w.add(P + "rope.dimension_count", np.uint32(n_rot or HD))
+    w.add(P + "vocab_size", np.uint32(V))
+    for k, v in (extra_md or {}).items():
+        w.add(P + k if not k.startswith("!") else k[1:], v)
+    vocab = tiny_spm_vocab(V)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES,
+              Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:V]
+    w.add_all(vocab)
+    return w
+
+
+def _emit_fn(seed):
+    rng = np.random.default_rng(seed)
+    store = {}
+
+    def emit(w, name, *shape, scale=None, ones=False):
+        if ones:
+            arr = np.ones(shape, np.float32)
+        else:
+            s = scale or (1.0 / np.sqrt(shape[-1]))
+            arr = (rng.standard_normal(shape) * s).astype(np.float32)
+        store[name] = arr
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                     GGMLType.F32)
+
+    return emit, store
+
+
+def _logits(path, prompt=PROMPT):
+    import jax.numpy as jnp
+
+    model = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(model, n_ctx=64, n_seqs=1)
+    return np.asarray(ctx.prefill(prompt, seq=0))
+
+
+def _run(path, n_new=4):
+    model = load_model(path, prefer_quant=False)
+    ctx = Context(model, n_ctx=64, n_seqs=1)
+    out = ctx.generate(PROMPT, max_new_tokens=n_new)
+    assert len(out) >= 1 and all(0 <= t < V for t in out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# starcoder / jais2
+# ---------------------------------------------------------------------------
+
+def test_starcoder(tmp_path):
+    """gpt-bigcode: learned positions + LN + fused biased MQA QKV + gelu seq
+    FFN (reference src/models/starcoder.cpp)."""
+    w = _writer("starcoder", kv=1)
+    emit, _ = _emit_fn(0)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "position_embd.weight", 256, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output_norm.bias", E, scale=0.02)
+    qkv = E + 2 * (1 * HD)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_norm.bias", E, scale=0.02)
+        emit(w, b + "attn_qkv.weight", qkv, E)
+        emit(w, b + "attn_qkv.bias", qkv, scale=0.05)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "attn_output.bias", E, scale=0.02)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.bias", E, scale=0.02)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_up.bias", FF, scale=0.02)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "ffn_down.bias", E, scale=0.02)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+def test_jais2(tmp_path):
+    """Jais-2: LN blocks + biased separate QKV + NEOX rope + relu^2 seq FFN
+    (reference src/models/jais2.cpp)."""
+    w = _writer("jais2")
+    emit, _ = _emit_fn(1)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output_norm.bias", E, scale=0.02)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_norm.bias", E, scale=0.02)
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_q.bias", H * HD, scale=0.02)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_k.bias", HKV * HD, scale=0.02)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_v.bias", HKV * HD, scale=0.02)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "attn_output.bias", E, scale=0.02)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.bias", E, scale=0.02)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_up.bias", FF, scale=0.02)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "ffn_down.bias", E, scale=0.02)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+# ---------------------------------------------------------------------------
+# deci (per-layer head arrays)
+# ---------------------------------------------------------------------------
+
+def _emit_llama_layer(emit, w, b, heads=H, kv=HKV):
+    emit(w, b + "attn_norm.weight", E, ones=True)
+    emit(w, b + "attn_q.weight", heads * HD, E)
+    emit(w, b + "attn_k.weight", kv * HD, E)
+    emit(w, b + "attn_v.weight", kv * HD, E)
+    emit(w, b + "attn_output.weight", E, heads * HD)
+    emit(w, b + "ffn_norm.weight", E, ones=True)
+    emit(w, b + "ffn_gate.weight", FF, E)
+    emit(w, b + "ffn_up.weight", FF, E)
+    emit(w, b + "ffn_down.weight", E, FF)
+
+
+def test_deci_uniform_equals_llama(tmp_path):
+    """With uniform per-layer arrays, the deci graph IS the llama graph:
+    byte-identical weights must give identical logits (exact plumbing check
+    for n_head_arr/n_head_kv_arr)."""
+    outs = []
+    for arch, heads, kv in (("llama", H, HKV),
+                            ("deci", [H] * L, [HKV] * L)):
+        w = _writer(arch, heads=heads, kv=kv)
+        emit, _ = _emit_fn(42)  # same seed -> identical tensors
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E, ones=True)
+        emit(w, "output.weight", V, E)
+        for i in range(L):
+            _emit_llama_layer(emit, w, f"blk.{i}.")
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        outs.append(_logits(p))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_deci_special_layers_numeric(tmp_path):
+    """Linear-attention (n_head>0, n_head_kv==0) and attention-free
+    (n_head==0) layers vs a numpy transcription of deci.cpp's graph."""
+    w = _writer("deci", n_layers=2, heads=[H, 0], kv=[0, 0])
+    emit, st = _emit_fn(7)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E)
+    emit(w, "output.weight", V, E)
+    # layer 0: linear attention (attn_norm + wo only)
+    emit(w, "blk.0.attn_norm.weight", E)
+    emit(w, "blk.0.attn_output.weight", E, E)
+    emit(w, "blk.0.ffn_norm.weight", E)
+    emit(w, "blk.0.ffn_gate.weight", FF, E)
+    emit(w, "blk.0.ffn_up.weight", FF, E)
+    emit(w, "blk.0.ffn_down.weight", E, FF)
+    # layer 1: attention-free (FFN only, normed by ffn_norm)
+    emit(w, "blk.1.ffn_norm.weight", E)
+    emit(w, "blk.1.ffn_gate.weight", FF, E)
+    emit(w, "blk.1.ffn_up.weight", FF, E)
+    emit(w, "blk.1.ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    got = _logits(p)
+
+    def rms(x, g):
+        return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + 1e-5) * g
+
+    def silu(x):
+        return x / (1.0 + np.exp(-x))
+
+    x = st["token_embd.weight"][PROMPT].astype(np.float64)
+    # layer 0: x += wo @ norm(x); then x += ffn(ffn_norm(x))
+    h = rms(x, st["blk.0.attn_norm.weight"])
+    x = x + h @ st["blk.0.attn_output.weight"].T
+    h = rms(x, st["blk.0.ffn_norm.weight"])
+    x = x + (silu(h @ st["blk.0.ffn_gate.weight"].T)
+             * (h @ st["blk.0.ffn_up.weight"].T)) @ st["blk.0.ffn_down.weight"].T
+    # layer 1: attention-free
+    h = rms(x, st["blk.1.ffn_norm.weight"])
+    x = x + (silu(h @ st["blk.1.ffn_gate.weight"].T)
+             * (h @ st["blk.1.ffn_up.weight"].T)) @ st["blk.1.ffn_down.weight"].T
+    want = rms(x[-1], st["output_norm.weight"]) @ st["output.weight"].T
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_deci_mixed_structural(tmp_path):
+    """4-layer mix: normal GQA / linear-attn / attention-free / dummy
+    identity — loads and decodes."""
+    w = _writer("deci", n_layers=4, heads=[H, H, 0, 0], kv=[HKV, 0, 0, 0])
+    emit, _ = _emit_fn(8)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    _emit_llama_layer(emit, w, "blk.0.")
+    emit(w, "blk.1.attn_norm.weight", E, ones=True)
+    emit(w, "blk.1.attn_output.weight", E, E)
+    emit(w, "blk.1.ffn_norm.weight", E, ones=True)
+    emit(w, "blk.1.ffn_gate.weight", FF, E)
+    emit(w, "blk.1.ffn_up.weight", FF, E)
+    emit(w, "blk.1.ffn_down.weight", E, FF)
+    emit(w, "blk.2.ffn_norm.weight", E, ones=True)
+    emit(w, "blk.2.ffn_gate.weight", FF, E)
+    emit(w, "blk.2.ffn_up.weight", FF, E)
+    emit(w, "blk.2.ffn_down.weight", E, FF)
+    # blk.3: dummy — no tensors at all
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+# ---------------------------------------------------------------------------
+# nanbeige (looped layers)
+# ---------------------------------------------------------------------------
+
+def test_nanbeige_loops_equal_unrolled(tmp_path):
+    """n_loops=2 with skip_loop_final_norm == a llama model whose layer
+    stack is physically unrolled twice (exact logit equality proves the
+    shared-weight loop + per-logical-layer KV wiring)."""
+    # nanbeige: 2 physical layers, 2 loops
+    w = _writer("nanbeige", n_layers=L,
+                extra_md={"num_loops": np.uint32(2),
+                          "skip_loop_final_norm": True})
+    emit, st = _emit_fn(11)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    for i in range(L):
+        _emit_llama_layer(emit, w, f"blk.{i}.")
+    p1 = str(tmp_path / "nb.gguf")
+    w.write(p1)
+
+    # llama: 4 layers = the same 2 repeated
+    w = _writer("llama", n_layers=2 * L)
+    emit2, _ = _emit_fn(11)  # same seed: blk.0/1 tensors identical
+    emit2(w, "token_embd.weight", V, E, scale=0.05)
+    emit2(w, "output_norm.weight", E, ones=True)
+    emit2(w, "output.weight", V, E)
+    for i in range(L):
+        _emit_llama_layer(emit2, w, f"blk.{i}.")
+    # replicate physical layers as logical 2..3 byte-for-byte
+    for i in range(L):
+        for suf in ("attn_norm", "attn_q", "attn_k", "attn_v", "attn_output",
+                    "ffn_norm", "ffn_gate", "ffn_up", "ffn_down"):
+            name = f"blk.{i}.{suf}.weight"
+            arr = st[name]
+            w.add_tensor(f"blk.{i + L}.{suf}.weight", arr.tobytes(),
+                         tuple(reversed(arr.shape)), GGMLType.F32)
+    p2 = str(tmp_path / "llama.gguf")
+    w.write(p2)
+    np.testing.assert_allclose(_logits(p1), _logits(p2), rtol=1e-5, atol=1e-5)
+
+
+def test_nanbeige_loop_norm_structural(tmp_path):
+    """Default (no skip): output_norm re-applied at the loop boundary —
+    loads, decodes, and differs from the skip variant."""
+    outs = []
+    for skip in (True, False):
+        w = _writer("nanbeige", n_layers=L,
+                    extra_md={"num_loops": np.uint32(2),
+                              "skip_loop_final_norm": skip})
+        emit, _ = _emit_fn(12)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E)  # non-trivial norm weight
+        emit(w, "output.weight", V, E)
+        for i in range(L):
+            _emit_llama_layer(emit, w, f"blk.{i}.")
+        p = str(tmp_path / f"nb{skip}.gguf")
+        w.write(p)
+        outs.append(_logits(p))
+    assert not np.allclose(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# openelm (per-layer heads + fused qkv + shared qk-norm)
+# ---------------------------------------------------------------------------
+
+def test_openelm_numeric(tmp_path):
+    """Per-layer (n_head, n_kv_head) = (4,2) then (2,1) vs a numpy
+    transcription of openelm.cpp's graph: fused [q|k|v] split, shared
+    [head_dim] q/k rmsnorm, NEOX rope, parallel silu-GLU FFN, tied output."""
+    heads, kvh = [4, 2], [2, 1]
+    w = _writer("openelm", heads=heads, kv=kvh)
+    emit, st = _emit_fn(21)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        nq, nk = heads[i], kvh[i]
+        emit(w, b + "attn_norm.weight", E)
+        emit(w, b + "attn_qkv.weight", (nq + 2 * nk) * HD, E)
+        emit(w, b + "attn_q_norm.weight", HD)
+        emit(w, b + "attn_k_norm.weight", HD)
+        emit(w, b + "attn_output.weight", E, nq * HD)
+        emit(w, b + "ffn_norm.weight", E)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    got = _logits(p)
+
+    def rms(x, g):
+        return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + 1e-5) * g
+
+    def silu(x):
+        return x / (1.0 + np.exp(-x))
+
+    def neox_rope(x, pos):  # x [T, Hh, D]
+        d = x.shape[-1]
+        half = d // 2
+        inv = 10000.0 ** (-np.arange(half) * 2.0 / d)
+        ang = pos[:, None] * inv[None]  # [T, half]
+        cos, sin = np.cos(ang)[:, None], np.sin(ang)[:, None]
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                              axis=-1)
+
+    T = len(PROMPT)
+    pos = np.arange(T, dtype=np.float64)
+    x = st["token_embd.weight"][PROMPT].astype(np.float64)
+    for i in range(L):
+        b = f"blk.{i}."
+        nq, nk = heads[i], kvh[i]
+        h = rms(x, st[b + "attn_norm.weight"])
+        qkv = (h @ st[b + "attn_qkv.weight"].T).reshape(T, nq + 2 * nk, HD)
+        q, k, v = qkv[:, :nq], qkv[:, nq:nq + nk], qkv[:, nq + nk:]
+        q = rms(q, st[b + "attn_q_norm.weight"])
+        k = rms(k, st[b + "attn_k_norm.weight"])
+        q, k = neox_rope(q, pos), neox_rope(k, pos)
+        g = nq // nk
+        attn_o = np.zeros((T, nq, HD))
+        for hq in range(nq):
+            kk, vv = k[:, hq // g], v[:, hq // g]  # [T, D]
+            sc = (q[:, hq] @ kk.T) / np.sqrt(HD)
+            sc = np.where(np.tril(np.ones((T, T), bool)), sc, -np.inf)
+            pr = np.exp(sc - sc.max(-1, keepdims=True))
+            pr = pr / pr.sum(-1, keepdims=True)
+            attn_o[:, hq] = pr @ vv
+        x = x + attn_o.reshape(T, nq * HD) @ st[b + "attn_output.weight"].T
+        h = rms(x, st[b + "ffn_norm.weight"])
+        x = x + (silu(h @ st[b + "ffn_gate.weight"].T)
+                 * (h @ st[b + "ffn_up.weight"].T)) @ st[b + "ffn_down.weight"].T
+    want = rms(x[-1], st["output_norm.weight"]) @ st["token_embd.weight"].T
+    # f32 model vs f64 transcription: ~1e-4/layer accumulation
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
