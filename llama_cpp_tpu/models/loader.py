@@ -121,6 +121,10 @@ LAYER_TENSORS = {
     "time_mix_key.weight": "time_mix_key",
     "time_mix_value.weight": "time_mix_value",
     "time_mix_receptance.weight": "time_mix_receptance",
+    # rwkv6qwen2 qrwkv biases (rwkv6qwen2.cpp:66-68)
+    "time_mix_key.bias": "time_mix_key_bias",
+    "time_mix_value.bias": "time_mix_value_bias",
+    "time_mix_receptance.bias": "time_mix_receptance_bias",
     "time_mix_gate.weight": "time_mix_gate",
     "time_mix_ln.weight": "time_mix_ln",
     "time_mix_ln.bias": "time_mix_ln_bias",
@@ -384,6 +388,8 @@ def load_model(
         req = ("ffn_norm", "ffn_up")
     elif cfg.extra.get("encoder"):
         req = ("attn_output_norm", "ffn_up")
+    elif cfg.extra.get("rwkv_hybrid"):
+        req = ("attn_norm", "time_mix_key", "ffn_up")  # qwen2-FFN hybrids
     elif cfg.extra.get("rwkv"):
         req = ("attn_norm", "time_mix_key", "channel_mix_key")
     elif cfg.extra.get("memory") == "recurrent":

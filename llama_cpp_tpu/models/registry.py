@@ -1507,3 +1507,31 @@ def _nanbeige(cfg: ModelConfig, md) -> ModelConfig:
     )
     return cfg.with_(rope_type=ROPE_TYPE_NORM,
                      n_layers=cfg.n_layers * max(loops, 1))
+
+
+@register("rwkv6qwen2")
+def _rwkv6qwen2(cfg: ModelConfig, md) -> ModelConfig:
+    """RWKV6-Qwen2 hybrid / qrwkv (reference src/models/rwkv6qwen2.cpp):
+    rwkv6 time mix WITHOUT the `u` bonus (gated linear attention, sigmoid
+    gate, GQA-repeated k/v, k*(1-w)) + qwen2 silu-GLU FFN and rms norms."""
+    a = cfg.arch
+    hs = int(md.get(f"{a}.wkv.head_size", 64))
+    cfg.extra.update(
+        memory="recurrent", rwkv=True, rwkv_hybrid=True, wkv_head_size=hs,
+        ssm_d_conv=3, ssm_d_inner=cfg.n_embd, ssm_d_state=hs,
+    )
+    return cfg
+
+
+@register("arwkv7")
+def _arwkv7(cfg: ModelConfig, md) -> ModelConfig:
+    """ARWKV-7 (reference src/models/arwkv7.cpp): rwkv7 time mix without the
+    group-norm tail (no time_mix_ln) + qwen2 silu-GLU FFN, rms norms, single
+    token-shift stream."""
+    a = cfg.arch
+    hs = int(md.get(f"{a}.wkv.head_size", 64))
+    cfg.extra.update(
+        memory="recurrent", rwkv=True, rwkv_hybrid=True, wkv_head_size=hs,
+        ssm_d_conv=3, ssm_d_inner=cfg.n_embd, ssm_d_state=hs,
+    )
+    return cfg

@@ -18,7 +18,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..ops.basic import layer_norm
+from ..ops.basic import layer_norm, rms_norm
 from ..ops.qtensor import embed_lookup, matmul
 from ..runtime.memory import RecurrentState
 from .config import ModelConfig
@@ -44,6 +44,27 @@ def wkv6_scan(s0, r, k, v, w, u):
     s_all = s_inc + a_cum * s0[:, None]
     s_prev = jnp.concatenate([s0[:, None], s_all[:, :-1]], axis=1)
     y = jnp.einsum("bthi,bthij->bthj", r, u[None, None, :, :, None] * kv + s_prev)
+    return y, s_all[:, -1]
+
+
+def gla_scan(s0, r, k, v, w, scale):
+    """Gated linear attention (reference ggml_compute_forward_gla_f32,
+    ggml/src/ggml-cpu/ops.cpp:10595-10645): S_t = w_t[i]*S_{t-1} + k_t[i]v_t[j],
+    y_t[j] = scale * sum_i r_t[i] S_t[i,j] — wkv6 without the u bonus, read
+    POST-update. Used by the qrwkv hybrids (rwkv6qwen2)."""
+    kv = k[..., :, None] * v[..., None, :]  # [B,T,H,i,j]
+    a = w[..., :, None]
+
+    def combine(l, rr):
+        a1, b1 = l
+        a2, b2 = rr
+        return a1 * a2, a2 * b1 + b2
+
+    a_b = jnp.broadcast_to(a, kv.shape)
+    _, s_inc = jax.lax.associative_scan(combine, (a_b, kv), axis=1)
+    a_cum = jnp.cumprod(a_b, axis=1)
+    s_all = s_inc + a_cum * s0[:, None]  # S_t (post-update)
+    y = jnp.einsum("bthi,bthij->bthj", r, s_all) * scale
     return y, s_all[:, -1]
 
 
@@ -124,12 +145,15 @@ def time_mix7(cfg, lw, x, shift, s0, v_first):
     s0h = s0.reshape(B, hs, H, hs).transpose(0, 2, 1, 3)  # [B,H,i,j]
     y, sT = wkv7_scan(s0h, rh, wh, kh, vh, -kk, kk * ah)
 
-    yf = y.astype(jnp.float32)
-    mu = yf.mean(-1, keepdims=True)
-    var = jnp.var(yf, axis=-1, keepdims=True)
-    yn = (yf - mu) * jax.lax.rsqrt(var + 64e-5)
-    yn = yn.reshape(B, T, E)
-    yn = yn * lw["time_mix_ln"] + lw["time_mix_ln_bias"]
+    if "time_mix_ln" in lw:
+        yf = y.astype(jnp.float32)
+        mu = yf.mean(-1, keepdims=True)
+        var = jnp.var(yf, axis=-1, keepdims=True)
+        yn = (yf - mu) * jax.lax.rsqrt(var + 64e-5)
+        yn = yn.reshape(B, T, E)
+        yn = yn * lw["time_mix_ln"] + lw["time_mix_ln_bias"]
+    else:  # arwkv7: no group-norm tail (rwkv7-base.cpp:116-126 else branch)
+        yn = y.astype(jnp.float32).reshape(B, T, E)
 
     # bonus: per-head (r . k . r_k) scalar re-injects v
     rk = jnp.sum(kh * rh * lw["time_mix_r_k"].reshape(H, hs), axis=-1,
@@ -173,33 +197,56 @@ def time_mix(cfg, lw, x, shift, s0):
                  for i, n in enumerate(names)]
     xw, xk, xv, xr, xg = mixed
 
+    # qrwkv variant (rwkv6qwen2.cpp via rwkv6-base.cpp is_qrwkv branches):
+    # no bonus `u`, sigmoid gate, GQA-repeated k/v, k*(1-w), gated linear
+    # attention with head_size^-0.5 scale, and no group-norm tail
+    qrwkv = "time_mix_first" not in lw
+
     r = matmul(xr, lw["time_mix_receptance"], dtype=jnp.float32)
     k = matmul(xk, lw["time_mix_key"], dtype=jnp.float32)
     v = matmul(xv, lw["time_mix_value"], dtype=jnp.float32)
-    g = jax.nn.silu(matmul(xg, lw["time_mix_gate"], dtype=jnp.float32))
+    if "time_mix_receptance_bias" in lw:
+        r = r + lw["time_mix_receptance_bias"].astype(jnp.float32)
+    if "time_mix_key_bias" in lw:
+        k = k + lw["time_mix_key_bias"].astype(jnp.float32)
+    if "time_mix_value_bias" in lw:
+        v = v + lw["time_mix_value_bias"].astype(jnp.float32)
+    gate = matmul(xg, lw["time_mix_gate"], dtype=jnp.float32)
+    g = jax.nn.sigmoid(gate) if qrwkv else jax.nn.silu(gate)
 
     w = matmul(jnp.tanh(matmul(xw, lw["time_mix_decay_w1"], dtype=jnp.float32)),
                lw["time_mix_decay_w2"], dtype=jnp.float32)
     w = w + lw["time_mix_decay"].reshape(1, 1, E)
     w = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
 
+    if k.shape[-1] != E:  # GQA kv heads: repeat each group (rwkv6-base:112)
+        n_kv = k.shape[-1] // hs
+        rep = H // n_kv
+        k = jnp.repeat(k.reshape(B, T, n_kv, 1, hs), rep, axis=3).reshape(B, T, E)
+        v = jnp.repeat(v.reshape(B, T, n_kv, 1, hs), rep, axis=3).reshape(B, T, E)
+    if qrwkv:
+        k = k - k * w  # k * (1 - w)
+
     rh = r.reshape(B, T, H, hs)
     kh = k.reshape(B, T, H, hs)
     vh = v.reshape(B, T, H, hs)
     wh = w.reshape(B, T, H, hs)
-    u = lw["time_mix_first"].astype(jnp.float32)  # [H, hs]
 
     # state [B, hs(i), E] -> [B, H, i, j]
     s0h = s0.reshape(B, hs, H, hs).transpose(0, 2, 1, 3)
-    y, sT = wkv6_scan(s0h, rh, kh, vh, wh, u)  # y [B,T,H,hs(j)]
-
-    # per-head LayerNorm (ggml_norm eps 64e-5, no weight) then affine ln
-    yf = y.astype(jnp.float32)
-    mu = yf.mean(-1, keepdims=True)
-    var = jnp.var(yf, axis=-1, keepdims=True)
-    yn = (yf - mu) * jax.lax.rsqrt(var + 64e-5)
-    yn = yn.reshape(B, T, E)
-    yn = yn * lw["time_mix_ln"] + lw["time_mix_ln_bias"]
+    if qrwkv:
+        y, sT = gla_scan(s0h, rh, kh, vh, wh, float(hs) ** -0.5)
+        yn = y.astype(jnp.float32).reshape(B, T, E)
+    else:
+        u = lw["time_mix_first"].astype(jnp.float32)  # [H, hs]
+        y, sT = wkv6_scan(s0h, rh, kh, vh, wh, u)  # y [B,T,H,hs(j)]
+        # per-head LayerNorm (ggml_norm eps 64e-5, no weight) then affine ln
+        yf = y.astype(jnp.float32)
+        mu = yf.mean(-1, keepdims=True)
+        var = jnp.var(yf, axis=-1, keepdims=True)
+        yn = (yf - mu) * jax.lax.rsqrt(var + 64e-5)
+        yn = yn.reshape(B, T, E)
+        yn = yn * lw["time_mix_ln"] + lw["time_mix_ln_bias"]
 
     out = matmul(yn * g, lw["time_mix_output"], dtype=jnp.float32)
     sT_flat = sT.transpose(0, 2, 1, 3).reshape(B, hs, E)
@@ -231,21 +278,29 @@ def forward(
     return_hidden: bool = False,
     inputs_embeds: jnp.ndarray | None = None,
 ):
-    """RWKV6 (reference src/models/rwkv6.cpp graph)."""
+    """RWKV6/RWKV7 (reference src/models/rwkv6.cpp, rwkv7.cpp) and the
+    qwen2-FFN hybrids (rwkv6qwen2.cpp, arwkv7.cpp: rms norms, silu-GLU FFN
+    instead of channel mix, single token-shift stream)."""
     seq_idx = inputs.seq_idx
+    hybrid = bool(cfg.extra.get("rwkv_hybrid"))
     if inputs_embeds is not None:
         x = inputs_embeds.astype(jnp.float32)
     else:
         x = embed_lookup(params["token_embd"], tokens, dtype=jnp.float32)
-    x = layer_norm(x, params.get("token_embd_norm"),
-                   params.get("token_embd_norm_bias"), cfg.norm_eps)
+    if "token_embd_norm" in params:
+        x = layer_norm(x, params.get("token_embd_norm"),
+                       params.get("token_embd_norm_bias"), cfg.norm_eps)
     rescale = int(cfg.extra.get("rescale_every", 0))
+
+    def _norm(v, w, b):
+        if cfg.use_rms_norm:
+            return rms_norm(v, w, cfg.rms_eps)
+        return layer_norm(v, w, b, cfg.norm_eps)
 
     v_first = None
     for il, lw in enumerate(params["layers"]):
         shifts = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, 2, E]
-        att_norm = layer_norm(x, lw.get("attn_norm"), lw.get("attn_norm_bias"),
-                              cfg.norm_eps)
+        att_norm = _norm(x, lw.get("attn_norm"), lw.get("attn_norm_bias"))
         s0 = mem.ssm[il][seq_idx]  # [B, hs, E]
         if "time_mix_w0" in lw:  # rwkv7 time mix
             att, att_shift, sT, v_first = time_mix7(
@@ -254,10 +309,17 @@ def forward(
             att, att_shift, sT = time_mix(cfg, lw, att_norm, shifts[:, 0], s0)
         x = x + att
 
-        ffn_norm = layer_norm(x, lw.get("attn_norm_2"),
-                              lw.get("attn_norm_2_bias"), cfg.norm_eps)
-        ffn, ffn_shift = channel_mix(cfg, lw, ffn_norm, shifts[:, 1])
-        x = x + ffn
+        if hybrid:  # qwen2-style gated FFN on ffn_norm (rwkv6qwen2.cpp:133)
+            from .transformer import ffn_block
+
+            h = _norm(x, lw.get("ffn_norm"), lw.get("ffn_norm_bias"))
+            x = x + ffn_block(cfg, lw, h, il).astype(x.dtype)
+            ffn_shift = att_shift  # single token-shift stream
+        else:
+            ffn_norm = layer_norm(x, lw.get("attn_norm_2"),
+                                  lw.get("attn_norm_2_bias"), cfg.norm_eps)
+            ffn, ffn_shift = channel_mix(cfg, lw, ffn_norm, shifts[:, 1])
+            x = x + ffn
         if rescale and (il + 1) % rescale == 0:
             x = x * 0.5
 
@@ -268,8 +330,7 @@ def forward(
     x = x.reshape(B * T, E)
     if output_rows is not None:
         x = x[output_rows]
-    x = layer_norm(x, params.get("output_norm"), params.get("output_norm_bias"),
-                   cfg.norm_eps)
+    x = _norm(x, params.get("output_norm"), params.get("output_norm_bias"))
     if return_hidden:
         return x, mem
     out_w = params.get("output")

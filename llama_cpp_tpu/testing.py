@@ -929,3 +929,101 @@ def make_tiny_eagle3_gguf(
         emit("output.weight", rand(vocab_size, n_embd))
     w.write(path)
     return path
+
+
+def make_tiny_rwkv_hybrid_gguf(
+    path: str,
+    arch: str = "rwkv6qwen2",
+    vocab_size: int = 256,
+    n_layers: int = 2,
+    n_embd: int = 64,
+    head_size: int = 16,
+    n_kv_heads: int = 2,
+    n_ff: int = 128,
+    seed: int = 0,
+) -> str:
+    """Random-weight qrwkv hybrid GGUF: rwkv6qwen2 (reference
+    src/models/rwkv6qwen2.cpp load_arch_tensors) or arwkv7
+    (src/models/arwkv7.cpp) — rwkv time mix + qwen2 silu-GLU FFN."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, f"tiny-{arch}")
+    H = n_embd // head_size
+    w.add(f"{arch}.block_count", np.uint32(n_layers))
+    w.add(f"{arch}.context_length", np.uint32(1 << 20))
+    w.add(f"{arch}.embedding_length", np.uint32(n_embd))
+    w.add(f"{arch}.feed_forward_length", np.uint32(n_ff))
+    w.add(f"{arch}.wkv.head_size", np.uint32(head_size))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.attention.head_count", np.uint32(H))
+    w.add(f"{arch}.attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add(f"{arch}.token_shift_count", np.uint32(1))
+    w.add(f"{arch}.vocab_size", np.uint32(vocab_size))
+    vocab = tiny_spm_vocab(vocab_size)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES,
+              Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:vocab_size]
+    w.add_all(vocab)
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)), GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    kv_size = n_kv_heads * head_size
+    rk = 8
+    emit("token_embd.weight", rand(vocab_size, n_embd, scale=0.05))
+    emit("output_norm.weight", 1 + rand(n_embd, scale=0.02))
+    emit("output.weight", rand(vocab_size, n_embd))
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        emit(b + "attn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        if arch == "rwkv6qwen2":
+            emit(b + "time_mix_w1.weight", rand(5 * rk, n_embd))
+            emit(b + "time_mix_w2.weight", rand(5, n_embd, rk))
+            emit(b + "time_mix_lerp_x.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_lerp_fused.weight",
+                 rand(5, 1, 1, n_embd, scale=0.3))
+            # no time_mix_first -> is_qrwkv branch
+            emit(b + "time_mix_decay.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_decay_w1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_decay_w2.weight", rand(n_embd, rk))
+            emit(b + "time_mix_key.weight", rand(kv_size, n_embd))
+            emit(b + "time_mix_key.bias", rand(kv_size, scale=0.05))
+            emit(b + "time_mix_value.weight", rand(kv_size, n_embd))
+            emit(b + "time_mix_value.bias", rand(kv_size, scale=0.05))
+            emit(b + "time_mix_receptance.weight", rand(n_embd, n_embd))
+            emit(b + "time_mix_receptance.bias", rand(n_embd, scale=0.05))
+            emit(b + "time_mix_gate.weight", rand(n_embd, n_embd))
+        else:  # arwkv7
+            emit(b + "time_mix_lerp_fused.weight",
+                 rand(6, 1, 1, n_embd, scale=0.3))
+            emit(b + "time_mix_w0.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_w1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_w2.weight", rand(n_embd, rk))
+            emit(b + "time_mix_a0.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_a1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_a2.weight", rand(n_embd, rk))
+            emit(b + "time_mix_v0.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_v1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_v2.weight", rand(n_embd, rk))
+            emit(b + "time_mix_g1.weight", rand(rk, n_embd))
+            emit(b + "time_mix_g2.weight", rand(n_embd, rk))
+            emit(b + "time_mix_k_k.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_k_a.weight", rand(n_embd, scale=0.3))
+            emit(b + "time_mix_r_k.weight", rand(H, head_size, scale=0.3))
+            emit(b + "time_mix_key.weight", rand(n_embd, n_embd))
+            emit(b + "time_mix_value.weight", rand(n_embd, n_embd))
+            emit(b + "time_mix_receptance.weight", rand(n_embd, n_embd))
+            # no time_mix_ln -> no group-norm tail
+        emit(b + "time_mix_output.weight", rand(n_embd, n_embd))
+        emit(b + "ffn_norm.weight", 1 + rand(n_embd, scale=0.02))
+        emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write(path)
+    return path

@@ -389,3 +389,61 @@ def test_openelm_numeric(tmp_path):
     want = rms(x[-1], st["output_norm.weight"]) @ st["token_embd.weight"].T
     # f32 model vs f64 transcription: ~1e-4/layer accumulation
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# rwkv hybrids (rwkv6qwen2 / arwkv7)
+# ---------------------------------------------------------------------------
+
+def test_gla_scan_matches_recurrence():
+    """gated linear attention scan vs the reference kernel's per-step
+    recurrence (ggml_compute_forward_gla_f32): S_t = w[i]S + k[i]v[j],
+    y[j] = scale * sum_i r[i] S_t[i,j]."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models.rwkv import gla_scan
+
+    rng = np.random.default_rng(0)
+    B, T, Hh, hs = 2, 7, 3, 8
+    r, k, v = (rng.standard_normal((B, T, Hh, hs)) for _ in range(3))
+    w = rng.uniform(0.5, 1.0, (B, T, Hh, hs))
+    s0 = rng.standard_normal((B, Hh, hs, hs))
+    scale = hs ** -0.5
+
+    y, sT = gla_scan(jnp.asarray(s0), jnp.asarray(r), jnp.asarray(k),
+                     jnp.asarray(v), jnp.asarray(w), scale)
+    S = s0.copy()
+    ys = np.zeros((B, T, Hh, hs))
+    for t in range(T):
+        S = w[:, t, :, :, None] * S + k[:, t, :, :, None] * v[:, t, :, None, :]
+        ys[:, t] = np.einsum("bhi,bhij->bhj", r[:, t], S) * scale
+    np.testing.assert_allclose(np.asarray(y), ys, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sT), S, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["rwkv6qwen2", "arwkv7"])
+def test_rwkv_hybrid_prefill_equals_stepwise(arch, tmp_path):
+    """The hybrids' parallel-scan prefill must equal one-token-at-a-time
+    decode (exact recurrent-state correctness), and generate end-to-end."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.testing import make_tiny_rwkv_hybrid_gguf
+
+    p = str(tmp_path / "m.gguf")
+    make_tiny_rwkv_hybrid_gguf(p, arch=arch)
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    prompt = [3, 5, 9, 2, 7, 11]
+
+    ctx = Context(model, n_ctx=64, n_seqs=1)
+    full = np.asarray(ctx.prefill(prompt, seq=0))
+
+    ctx2 = Context(model, n_ctx=64, n_seqs=1, n_ubatch=1)
+    step = None
+    for off in range(len(prompt)):
+        step = ctx2.decode(np.asarray([[prompt[off]]]), np.asarray([0]),
+                           np.asarray([[off]]), np.asarray([0]))
+    np.testing.assert_allclose(full, np.asarray(step)[0], rtol=2e-4, atol=2e-4)
+
+    out = Context(model, n_ctx=64, n_seqs=1).generate(
+        prompt, max_new_tokens=4)
+    assert len(out) >= 1 and all(0 <= t < 256 for t in out)
