@@ -419,6 +419,7 @@ def load_model(
             for i, lw in enumerate(layers)
             if "ssm_in" not in lw and "attn_output" not in lw
             and "shortconv_in" not in lw and "ffn_up" not in lw
+            and "ffn_gate_exps" not in lw  # nemotron-h-moe MoE F-block
         ]
     if missing:
         raise ValueError(f"model load incomplete: {missing[:4]}")

@@ -1439,6 +1439,8 @@ def _as_arr(v):
         return None
     if hasattr(v, "tolist"):
         v = v.tolist()
+    if not isinstance(v, (list, tuple)):
+        return None  # scalar: uniform across layers, no array needed
     return tuple(int(x) for x in v)
 
 
@@ -1535,3 +1537,64 @@ def _arwkv7(cfg: ModelConfig, md) -> ModelConfig:
         ssm_d_conv=3, ssm_d_inner=cfg.n_embd, ssm_d_state=hs,
     )
     return cfg
+
+
+@register("mistral4")
+def _mistral4(cfg: ModelConfig, md) -> ModelConfig:
+    """Mistral-4 (reference models.h:1316: llama_model_mistral4 is a pure
+    llama_model_deepseek2 alias — same MLA hparams/tensors/graph)."""
+    md2 = {k.replace("mistral4.", "deepseek2."): v for k, v in md.items()}
+    return _deepseek2(cfg.with_(arch="deepseek2"), md2).with_(arch=cfg.arch)
+
+
+@register("nemotron_h_moe")
+def _nemotron_h_moe(cfg: ModelConfig, md) -> ModelConfig:
+    """Nemotron-H-MoE (reference models.h:1458: pure llama_model_nemotron_h
+    alias); F-layers route through the MoE FFN when expert tensors exist."""
+    md2 = {k.replace("nemotron_h_moe.", "nemotron_h."): v for k, v in md.items()}
+    return _nemotron_h(cfg.with_(arch="nemotron_h"), md2).with_(arch=cfg.arch)
+
+
+@register("plm")
+def _plm(cfg: ModelConfig, md) -> ModelConfig:
+    """PLM (reference src/models/plm.cpp): deepseek2-style MLA attention
+    without q-lora + non-gated relu^2 sequential FFN, tied output."""
+    cfg.extra.update(
+        kv_lora_rank=int(md.get("plm.attention.kv_lora_rank", 512)),
+        q_lora_rank=0,
+    )
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        n_kv_heads=cfg.n_heads,
+        act="relu2", glu=False, tie_embeddings=True,
+    )
+    _mla_absorb_extras(c)
+    return c
+
+
+@register("laguna")
+def _laguna(cfg: ModelConfig, md) -> ModelConfig:
+    """Laguna (reference src/models/laguna.cpp): qwen3-style qk-norm with a
+    SOFTPLUS attention output gate (per-head on XS.2, per-element on M.1 —
+    detected from the gate tensor width), sigmoid-routed MoE with score
+    bias + one shared expert after leading dense layers, and per-layer-type
+    rope on the hybrid full/SWA variant (SWA layers: plain rope over
+    dimension_count_swa at freq_base_swa)."""
+    a = cfg.arch
+    heads = _as_arr(md.get(f"{a}.attention.head_count"))
+    if heads is not None and len(set(heads)) > 1:
+        cfg.extra.update(n_head_arr=heads)
+    cfg.extra.update(attn_gate_fn="softplus", swa_first_global=True)
+    dims_swa = md.get(f"{a}.rope.dimension_count_swa")
+    if dims_swa:
+        cfg.extra["rope_dims_swa"] = int(dims_swa)
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 1),
+    )
+    return _swa_pattern_extra(c, md, a)

@@ -93,15 +93,23 @@ def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
     # gemma3-style: SWA layers use a different (local) freq base
     base = cfg.rope_freq_base
     scale = cfg.rope_freq_scale
-    if cfg.is_swa_layer(il) and cfg.extra.get("rope_freq_base_swa"):
-        base = cfg.extra["rope_freq_base_swa"]
-        scale = cfg.extra.get("rope_freq_scale_swa", 1.0)
+    dims = cfg.rope_dims
+    ext = cfg.rope_ext_factor
+    if cfg.is_swa_layer(il):
+        if cfg.extra.get("rope_freq_base_swa"):
+            base = cfg.extra["rope_freq_base_swa"]
+            scale = cfg.extra.get("rope_freq_scale_swa", 1.0)
+        if cfg.extra.get("rope_dims_swa"):
+            # laguna per-layer-type rope (laguna.cpp:165-170): SWA layers run
+            # PLAIN rope over their own dim count — YaRN zeroed
+            dims = cfg.extra["rope_dims_swa"]
+            ext = 0.0
     return RopeParams(
         rope_type=cfg.rope_type,
-        n_dims=cfg.rope_dims,
+        n_dims=dims,
         freq_base=base,
         freq_scale=scale,
-        ext_factor=cfg.rope_ext_factor,
+        ext_factor=ext,
         attn_factor=cfg.rope_attn_factor,
         beta_fast=cfg.rope_beta_fast,
         beta_slow=cfg.rope_beta_slow,
@@ -404,10 +412,20 @@ def attention_block(
         # (reference src/models/bitnet.cpp attn_sub_norm)
         out = rms_norm(out, lw["attn_sub_norm"], cfg.rms_eps)
     if "attn_gate" in lw:
-        # qwen3next output gate: sigmoid(gate_proj(x)) scales the attention
-        # output before o_proj (reference qwen3next.cpp build_layer_attn)
-        out = out * jax.nn.sigmoid(
-            matmul(x, lw["attn_gate"], dtype=jnp.float32)).astype(out.dtype)
+        # attention output gate before o_proj: qwen3next/afmoe use
+        # sigmoid(g_proj(x)) per element; laguna uses softplus with either a
+        # per-element or per-HEAD gate (width n_head, broadcast over head_dim
+        # — laguna.cpp:243-249 shape detection)
+        g = matmul(x, lw["attn_gate"], dtype=jnp.float32)
+        if cfg.extra.get("attn_gate_fn") == "softplus":
+            g = jax.nn.softplus(g)
+        else:
+            g = jax.nn.sigmoid(g)
+        if g.shape[-1] == H and H * Dv != H:  # per-head scalar gate
+            out = (out.reshape(B, T, H, Dv)
+                   * g[..., None].astype(out.dtype)).reshape(B, T, H * Dv)
+        else:
+            out = out * g.astype(out.dtype)
     _tap(il, "attn_output", out)
     out = matmul(out, lw["attn_output"])
     if "attn_output_bias" in lw:

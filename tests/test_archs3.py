@@ -447,3 +447,214 @@ def test_rwkv_hybrid_prefill_equals_stepwise(arch, tmp_path):
     out = Context(model, n_ctx=64, n_seqs=1).generate(
         prompt, max_new_tokens=4)
     assert len(out) >= 1 and all(0 <= t < 256 for t in out)
+
+
+# ---------------------------------------------------------------------------
+# mistral4 / plm (MLA family) + nemotron_h_moe alias
+# ---------------------------------------------------------------------------
+
+def _emit_mla_layers(emit, w, q_lora=True):
+    n_rot, nope, dv, kvr, qr = 8, 8, 16, 16, 24
+    hd_k = n_rot + nope
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        if q_lora:
+            emit(w, b + "attn_q_a.weight", qr, E)
+            emit(w, b + "attn_q_a_norm.weight", qr, ones=True)
+            emit(w, b + "attn_q_b.weight", H * hd_k, qr)
+        else:
+            emit(w, b + "attn_q.weight", H * hd_k, E)
+        emit(w, b + "attn_kv_a_mqa.weight", kvr + n_rot, E)
+        emit(w, b + "attn_kv_a_norm.weight", kvr, ones=True)
+        emit(w, b + "attn_kv_b.weight", H * (nope + dv), kvr)
+        emit(w, b + "attn_output.weight", E, H * dv)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    return n_rot, kvr, qr, hd_k, dv
+
+
+def test_mistral4_is_deepseek2_alias(tmp_path):
+    """mistral4 == deepseek2 graph (reference models.h:1316): identical
+    weights under either arch name give identical logits."""
+    outs = []
+    for arch in ("deepseek2", "mistral4"):
+        n_rot = 8
+        w = _writer(arch, n_rot=n_rot, extra_md={
+            "attention.kv_lora_rank": np.uint32(16),
+            "attention.q_lora_rank": np.uint32(24),
+            "attention.key_length": np.uint32(16),
+            "attention.value_length": np.uint32(16),
+        })
+        emit, _ = _emit_fn(55)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E, ones=True)
+        emit(w, "output.weight", V, E)
+        _emit_mla_layers(emit, w)
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        outs.append(_logits(p))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_plm_mla_relu2(tmp_path):
+    """PLM (reference src/models/plm.cpp): MLA without q-lora + non-gated
+    relu^2 FFN + tied output."""
+    w = _writer("plm", n_rot=8, extra_md={
+        "attention.kv_lora_rank": np.uint32(16),
+        "attention.key_length": np.uint32(16),
+        "attention.value_length": np.uint32(16),
+    })
+    emit, _ = _emit_fn(56)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    n_rot, nope, dv, kvr = 8, 8, 16, 16
+    hd_k = n_rot + nope
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q.weight", H * hd_k, E)
+        emit(w, b + "attn_kv_a_mqa.weight", kvr + n_rot, E)
+        emit(w, b + "attn_kv_a_norm.weight", kvr, ones=True)
+        emit(w, b + "attn_kv_b.weight", H * (nope + dv), kvr)
+        emit(w, b + "attn_output.weight", E, H * dv)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_up.weight", FF, E)  # no gate: relu^2 seq FFN
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    m = load_model(p, prefer_quant=False)
+    assert m.cfg.extra.get("mla_absorb"), "plm should use the latent cache"
+    _run(p)
+
+
+def test_nemotron_h_moe(tmp_path):
+    """nemotron_h_moe == nemotron_h alias (models.h:1458) whose F-layers
+    carry MoE expert tensors."""
+    a = "nemotron_h_moe"
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, a)
+    w.add(Keys.General.NAME, "tiny-nhm")
+    d_state, d_conv, d_inner, ng = 16, 4, 2 * E, 1
+    heads_m = d_inner // 16
+    w.add(a + ".block_count", np.uint32(3))
+    w.add(a + ".context_length", np.uint32(256))
+    w.add(a + ".embedding_length", np.uint32(E))
+    w.add(a + ".feed_forward_length", np.uint32(FF))
+    w.add(a + ".attention.head_count", np.uint32(H))
+    w.add(a + ".attention.head_count_kv", np.asarray([0, HKV, 0], np.uint32))
+    w.add(a + ".attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(a + ".ssm.conv_kernel", np.uint32(d_conv))
+    w.add(a + ".ssm.inner_size", np.uint32(d_inner))
+    w.add(a + ".ssm.state_size", np.uint32(d_state))
+    w.add(a + ".ssm.group_count", np.uint32(ng))
+    w.add(a + ".ssm.time_step_rank", np.uint32(heads_m))
+    w.add(a + ".expert_count", np.uint32(4))
+    w.add(a + ".expert_used_count", np.uint32(2))
+    w.add(a + ".vocab_size", np.uint32(V))
+    vocab = tiny_spm_vocab(V)
+    for k in (Keys.Tokenizer.TOKENS, Keys.Tokenizer.SCORES,
+              Keys.Tokenizer.TOKEN_TYPE):
+        vocab[k] = vocab[k][:V]
+    w.add_all(vocab)
+    emit, _ = _emit_fn(57)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    conv_dim = d_inner + 2 * ng * d_state
+    # layer 0: mamba2 M-block
+    b = "blk.0."
+    emit(w, b + "attn_norm.weight", E, ones=True)
+    emit(w, b + "ssm_in.weight", 2 * d_inner + 2 * ng * d_state + heads_m, E)
+    emit(w, b + "ssm_conv1d.weight", conv_dim, d_conv)
+    emit(w, b + "ssm_conv1d.bias", conv_dim, scale=0.02)
+    emit(w, b + "ssm_dt.bias", heads_m, scale=0.1)
+    emit(w, b + "ssm_a", heads_m, scale=0.1)
+    emit(w, b + "ssm_d", heads_m, scale=0.1)
+    emit(w, b + "ssm_norm.weight", d_inner, ones=True)
+    emit(w, b + "ssm_out.weight", E, d_inner)
+    # layer 1: attention A-block
+    b = "blk.1."
+    emit(w, b + "attn_norm.weight", E, ones=True)
+    emit(w, b + "attn_q.weight", H * HD, E)
+    emit(w, b + "attn_k.weight", HKV * HD, E)
+    emit(w, b + "attn_v.weight", HKV * HD, E)
+    emit(w, b + "attn_output.weight", E, H * HD)
+    # layer 2: MoE F-block
+    b = "blk.2."
+    emit(w, b + "attn_norm.weight", E, ones=True)
+    emit(w, b + "ffn_gate_inp.weight", 4, E)
+    emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+    emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+    emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+# ---------------------------------------------------------------------------
+# laguna
+# ---------------------------------------------------------------------------
+
+def _laguna_writer(tmp_path, seed, per_head_gate, name):
+    w = _writer("laguna", extra_md={
+        "leading_dense_block_count": np.uint32(1),
+        "expert_count": np.uint32(4),
+        "expert_used_count": np.uint32(2),
+        "expert_feed_forward_length": np.uint32(FF),
+        "expert_shared_feed_forward_length": np.uint32(FF),
+        "expert_weights_scale": np.float32(1.5),
+        "expert_gating_func": np.uint32(2),
+    })
+    emit, st = _emit_fn(seed)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    rng = np.random.default_rng(seed + 1000)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_q_norm.weight", HD, ones=True)
+        emit(w, b + "attn_k_norm.weight", HD, ones=True)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        # the gate: same per-head weights expressed both ways
+        gw = (rng.standard_normal((H, E)) * 0.1).astype(np.float32)
+        if per_head_gate:
+            arr = gw
+        else:
+            arr = np.repeat(gw, HD, axis=0)  # per-element, head-constant
+        w.add_tensor(b + "attn_gate.weight", arr.tobytes(),
+                     tuple(reversed(arr.shape)), GGMLType.F32)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        if i == 0:  # leading dense layer
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        else:
+            emit(w, b + "ffn_gate_inp.weight", 4, E)
+            emit(w, b + "ffn_exp_probs_b.bias", 4, scale=0.1)
+            emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+            emit(w, b + "ffn_gate_shexp.weight", FF, E)
+            emit(w, b + "ffn_up_shexp.weight", FF, E)
+            emit(w, b + "ffn_down_shexp.weight", E, FF)
+    p = str(tmp_path / name)
+    w.write(p)
+    return p
+
+
+def test_laguna_gate_shapes_equivalent(tmp_path):
+    """Per-head softplus gate == per-element gate whose weight rows are
+    head-constant (exercises both reshape paths of laguna.cpp:243-249),
+    plus dense-lead + sigmoid MoE + shared expert end-to-end."""
+    p1 = _laguna_writer(tmp_path, 60, True, "ph.gguf")
+    p2 = _laguna_writer(tmp_path, 60, False, "pe.gguf")
+    a, b = _logits(p1), _logits(p2)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    _run(p1)
