@@ -83,6 +83,13 @@ def forward(
                 q = q + lw["attn_q_bias"]
                 k = k + lw["attn_k_bias"]
                 v = v + lw["attn_v_bias"]
+        if "attn_q_norm" in lw:
+            # jina-bert-v2 optional full-width q/k LayerNorm
+            # (jina-bert-v2.cpp attn_q_norm/attn_k_norm, shape n_embd)
+            q = layer_norm(q, lw["attn_q_norm"], lw.get("attn_q_norm_bias"),
+                           eps)
+            k = layer_norm(k, lw["attn_k_norm"], lw.get("attn_k_norm_bias"),
+                           eps)
         q = q.reshape(B, T, H, Dk)
         k = k.reshape(B, T, Hkv, Dk)
         v = v.reshape(B, T, Hkv, Dv)
@@ -96,6 +103,16 @@ def forward(
             v = jnp.repeat(v, g, axis=2)
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32) / Dk ** 0.5
+        if cfg.alibi_bias > 0.0:
+            # bidirectional ALiBi (jina-bert-v2): mask carries -|p0-p1| and
+            # softmax adds slope_h * mask (llama-graph.cpp:440, soft_max_ext)
+            from .transformer import alibi_slopes
+
+            slopes = alibi_slopes(H, cfg.alibi_bias).reshape(1, H, 1, 1)
+            delta = -jnp.abs(
+                inputs.positions[:, None, :] - inputs.positions[:, :, None]
+            ).astype(jnp.float32)
+            scores = scores + slopes * delta[:, None]
         lmask = mask
         if cfg.sliding_window > 0 and cfg.is_swa_layer(il):
             # symmetric local window (reference LLAMA_SWA_TYPE_SYMMETRIC:
@@ -129,8 +146,14 @@ def forward(
             continue
 
         # post-norm: LN(x + attn)
+        x_in = x  # layer input (jina-v2 attn_norm_2 re-adds it)
         x = layer_norm(x + attn, lw.get("attn_output_norm"),
                        lw.get("attn_output_norm_bias"), eps)
+        if "attn_norm_2" in lw:
+            # jina-v2 optional second LN: re-add the layer input first
+            # (bert.cpp:168-171)
+            x = layer_norm(x + x_in, lw["attn_norm_2"],
+                           lw.get("attn_norm_2_bias"), eps)
 
         ffn_inp = x
         if "ffn_gateup" in lw:  # load-time fused gate|up (jina-v3 GLU)
@@ -167,6 +190,11 @@ def forward(
         if "ffn_gate" in lw:  # jina GLU variants
             gate = matmul(x, lw["ffn_gate"], dtype=jnp.float32)
             h = jax.nn.gelu(gate, approximate=True) * up
+        elif cfg.n_ff and up.shape[-1] == 2 * cfg.n_ff:
+            # jina-bert-v2 up-contains-gate GEGLU (bert.cpp:200
+            # up_contains_gate: gelu(first half) * second half)
+            h = jax.nn.gelu(up[..., : cfg.n_ff], approximate=True) \
+                * up[..., cfg.n_ff:]
         else:
             h = jax.nn.gelu(up, approximate=True)
         y = matmul(h, lw["ffn_down"], dtype=jnp.float32)

@@ -1598,3 +1598,49 @@ def _laguna(cfg: ModelConfig, md) -> ModelConfig:
         n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 1),
     )
     return _swa_pattern_extra(c, md, a)
+
+
+@register("jina-bert-v2")
+def _jina_bert_v2(cfg: ModelConfig, md) -> ModelConfig:
+    """jina-embeddings v2 (reference src/models/jina-bert-v2.cpp): post-norm
+    bert encoder with symmetric ALiBi (max bias 8), optional full-width q/k
+    LayerNorm, and a GEGLU FFN (separate gate or up-contains-gate)."""
+    cfg.extra["encoder"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NONE, use_rms_norm=False,
+                     act="gelu", glu=False, alibi_bias=8.0)
+
+
+def _qwen3vl_common(cfg: ModelConfig, md, a: str) -> ModelConfig:
+    sec = md.get(f"{a}.rope.dimension_sections", [24, 20, 20, 0])
+    if hasattr(sec, "tolist"):
+        sec = sec.tolist()
+    sec = tuple(int(x) for x in sec)
+    cfg.extra.update(
+        mrope_sections=sec, imrope=True,
+        n_deepstack=int(md.get(f"{a}.n_deepstack_layers", 0) or 0),
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                     tie_embeddings=True)
+
+
+@register("qwen3vl")
+def _qwen3vl(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen3-VL text model (reference src/models/qwen3vl.cpp): qwen3 graph
+    with INTERLEAVED m-rope (GGML_ROPE_TYPE_IMROPE) and deepstack vision
+    residuals added to the first n_deepstack_layers outputs."""
+    return _qwen3vl_common(cfg, md, cfg.arch)
+
+
+@register("qwen3vlmoe")
+def _qwen3vlmoe(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen3-VL-MoE (reference src/models/qwen3vlmoe.cpp): qwen3vl with the
+    qwen3moe expert FFN (softmax routing, normalized top-k weights)."""
+    c = _qwen3vl_common(cfg, md, cfg.arch)
+    return c.with_(expert_weights_norm=True)
+
+
+@register("qwen3tts")
+def _qwen3tts(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen3-TTS (reference models.h:599: pure llama_model_qwen3vl alias;
+    the output head is the 3072-code audio codebook)."""
+    return _qwen3vl_common(cfg, md, cfg.arch)

@@ -212,8 +212,9 @@ def attention_block(
             if pos3 is None:
                 pos3 = jnp.broadcast_to(inputs.positions[None],
                                         (3,) + inputs.positions.shape)
-            q = apply_mrope(q, pos3, sections, rp)
-            k = apply_mrope(k, pos3, sections, rp)
+            inter = bool(cfg.extra.get("imrope"))  # qwen3vl interleaved
+            q = apply_mrope(q, pos3, sections, rp, interleaved=inter)
+            k = apply_mrope(k, pos3, sections, rp, interleaved=inter)
         else:
             q = apply_rope(q, inputs.positions, rp)
             k = apply_rope(k, inputs.positions, rp)
@@ -1107,9 +1108,18 @@ def forward(
 ) -> tuple[jnp.ndarray, KVCache]:
     """-> (logits [B*T or M, vocab] or hidden [., n_embd], updated KV)."""
     cdtype = cfg.compute_dtype or jnp.bfloat16
+    deepstack = None  # qwen3vl vision: [n_ds, B, T, E] per-layer residuals
     if inputs_embeds is not None:
         # pre-computed embeddings (mtmd image chunks spliced by the caller)
         x = inputs_embeds.astype(cdtype)
+        n_ds = int(cfg.extra.get("n_deepstack", 0))
+        if n_ds and x.shape[-1] == (1 + n_ds) * cfg.n_embd:
+            # qwen3vl deepstack (qwen3vl.cpp:152-156): the vision tower emits
+            # (1+n_ds) stacked embeddings; slice il+1 is added to layer il's
+            # output (text-only rows carry zeros there)
+            E_ = cfg.n_embd
+            deepstack = [x[..., (j + 1) * E_: (j + 2) * E_] for j in range(n_ds)]
+            x = x[..., :E_]
     else:
         x = embed_lookup(params["token_embd"], tokens, dtype=cdtype)  # [B, T, E]
         if cfg.embd_scale != 1.0:
@@ -1292,6 +1302,8 @@ def forward(
             x = x + embd_skip * lw["layer_out_scale"].reshape(-1)[0].astype(x.dtype)
         if "cvec" in params:  # control vector (build_cvec analog)
             x = x + params["cvec"][il].astype(x.dtype)
+        if deepstack is not None and il < len(deepstack):
+            x = x + deepstack[il].astype(x.dtype)
         _tap(il, "l_out", x)  # residual stream (cvector-generator collection)
 
         if (n_loops > 1 and (il + 1) % phys == 0 and il + 1 < len(layer_seq)

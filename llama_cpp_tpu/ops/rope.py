@@ -110,22 +110,46 @@ def apply_mrope(
     positions3: jnp.ndarray,  # [3, ..., seq] (t, h, w position streams)
     sections: tuple[int, ...],  # frequency-pair counts per stream
     p: RopeParams,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
     """Multimodal rope (reference ggml GGML_ROPE_TYPE_MROPE /
     ggml_rope_multi; HF qwen2-vl apply_multimodal_rotary_pos_emb): each
     frequency pair takes its angle from one of the t/h/w position streams,
-    partitioned by `sections`. NEOX (half-split) rotation layout."""
+    partitioned by `sections`. NEOX (half-split) rotation layout.
+
+    interleaved=True is GGML_ROPE_TYPE_IMROPE (qwen3vl family,
+    ggml-cpu/ops.cpp:5898-5907): pair s uses stream h when s%3==1 (while
+    s < 3*sections[1]), w when s%3==2, t when s%3==0, else the 4th stream."""
     head_dim = x.shape[-1]
     n_dims = p.n_dims or head_dim
     half = n_dims // 2
     theta_i, theta_e, ramp_mix, mscale = rope_freqs_and_scale(p, head_dim)
     inv_freq = theta_i * (1.0 - ramp_mix) + theta_e * ramp_mix  # [half]
 
+    n_streams = int(positions3.shape[0])
     # stream selector per frequency pair
-    sel = []
-    for si, n in enumerate(sections):
-        sel += [si] * n
-    sel += [0] * (half - len(sel))
+    if interleaved:
+        if n_streams < 4:
+            # the reference's 4th ("extra") stream is ZERO for text tokens
+            # (llama-graph.cpp:138) — sectors routed there stay unrotated
+            zero = jnp.zeros((4 - n_streams,) + positions3.shape[1:],
+                             positions3.dtype)
+            positions3 = jnp.concatenate([positions3, zero], axis=0)
+        sel = []
+        for s in range(half):
+            if s % 3 == 1 and s < 3 * sections[1]:
+                sel.append(1)
+            elif s % 3 == 2 and s < 3 * sections[2]:
+                sel.append(2)
+            elif s % 3 == 0 and s < 3 * sections[0]:
+                sel.append(0)
+            else:
+                sel.append(3)
+    else:
+        sel = []
+        for si, n in enumerate(sections):
+            sel += [min(si, n_streams - 1)] * n
+        sel += [0] * (half - len(sel))
     sel = jnp.asarray(sel[:half], jnp.int32)  # [half]
 
     # angles per stream then gather: [3, ..., seq, half] -> [..., seq, half]

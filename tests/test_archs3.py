@@ -658,3 +658,260 @@ def test_laguna_gate_shapes_equivalent(tmp_path):
     a, b = _logits(p1), _logits(p2)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     _run(p1)
+
+
+# ---------------------------------------------------------------------------
+# jina-bert-v2 (ALiBi encoder)
+# ---------------------------------------------------------------------------
+
+def test_jina_bert_v2_numeric(tmp_path):
+    """Symmetric-ALiBi post-norm encoder with up-contains-gate GEGLU vs a
+    numpy transcription of bert.cpp's JINA_BERT_V2 branches."""
+    w = _writer("jina-bert-v2", kv=H)
+    emit, st = _emit_fn(70)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "token_types.weight", 2, E, scale=0.05)
+    emit(w, "token_embd_norm.weight", E)
+    emit(w, "token_embd_norm.bias", E, scale=0.02)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_q.weight", E, E)
+        emit(w, b + "attn_q.bias", E, scale=0.02)
+        emit(w, b + "attn_k.weight", E, E)
+        emit(w, b + "attn_k.bias", E, scale=0.02)
+        emit(w, b + "attn_v.weight", E, E)
+        emit(w, b + "attn_v.bias", E, scale=0.02)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "attn_output.bias", E, scale=0.02)
+        emit(w, b + "attn_output_norm.weight", E)
+        emit(w, b + "attn_output_norm.bias", E, scale=0.02)
+        emit(w, b + "ffn_up.weight", 2 * FF, E)  # up-contains-gate GEGLU
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "ffn_down.bias", E, scale=0.02)
+        emit(w, b + "layer_output_norm.weight", E)
+        emit(w, b + "layer_output_norm.bias", E, scale=0.02)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+
+    import jax.numpy as jnp
+
+    toks = [3, 5, 9, 2]
+    m = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    got = Context(m, n_ctx=64, n_seqs=1).embed(toks, pooling="mean")
+
+    def ln(x, g, b):
+        mu = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(v + 1e-5) * g + b
+
+    def gelu(x):
+        return 0.5 * x * (1.0 + np.tanh(
+            np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+    T = len(toks)
+    x = (st["token_embd.weight"][toks]
+         + st["token_types.weight"][0]).astype(np.float64)
+    x = ln(x, st["token_embd_norm.weight"], st["token_embd_norm.bias"])
+    n2 = 1 << (H.bit_length() - 1)
+    m0, m1 = 2.0 ** (-8.0 / n2), 2.0 ** (-4.0 / n2)
+    slopes = np.array([m0 ** (i + 1) for i in range(n2)]
+                      + [m1 ** (2 * i + 1) for i in range(H - n2)])
+    for i in range(L):
+        b = f"blk.{i}."
+        q = (x @ st[b + "attn_q.weight"].T + st[b + "attn_q.bias"])
+        k = (x @ st[b + "attn_k.weight"].T + st[b + "attn_k.bias"])
+        v = (x @ st[b + "attn_v.weight"].T + st[b + "attn_v.bias"])
+        q = q.reshape(T, H, HD)
+        k = k.reshape(T, H, HD)
+        v = v.reshape(T, H, HD)
+        ao = np.zeros((T, H, HD))
+        pos = np.arange(T)
+        for hq in range(H):
+            sc = (q[:, hq] @ k[:, hq].T) / np.sqrt(HD)
+            sc = sc - slopes[hq] * np.abs(pos[:, None] - pos[None, :])
+            pr = np.exp(sc - sc.max(-1, keepdims=True))
+            pr = pr / pr.sum(-1, keepdims=True)
+            ao[:, hq] = pr @ v[:, hq]
+        attn = (ao.reshape(T, E) @ st[b + "attn_output.weight"].T
+                + st[b + "attn_output.bias"])
+        x = ln(x + attn, st[b + "attn_output_norm.weight"],
+               st[b + "attn_output_norm.bias"])
+        up = x @ st[b + "ffn_up.weight"].T
+        h = gelu(up[:, :FF]) * up[:, FF:]
+        y = h @ st[b + "ffn_down.weight"].T + st[b + "ffn_down.bias"]
+        x = ln(x + y, st[b + "layer_output_norm.weight"],
+               st[b + "layer_output_norm.bias"])
+    want = x.mean(axis=0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# qwen3vl family (IMROPE + deepstack)
+# ---------------------------------------------------------------------------
+
+def _emit_qwen3_layers(emit, w):
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_q_norm.weight", HD, ones=True)
+        emit(w, b + "attn_k_norm.weight", HD, ones=True)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+
+
+def test_qwen3vl_text_equals_qwen3(tmp_path):
+    """Text-only IMROPE degenerates to plain NEOX rope (all three position
+    streams equal), so qwen3vl == qwen3 on identical weights — exact check
+    of the imrope wiring."""
+    outs = []
+    for arch in ("qwen3", "qwen3vl"):
+        extra = {}
+        if arch == "qwen3vl":
+            # sections chosen so no sector below half routes to the zero
+            # "extra" stream: s%3==1 -> s<3*sec1, s%3==2 -> s<3*sec2
+            extra["rope.dimension_sections"] = np.asarray(
+                [3, 3, 2, 0], np.uint32)
+        w = _writer(arch, extra_md=extra)
+        emit, _ = _emit_fn(80)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E, ones=True)
+        emit(w, "output.weight", V, E)
+        _emit_qwen3_layers(emit, w)
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        outs.append(_logits(p))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_imrope_selector_matches_reference():
+    """apply_mrope(interleaved=True) vs a transcription of the reference
+    sector rule (ggml-cpu/ops.cpp:5898-5907) with DISTINCT t/h/w streams."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.ops.rope import RopeParams, apply_mrope
+
+    rng = np.random.default_rng(0)
+    T_, Hh, D = 5, 2, 32
+    half = D // 2
+    sections = (8, 4, 4, 0)
+    x = rng.standard_normal((1, T_, Hh, D)).astype(np.float32)
+    pos3 = np.stack([np.arange(T_), 2 * np.arange(T_) + 1, 7 - np.arange(T_)])
+    got = np.asarray(apply_mrope(
+        jnp.asarray(x), jnp.asarray(pos3[:, None, :]), sections,
+        RopeParams(n_dims=D, freq_base=10000.0), interleaved=True))
+
+    want = x.copy()
+    for t in range(T_):
+        for s in range(half):  # sector rule
+            if s % 3 == 1 and s < 3 * sections[1]:
+                p = pos3[1, t]
+            elif s % 3 == 2 and s < 3 * sections[2]:
+                p = pos3[2, t]
+            elif s % 3 == 0 and s < 3 * sections[0]:
+                p = pos3[0, t]
+            else:
+                p = 0  # 4th stream is zero for text (llama-graph.cpp:138)
+            theta = p * 10000.0 ** (-2.0 * s / D)
+            c, si = np.cos(theta), np.sin(theta)
+            for hh in range(Hh):
+                x0, x1 = x[0, t, hh, s], x[0, t, hh, s + half]
+                want[0, t, hh, s] = x0 * c - x1 * si
+                want[0, t, hh, s + half] = x0 * si + x1 * c
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_qwen3vl_deepstack_zero_equals_text(tmp_path):
+    """Wide (1+n_ds)*E inputs_embeds with ZERO deepstack slices must equal
+    the plain text forward (deepstack residual wiring)."""
+    import jax.numpy as jnp
+
+    w = _writer("qwen3vl", extra_md={
+        "rope.dimension_sections": np.asarray([HD // 4, HD // 8, HD // 8, 0],
+                                              np.uint32),
+        "n_deepstack_layers": np.uint32(1),
+    })
+    emit, st = _emit_fn(81)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    _emit_qwen3_layers(emit, w)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    from llama_cpp_tpu.models.transformer import AttnInputs, forward
+
+    toks = np.asarray([PROMPT])
+    pos = np.arange(len(PROMPT))[None]
+    inputs = AttnInputs(seq_idx=jnp.asarray([0]), slots=jnp.asarray(pos),
+                        positions=jnp.asarray(pos))
+
+    def fresh_kv():
+        from llama_cpp_tpu.runtime.context import Context
+        return Context(model, n_ctx=32, n_seqs=1).kv
+
+    logits_txt, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                            inputs, fresh_kv())
+    emb = st["token_embd.weight"][PROMPT][None]  # [1, T, E]
+    wide = np.concatenate([emb, np.zeros_like(emb)], axis=-1)
+    logits_ds, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                           inputs, fresh_kv(),
+                           inputs_embeds=jnp.asarray(wide, jnp.float32))
+    np.testing.assert_allclose(np.asarray(logits_txt), np.asarray(logits_ds),
+                               rtol=1e-5, atol=1e-5)
+    # and non-zero slices change the result
+    wide2 = wide.copy()
+    wide2[..., E:] = 0.1
+    logits_nz, _ = forward(model.params, model.cfg, jnp.asarray(toks),
+                           inputs, fresh_kv(),
+                           inputs_embeds=jnp.asarray(wide2, jnp.float32))
+    assert not np.allclose(np.asarray(logits_txt), np.asarray(logits_nz))
+
+
+def test_qwen3vlmoe_and_tts(tmp_path):
+    """qwen3vlmoe structural (IMROPE + expert FFN); qwen3tts loads with the
+    audio-codebook output head."""
+    for arch in ("qwen3vlmoe", "qwen3tts"):
+        extra = {"rope.dimension_sections": np.asarray(
+            [HD // 4, HD // 8, HD // 8, 0], np.uint32)}
+        if arch == "qwen3vlmoe":
+            extra.update({"expert_count": np.uint32(4),
+                          "expert_used_count": np.uint32(2)})
+        w = _writer(arch, extra_md=extra)
+        emit, _ = _emit_fn(82)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E, ones=True)
+        emit(w, "output.weight", (48 if arch == "qwen3tts" else V), E)
+        for i in range(L):
+            b = f"blk.{i}."
+            emit(w, b + "attn_norm.weight", E, ones=True)
+            emit(w, b + "attn_q.weight", H * HD, E)
+            emit(w, b + "attn_k.weight", HKV * HD, E)
+            emit(w, b + "attn_v.weight", HKV * HD, E)
+            emit(w, b + "attn_q_norm.weight", HD, ones=True)
+            emit(w, b + "attn_k_norm.weight", HD, ones=True)
+            emit(w, b + "attn_output.weight", E, H * HD)
+            emit(w, b + "ffn_norm.weight", E, ones=True)
+            if arch == "qwen3vlmoe":
+                emit(w, b + "ffn_gate_inp.weight", 4, E)
+                emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+                emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+                emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+            else:
+                emit(w, b + "ffn_gate.weight", FF, E)
+                emit(w, b + "ffn_up.weight", FF, E)
+                emit(w, b + "ffn_down.weight", E, FF)
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        if arch == "qwen3tts":
+            model = load_model(p, prefer_quant=False)
+            ctx = Context(model, n_ctx=64, n_seqs=1)
+            logits = ctx.prefill(PROMPT, seq=0)
+            assert logits.shape[-1] == 48  # audio codebook head
+        else:
+            _run(p)
