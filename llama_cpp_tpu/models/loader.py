@@ -184,6 +184,9 @@ LAYER_TENSORS.update({
     "time_mix_k_a.weight": "time_mix_k_a",
     "time_mix_r_k.weight": "time_mix_r_k",
     "ssm_ba.weight": "ssm_ba",
+    # qwen35 deltanet: separate beta/alpha projections (qwen35.cpp:86-87)
+    "ssm_beta.weight": "ssm_beta",
+    "ssm_alpha.weight": "ssm_alpha",
     "attn_gate.weight": "attn_gate",
     # llama.cpp GGUF spelling aliases (llama-arch.cpp LLM_TENSOR_NAMES)
     "post_attention_norm.weight": "attn_post_norm",
@@ -419,13 +422,16 @@ def load_model(
             for i, lw in enumerate(layers)
             if "ssm_in" not in lw and "attn_output" not in lw
             and "shortconv_in" not in lw and "ffn_up" not in lw
+            and "ssm_beta" not in lw  # qwen35 optimized deltanet layout
             and "ffn_gate_exps" not in lw  # nemotron-h-moe MoE F-block
         ]
     if missing:
         raise ValueError(f"model load incomplete: {missing[:4]}")
     for lw in layers:
         _fold_scalar_scales(lw)
-    if fuse:
+    if fuse and not cfg.extra.get("q_gate_interleaved"):
+        # (qwen35's wq embeds a per-head gate at double width — the fused
+        # split would mis-partition it, so those archs stay unfused)
         for lw in layers:
             _fuse_projections(lw)
     if cfg.extra.get("mla_absorb"):

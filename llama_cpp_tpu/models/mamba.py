@@ -86,18 +86,33 @@ def gated_delta_layer(cfg, lw, h, mem, seq_idx, il: int):
     d_conv = ex["ssm_d_conv"]
     B_, T = h.shape[:2]
 
-    # qkvz projection, HF per-k-head interleaved ordering
-    # (modeling_qwen3_next.fix_query_key_value_ordering)
-    qkvz = matmul(h, lw["ssm_in"]).astype(jnp.float32)
-    qkvz = qkvz.reshape(B_, T, Hk, 2 * Dk + 2 * R * Dv)
-    q, k, v, z = jnp.split(qkvz, [Dk, 2 * Dk, 2 * Dk + R * Dv], axis=-1)
-    v = v.reshape(B_, T, Hv, Dv)
-    z = z.reshape(B_, T, Hv, Dv)
-    ba = matmul(h, lw["ssm_ba"]).astype(jnp.float32)
-    ba = ba.reshape(B_, T, Hk, 2 * R)
-    b, a = jnp.split(ba, 2, axis=-1)
-    b = b.reshape(B_, T, Hv)
-    a = a.reshape(B_, T, Hv)
+    if "ssm_in" in lw:
+        # legacy qkvz projection, HF per-k-head interleaved ordering
+        # (modeling_qwen3_next.fix_query_key_value_ordering)
+        qkvz = matmul(h, lw["ssm_in"]).astype(jnp.float32)
+        qkvz = qkvz.reshape(B_, T, Hk, 2 * Dk + 2 * R * Dv)
+        q, k, v, z = jnp.split(qkvz, [Dk, 2 * Dk, 2 * Dk + R * Dv], axis=-1)
+        v = v.reshape(B_, T, Hv, Dv)
+        z = z.reshape(B_, T, Hv, Dv)
+    else:
+        # optimized layout (qwen3next.cpp build_qkvz wqkv path / qwen35):
+        # one flat [q|k|v] projection + a separate z gate projection
+        qkv = matmul(h, lw["attn_qkv"]).astype(jnp.float32)
+        q, k, v = jnp.split(qkv, [key_dim, 2 * key_dim], axis=-1)
+        q = q.reshape(B_, T, Hk, Dk)
+        k = k.reshape(B_, T, Hk, Dk)
+        v = v.reshape(B_, T, Hv, Dv)
+        z = matmul(h, lw["attn_gate"]).astype(jnp.float32).reshape(
+            B_, T, Hv, Dv)
+    if "ssm_ba" in lw:
+        ba = matmul(h, lw["ssm_ba"]).astype(jnp.float32)
+        ba = ba.reshape(B_, T, Hk, 2 * R)
+        b, a = jnp.split(ba, 2, axis=-1)
+        b = b.reshape(B_, T, Hv)
+        a = a.reshape(B_, T, Hv)
+    else:  # qwen35: separate beta/alpha projections (qwen35.cpp ssm_beta)
+        b = matmul(h, lw["ssm_beta"]).astype(jnp.float32)
+        a = matmul(h, lw["ssm_alpha"]).astype(jnp.float32)
 
     # causal conv over [q;k;v] channels (silu activation)
     mixed = jnp.concatenate(

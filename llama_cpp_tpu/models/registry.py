@@ -1644,3 +1644,42 @@ def _qwen3tts(cfg: ModelConfig, md) -> ModelConfig:
     """Qwen3-TTS (reference models.h:599: pure llama_model_qwen3vl alias;
     the output head is the 3072-code audio codebook)."""
     return _qwen3vl_common(cfg, md, cfg.arch)
+
+
+def _qwen35_common(cfg: ModelConfig, md, a: str) -> ModelConfig:
+    d_inner = int(md.get(f"{a}.ssm.inner_size", 0))
+    ng = int(md.get(f"{a}.ssm.group_count", 1))
+    st = int(md.get(f"{a}.ssm.state_size", 128))
+    sec = md.get(f"{a}.rope.dimension_sections", [24, 20, 20, 0])
+    if hasattr(sec, "tolist"):
+        sec = sec.tolist()
+    cfg.extra.update(
+        memory="hybrid", ssm_version=2,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_inner=d_inner, ssm_d_state=st,
+        ssm_dt_rank=int(md.get(f"{a}.ssm.time_step_rank", 1)),
+        ssm_n_group=ng,
+        ssm_conv_dim=2 * ng * st + d_inner,
+        mrope_sections=tuple(int(x) for x in sec),
+        imrope=True,
+        q_gate_interleaved=True,
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
+
+
+@register("qwen35")
+def _qwen35(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen3.5 dense (reference src/models/qwen35.cpp): qwen3next-style
+    hybrid — gated DeltaNet linear layers (separate ssm_beta/ssm_alpha,
+    flat wqkv + z gate) every non-interval layer, gated full attention
+    (per-head [q|gate] wq) with INTERLEAVED m-rope, dense silu FFN."""
+    return _qwen35_common(cfg, md, cfg.arch)
+
+
+@register("qwen35moe")
+def _qwen35moe(cfg: ModelConfig, md) -> ModelConfig:
+    """Qwen3.5-MoE (reference src/models/qwen35moe.cpp): qwen35 hybrid with
+    the qwen3next MoE FFN (softmax top-k, normalized weights, gated shared
+    expert)."""
+    c = _qwen35_common(cfg, md, cfg.arch)
+    return c.with_(expert_weights_norm=True, n_expert_shared=1)

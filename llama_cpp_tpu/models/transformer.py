@@ -170,6 +170,15 @@ def attention_block(
         if "attn_v_bias" in lw:
             v = v + lw["attn_v_bias"]
 
+    gate_q = None
+    if (cfg.extra.get("q_gate_interleaved")
+            and q.shape[-1] == 2 * H * Dk):
+        # qwen35 gated attention (qwen35.cpp:270-298): wq emits per-head
+        # [q | gate] pairs; the sigmoid gate scales the attention output
+        qg = q.reshape(B, T, H, 2 * Dk)
+        q = qg[..., :Dk].reshape(B, T, H * Dk)
+        gate_q = qg[..., Dk:].reshape(B, T, H * Dk)
+
     clamp = cfg.extra.get("clamp_kqv", 0.0)
     if clamp:  # olmo/dbrx f_clamp_kqv on the projected q/k/v
         q = jnp.clip(q, -clamp, clamp)
@@ -412,6 +421,8 @@ def attention_block(
         # bitnet: rms-normalize the attention output before o_proj
         # (reference src/models/bitnet.cpp attn_sub_norm)
         out = rms_norm(out, lw["attn_sub_norm"], cfg.rms_eps)
+    if gate_q is not None:
+        out = out * jax.nn.sigmoid(gate_q.astype(jnp.float32)).astype(out.dtype)
     if "attn_gate" in lw:
         # attention output gate before o_proj: qwen3next/afmoe use
         # sigmoid(g_proj(x)) per element; laguna uses softplus with either a
@@ -1145,9 +1156,12 @@ def forward(
     layer_seq = params["layers"]
     n_loops = cfg.extra.get("n_loops", 1)
     phys = len(layer_seq) // max(n_loops, 1)
+    def _is_mixer(lw):  # recurrent/conv mixer layers (not attention)
+        return ("ssm_in" in lw or "shortconv_in" in lw or "ssm_ba" in lw
+                or "ssm_beta" in lw)
+
     first_attn = next(
-        (i for i, lw in enumerate(layer_seq)
-         if "ssm_in" not in lw and "shortconv_in" not in lw), 0)
+        (i for i, lw in enumerate(layer_seq) if not _is_mixer(lw)), 0)
     ha = cfg.extra.get("n_head_arr")
     hka = cfg.extra.get("n_head_kv_arr")
     for il, lw in enumerate(layer_seq):
@@ -1162,8 +1176,7 @@ def forward(
         # olmo2-style norm-after: the mixer sees the raw residual stream and
         # its output is normalized before the residual add
         h = x if cfg.norm_after else norm(cfg, x, lw, "attn_norm")
-        if ("attn_output" not in lw and "ssm_in" not in lw
-                and "shortconv_in" not in lw):
+        if "attn_output" not in lw and not _is_mixer(lw):
             # mixer-less block (nemotron-h "F" layers): the whole block is
             # one FFN on the shared norm (reference nemotron-h.cpp
             # build_ffn_layer; x = x + ffn(norm(x)))
@@ -1185,8 +1198,8 @@ def forward(
                 x = x + params["cvec"][il].astype(x.dtype)
             _tap(il, "l_out", x)
             continue
-        if "ssm_ba" in lw:
-            # qwen3next gated DeltaNet mixer (hybrid memory)
+        if "ssm_ba" in lw or "ssm_beta" in lw:
+            # qwen3next/qwen35 gated DeltaNet mixer (hybrid memory)
             from dataclasses import replace as _replace
 
             from . import mamba as _mamba

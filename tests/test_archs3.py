@@ -915,3 +915,152 @@ def test_qwen3vlmoe_and_tts(tmp_path):
             assert logits.shape[-1] == 48  # audio codebook head
         else:
             _run(p)
+
+
+# ---------------------------------------------------------------------------
+# qwen35 / qwen35moe (hybrid DeltaNet + gated attention + IMROPE)
+# ---------------------------------------------------------------------------
+
+def test_qwen35_deltanet_layouts_equivalent():
+    """The optimized qwen35 tensor layout (flat wqkv + z gate + separate
+    ssm_beta/ssm_alpha) must produce the same mixer output as qwen3next's
+    legacy interleaved ssm_in/ssm_ba built from the SAME weights."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models import mamba
+    from llama_cpp_tpu.models.config import ModelConfig
+
+    rng = np.random.default_rng(0)
+    E_, T_, B_ = 32, 6, 2
+    Dk, Hk, Hv, Dv = 8, 2, 4, 8
+    R = Hv // Hk
+    key_dim, d_inner, d_conv = Hk * Dk, Hv * Dv, 3
+
+    cfg = ModelConfig(arch="qwen35", n_embd=E_)
+    cfg.extra.update(ssm_d_state=Dk, ssm_n_group=Hk, ssm_dt_rank=Hv,
+                     ssm_d_inner=d_inner, ssm_d_conv=d_conv)
+
+    wq = rng.standard_normal((E_, key_dim)).astype(np.float32) * 0.2
+    wk = rng.standard_normal((E_, key_dim)).astype(np.float32) * 0.2
+    wv = rng.standard_normal((E_, d_inner)).astype(np.float32) * 0.2
+    wz = rng.standard_normal((E_, d_inner)).astype(np.float32) * 0.2
+    wb = rng.standard_normal((E_, Hv)).astype(np.float32) * 0.2
+    wa = rng.standard_normal((E_, Hv)).astype(np.float32) * 0.2
+
+    common = {
+        "ssm_conv1d": jnp.asarray(
+            rng.standard_normal((2 * key_dim + d_inner, d_conv)) * 0.2),
+        "ssm_dt_bias": jnp.asarray(rng.standard_normal(Hv) * 0.1),
+        "ssm_a": jnp.asarray(-np.exp(rng.standard_normal(Hv) * 0.3)),
+        "ssm_norm": jnp.asarray(1 + rng.standard_normal(Dv) * 0.02),
+        "ssm_out": jnp.asarray(
+            (rng.standard_normal((E_, d_inner)) * 0.2).astype(np.float32)),
+    }
+    # legacy interleave: per k-head [q | k | v_group | z_group]
+    win = np.concatenate([np.concatenate([
+        wq[:, g * Dk:(g + 1) * Dk], wk[:, g * Dk:(g + 1) * Dk],
+        wv[:, g * R * Dv:(g + 1) * R * Dv],
+        wz[:, g * R * Dv:(g + 1) * R * Dv]], axis=1)
+        for g in range(Hk)], axis=1)
+    # legacy ba: per k-head [beta_group | alpha_group]
+    wba = np.concatenate([np.concatenate([
+        wb[:, g * R:(g + 1) * R], wa[:, g * R:(g + 1) * R]], axis=1)
+        for g in range(Hk)], axis=1)
+
+    # dense weights are stored [O, K] (matmul computes x @ W^T)
+    lw_legacy = dict(common, ssm_in=jnp.asarray(win.T.copy()),
+                     ssm_ba=jnp.asarray(wba.T.copy()))
+    lw_opt = dict(common, attn_qkv=jnp.asarray(
+        np.concatenate([wq, wk, wv], axis=1).T.copy()),
+        attn_gate=jnp.asarray(wz.T.copy()), ssm_beta=jnp.asarray(wb.T.copy()),
+        ssm_alpha=jnp.asarray(wa.T.copy()))
+
+    class Mem:
+        conv = np.zeros((1, 2, d_conv - 1, 2 * key_dim + d_inner), np.float32)
+        ssm = np.zeros((1, 2, Dk, d_inner), np.float32)
+
+    h = jnp.asarray(rng.standard_normal((B_, T_, E_)).astype(np.float32))
+    sidx = jnp.asarray([0, 1])
+    y1, c1, s1 = mamba.gated_delta_layer(cfg, lw_legacy, h, Mem, sidx, 0)
+    y2, c2, s2 = mamba.gated_delta_layer(cfg, lw_opt, h, Mem, sidx, 0)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["qwen35", "qwen35moe"])
+def test_qwen35_hybrid(arch, tmp_path):
+    """Alternating DeltaNet/gated-attention stack loads, prefill equals
+    stepwise decode (recurrent+KV state), and generates."""
+    import jax.numpy as jnp
+
+    Dk, Hk, Hv, Dv = 8, 2, 4, 16
+    key_dim, d_inner, d_conv = Hk * Dk, Hv * Dv, 3
+    w = _writer(arch, extra_md={
+        "ssm.conv_kernel": np.uint32(d_conv),
+        "ssm.inner_size": np.uint32(d_inner),
+        "ssm.state_size": np.uint32(Dk),
+        "ssm.group_count": np.uint32(Hk),
+        "ssm.time_step_rank": np.uint32(Hv),
+        "rope.dimension_sections": np.asarray([3, 3, 2, 0], np.uint32),
+        **({"expert_count": np.uint32(4), "expert_used_count": np.uint32(2)}
+           if arch == "qwen35moe" else {}),
+    })
+    emit, _ = _emit_fn(83)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_post_norm.weight", E, ones=True)
+        if i % 2 == 0:  # DeltaNet linear layer (optimized layout)
+            emit(w, b + "attn_qkv.weight", 2 * key_dim + d_inner, E)
+            emit(w, b + "attn_gate.weight", d_inner, E)
+            emit(w, b + "ssm_conv1d.weight", 2 * key_dim + d_inner, d_conv)
+            emit(w, b + "ssm_dt.bias", Hv, scale=0.1)
+            emit(w, b + "ssm_a", Hv, scale=0.1)
+            emit(w, b + "ssm_beta.weight", Hv, E)
+            emit(w, b + "ssm_alpha.weight", Hv, E)
+            emit(w, b + "ssm_norm.weight", Dv, ones=True)
+            emit(w, b + "ssm_out.weight", E, d_inner)
+        else:  # gated full attention: wq emits per-head [q|gate]
+            emit(w, b + "attn_q.weight", 2 * H * HD, E)
+            emit(w, b + "attn_k.weight", HKV * HD, E)
+            emit(w, b + "attn_v.weight", HKV * HD, E)
+            emit(w, b + "attn_q_norm.weight", HD, ones=True)
+            emit(w, b + "attn_k_norm.weight", HD, ones=True)
+            emit(w, b + "attn_output.weight", E, H * HD)
+        if arch == "qwen35moe":
+            emit(w, b + "ffn_norm.weight", E, ones=True)
+            emit(w, b + "ffn_gate_inp.weight", 4, E)
+            emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+            emit(w, b + "ffn_gate_inp_shexp.weight", 1, E)
+            emit(w, b + "ffn_gate_shexp.weight", FF, E)
+            emit(w, b + "ffn_up_shexp.weight", FF, E)
+            emit(w, b + "ffn_down_shexp.weight", E, FF)
+        else:
+            emit(w, b + "ffn_norm.weight", E, ones=True)
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    assert model.cfg.extra["memory"] == "hybrid"
+    prompt = PROMPT
+    ctx = Context(model, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    full = np.asarray(ctx.prefill(prompt, seq=0))
+    ctx2 = Context(model, n_ctx=64, n_seqs=1, n_ubatch=1,
+                   kv_dtype=jnp.float32)
+    step = None
+    for off in range(len(prompt)):
+        step = ctx2.decode(np.asarray([[prompt[off]]]), np.asarray([0]),
+                           np.asarray([[off]]), np.asarray([0]))
+    np.testing.assert_allclose(full, np.asarray(step)[0], rtol=3e-4,
+                               atol=3e-4)
+    out = Context(model, n_ctx=64, n_seqs=1).generate(prompt, max_new_tokens=4)
+    assert len(out) >= 1
