@@ -70,6 +70,9 @@ LAYER_TENSORS = {
     "attn_kv_a_mqa.weight": "attn_kv_a_mqa",
     "attn_kv_a_norm.weight": "attn_kv_a_norm",
     "attn_kv_b.weight": "attn_kv_b",
+    # glm-dsa pre-split MLA decompression (reassembled at load)
+    "attn_k_b.weight": "attn_k_b",
+    "attn_v_b.weight": "attn_v_b",
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_gate_inp.bias": "ffn_gate_inp_bias",
     "ffn_gate_exps.weight": "ffn_gate_exps",
@@ -429,6 +432,9 @@ def load_model(
         raise ValueError(f"model load incomplete: {missing[:4]}")
     for lw in layers:
         _fold_scalar_scales(lw)
+    if cfg.extra.get("kv_lora_rank"):
+        for lw in layers:
+            _fuse_presplit_mla_kv(lw, cfg)
     if fuse and not cfg.extra.get("q_gate_interleaved"):
         # (qwen35's wq embeds a per-head gate at double width — the fused
         # split would mis-partition it, so those archs stay unfused)
@@ -444,6 +450,28 @@ def load_model(
         # its KV lines since caches allocate cfg.n_layers (logical) entries
         params["layers"] = list(layers) * n_loops
     return Model(cfg, params, tokenizer, f)
+
+
+def _fuse_presplit_mla_kv(lw: dict, cfg) -> None:
+    """glm-dsa ships the MLA decompression already split as attn_k_b
+    {nope, kv_lora, H} and attn_v_b {kv_lora, Dv, H} (glm-dsa.cpp:120-121)
+    instead of the fused attn_kv_b. Reassemble the fused layout so every
+    downstream MLA path (naive expansion AND absorbed split) is shared:
+    fused rows for head h = [k_b[h]^T (nope x C) | v_b[h] (Dv x C)]."""
+    if "attn_k_b" not in lw or "attn_kv_b" in lw:
+        return
+    kb = lw.pop("attn_k_b")
+    vb = lw.pop("attn_v_b")
+    kbd = kb.dequant(jnp.float32) if hasattr(kb, "dequant") else kb
+    vbd = vb.dequant(jnp.float32) if hasattr(vb, "dequant") else vb
+    kbd = jnp.asarray(kbd, jnp.float32)  # [H, C, nope]
+    vbd = jnp.asarray(vbd, jnp.float32)  # [H, Dv, C]
+    H = kbd.shape[0]
+    C = kbd.shape[1]
+    fused = jnp.concatenate(
+        [jnp.swapaxes(kbd, 1, 2), vbd], axis=1)  # [H, nope+Dv, C]
+    dt = getattr(cfg, "compute_dtype", None) or jnp.bfloat16
+    lw["attn_kv_b"] = fused.reshape(-1, C).astype(dt)
 
 
 def _split_mla_kv_b(lw: dict, cfg) -> None:

@@ -1683,3 +1683,35 @@ def _qwen35moe(cfg: ModelConfig, md) -> ModelConfig:
     expert)."""
     c = _qwen35_common(cfg, md, cfg.arch)
     return c.with_(expert_weights_norm=True, n_expert_shared=1)
+
+
+@register("glm-dsa")
+def _glm_dsa(cfg: ModelConfig, md) -> ModelConfig:
+    """GLM-5 DSA (reference src/models/glm-dsa.cpp): deepseek32-style MLA +
+    lightning indexer where only the "full" indexer layers (indexer_types
+    array; default GLM-5.2 pattern = every 4th after the first two) compute
+    a top-k selection — "lite" layers REUSE the previous full layer's
+    selection. MLA decompression arrives pre-split (attn_k_b/attn_v_b) and
+    is refused at load; MoE has dense-lead layers, score bias and shared
+    experts."""
+    a = cfg.arch
+    head_k = int(md.get(f"{a}.attention.key_length_mla", cfg.head_dim_k))
+    head_v = int(md.get(f"{a}.attention.value_length_mla", cfg.head_dim_v))
+    cfg.extra.update(
+        kv_lora_rank=int(md.get(f"{a}.attention.kv_lora_rank", 512)),
+        q_lora_rank=int(md.get(f"{a}.attention.q_lora_rank", 0) or 0),
+        dsa=True,
+        indexer_n_head=int(md.get(f"{a}.attention.indexer.head_count", 64)),
+        indexer_head_size=int(md.get(f"{a}.attention.indexer.key_length", 128)),
+        indexer_top_k=int(md.get(f"{a}.attention.indexer.top_k", 2048)),
+    )
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        n_kv_heads=cfg.n_heads,  # DSA keeps the naive expanded cache
+        head_dim_k=head_k, head_dim_v=head_v,
+        expert_gating="sigmoid"
+        if int(md.get(f"{a}.expert_gating_func", 2) or 2) == 2 else "softmax",
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 0),
+    )

@@ -45,6 +45,10 @@ from .config import ModelConfig
 # consulted on eager (un-jitted) forwards; None in production paths.
 _ACT_TAP = None
 
+# trace-time carry: glm-dsa lite indexer layers reuse the previous full
+# layer's top-k selection (glm-dsa.cpp prev_top_k); reset per forward
+_DSA_CARRY: dict = {"sel": None}
+
 
 def set_activation_tap(fn):
     global _ACT_TAP
@@ -537,7 +541,11 @@ def mla_attention_block(
                 else kv.pos[inputs.seq_idx])
 
     sparse_sel = None
-    if dsa:
+    if dsa and "indexer_attn_q_b" not in lw:
+        # glm-dsa "lite" indexer layers (glm-dsa.cpp:238 "shared indexer
+        # layers reuse the top_k from the previous full indexer layers")
+        sparse_sel = _DSA_CARRY.get("sel")
+    elif dsa:
         # lightning indexer (reference src/models/deepseek32.cpp:231-365):
         # score[t, s] = sum_h w[t,h] * relu(iq[t,h] . ik[s]) / sqrt(Di*Hi);
         # top-k columns per query row gate the main attention mask. The
@@ -577,6 +585,7 @@ def mla_attention_block(
         _, top_idx = jax.lax.top_k(sc, k_eff)  # [B, T, k]
         sparse_sel = jnp.any(
             jax.nn.one_hot(top_idx, S_, dtype=bool), axis=-2)  # [B, T, S]
+        _DSA_CARRY["sel"] = sparse_sel  # trace-time carry for lite layers
 
     if flash_supported(Dk, Dv, kv.n_slots) and not dsa and paged:
         from ..ops.pallas.flash_attn import mha_flash_paged
@@ -1119,6 +1128,7 @@ def forward(
 ) -> tuple[jnp.ndarray, KVCache]:
     """-> (logits [B*T or M, vocab] or hidden [., n_embd], updated KV)."""
     cdtype = cfg.compute_dtype or jnp.bfloat16
+    _DSA_CARRY["sel"] = None  # fresh per forward trace
     deepstack = None  # qwen3vl vision: [n_ds, B, T, E] per-layer residuals
     if inputs_embeds is not None:
         # pre-computed embeddings (mtmd image chunks spliced by the caller)

@@ -1064,3 +1064,119 @@ def test_qwen35_hybrid(arch, tmp_path):
                                atol=3e-4)
     out = Context(model, n_ctx=64, n_seqs=1).generate(prompt, max_new_tokens=4)
     assert len(out) >= 1
+
+
+# ---------------------------------------------------------------------------
+# glm-dsa
+# ---------------------------------------------------------------------------
+
+def test_glm_dsa_presplit_equals_deepseek32(tmp_path):
+    """glm-dsa with all-full indexers and pre-split attn_k_b/attn_v_b must
+    equal deepseek32 with the SAME math packaged as fused attn_kv_b (checks
+    the load-time reassembly exactly)."""
+    rng = np.random.default_rng(44)
+    n_rot, nope, dv, kvr, qr = 8, 8, 16, 16, 24
+    hd_k = n_rot + nope
+    Hi, Di, topk = 2, 16, 4
+    kb = (rng.standard_normal((L, H, kvr, nope)) * 0.1).astype(np.float32)
+    vb = (rng.standard_normal((L, H, dv, kvr)) * 0.1).astype(np.float32)
+
+    outs = []
+    for arch in ("deepseek32", "glm-dsa"):
+        w = _writer(arch, n_rot=n_rot, extra_md={
+            "attention.kv_lora_rank": np.uint32(kvr),
+            "attention.q_lora_rank": np.uint32(qr),
+            "attention.key_length_mla": np.uint32(hd_k),
+            "attention.value_length_mla": np.uint32(dv),
+            "attention.key_length": np.uint32(hd_k),
+            "attention.value_length": np.uint32(dv),
+            "attention.indexer.head_count": np.uint32(Hi),
+            "attention.indexer.key_length": np.uint32(Di),
+            "attention.indexer.top_k": np.uint32(topk),
+        })
+        emit, _ = _emit_fn(45)  # same seed: shared non-kv_b tensors
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E, ones=True)
+        emit(w, "output.weight", V, E)
+        for i in range(L):
+            b = f"blk.{i}."
+            emit(w, b + "attn_norm.weight", E, ones=True)
+            emit(w, b + "attn_q_a.weight", qr, E)
+            emit(w, b + "attn_q_a_norm.weight", qr, ones=True)
+            emit(w, b + "attn_q_b.weight", H * hd_k, qr)
+            emit(w, b + "attn_kv_a_mqa.weight", kvr + n_rot, E)
+            emit(w, b + "attn_kv_a_norm.weight", kvr, ones=True)
+            if arch == "glm-dsa":  # pre-split decompression
+                for nm, arr in (("attn_k_b", kb[i]), ("attn_v_b", vb[i])):
+                    w.add_tensor(f"{b}{nm}.weight", arr.tobytes(),
+                                 tuple(reversed(arr.shape)), GGMLType.F32)
+            else:  # fused rows per head: [k_b^T | v_b]
+                fused = np.concatenate(
+                    [np.swapaxes(kb[i], 1, 2), vb[i]], axis=1
+                ).reshape(H * (nope + dv), kvr)
+                w.add_tensor(b + "attn_kv_b.weight", fused.tobytes(),
+                             tuple(reversed(fused.shape)), GGMLType.F32)
+            emit(w, b + "attn_output.weight", E, H * dv)
+            emit(w, b + "indexer.proj.weight", Hi, E)
+            emit(w, b + "indexer.attn_k.weight", Di, E)
+            emit(w, b + "indexer.k_norm.weight", Di, ones=True)
+            emit(w, b + "indexer.attn_q_b.weight", Hi * Di, qr)
+            emit(w, b + "ffn_norm.weight", E, ones=True)
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        outs.append(_logits(p))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
+
+
+def test_glm_dsa_lite_indexer_reuse(tmp_path):
+    """Layer 1 has NO indexer tensors (lite) — it must reuse layer 0's
+    top-k selection and still decode."""
+    rng = np.random.default_rng(46)
+    n_rot, nope, dv, kvr, qr = 8, 8, 16, 16, 24
+    hd_k = n_rot + nope
+    Hi, Di, topk = 2, 16, 3
+    w = _writer("glm-dsa", n_rot=n_rot, extra_md={
+        "attention.kv_lora_rank": np.uint32(kvr),
+        "attention.q_lora_rank": np.uint32(qr),
+        "attention.key_length_mla": np.uint32(hd_k),
+        "attention.value_length_mla": np.uint32(dv),
+        "attention.key_length": np.uint32(hd_k),
+        "attention.value_length": np.uint32(dv),
+        "attention.indexer.head_count": np.uint32(Hi),
+        "attention.indexer.key_length": np.uint32(Di),
+        "attention.indexer.top_k": np.uint32(topk),
+    })
+    emit, _ = _emit_fn(47)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q_a.weight", qr, E)
+        emit(w, b + "attn_q_a_norm.weight", qr, ones=True)
+        emit(w, b + "attn_q_b.weight", H * hd_k, qr)
+        emit(w, b + "attn_kv_a_mqa.weight", kvr + n_rot, E)
+        emit(w, b + "attn_kv_a_norm.weight", kvr, ones=True)
+        kb = (rng.standard_normal((H, kvr, nope)) * 0.1).astype(np.float32)
+        vb = (rng.standard_normal((H, dv, kvr)) * 0.1).astype(np.float32)
+        w.add_tensor(b + "attn_k_b.weight", kb.tobytes(),
+                     tuple(reversed(kb.shape)), GGMLType.F32)
+        w.add_tensor(b + "attn_v_b.weight", vb.tobytes(),
+                     tuple(reversed(vb.shape)), GGMLType.F32)
+        emit(w, b + "attn_output.weight", E, H * dv)
+        if i == 0:  # only layer 0 carries the full indexer
+            emit(w, b + "indexer.proj.weight", Hi, E)
+            emit(w, b + "indexer.attn_k.weight", Di, E)
+            emit(w, b + "indexer.k_norm.weight", Di, ones=True)
+            emit(w, b + "indexer.attn_q_b.weight", Hi * Di, qr)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
