@@ -190,6 +190,14 @@ LAYER_TENSORS.update({
     # qwen35 deltanet: separate beta/alpha projections (qwen35.cpp:86-87)
     "ssm_beta.weight": "ssm_beta",
     "ssm_alpha.weight": "ssm_alpha",
+    # kimi-linear KDA (kimi-linear.cpp load_arch_tensors)
+    "ssm_conv1d_q.weight": "ssm_conv1d_q",
+    "ssm_conv1d_k.weight": "ssm_conv1d_k",
+    "ssm_conv1d_v.weight": "ssm_conv1d_v",
+    "ssm_f_a.weight": "ssm_f_a",
+    "ssm_f_b.weight": "ssm_f_b",
+    "ssm_g_a.weight": "ssm_g_a",
+    "ssm_g_b.weight": "ssm_g_b",
     "attn_gate.weight": "attn_gate",
     # llama.cpp GGUF spelling aliases (llama-arch.cpp LLM_TENSOR_NAMES)
     "post_attention_norm.weight": "attn_post_norm",

@@ -160,6 +160,83 @@ def gated_delta_layer(cfg, lw, h, mem, seq_idx, il: int):
     return y, new_conv, s_T
 
 
+def kda_layer(cfg, lw, h, mem, seq_idx, il: int):
+    """Kimi Delta Attention mixer (reference src/models/kimi-linear.cpp KDA
+    layer + delta-net-base.cpp build_delta_net_autoregressive; vLLM kda.py).
+    Like the qwen3next gated delta rule but with PER-CHANNEL decay:
+    S[i,j] *= exp(g[i]) with g = A_h * softplus(f_b(f_a(x)) + dt_bias), and
+    separate q/k/v causal convs. Output: rmsnorm(o) * sigmoid(g_b(g_a(x)))
+    through o_proj. -> (out, new_conv, s_T)."""
+    ex = cfg.extra
+    Dh = ex["kda_head_dim"]
+    d_conv = ex["ssm_d_conv"]
+    Hh = cfg.n_heads
+    d_inner = Hh * Dh
+    B_, T = h.shape[:2]
+
+    conv0 = mem.conv[il][seq_idx].astype(jnp.float32)  # [B, dc-1, 3*d_inner]
+    if "attn_qkv" in lw:  # load-time fused q|k|v projection
+        fused = jnp.split(matmul(h, lw["attn_qkv"]).astype(jnp.float32),
+                          3, axis=-1)
+    else:
+        fused = None
+    branches = []
+    new_conv = []
+    for j, (wn, cn) in enumerate((("attn_q", "ssm_conv1d_q"),
+                                  ("attn_k", "ssm_conv1d_k"),
+                                  ("attn_v", "ssm_conv1d_v"))):
+        xp = (fused[j] if fused is not None
+              else matmul(h, lw[wn]).astype(jnp.float32))  # [B, T, d_inner]
+        c0 = conv0[:, :, j * d_inner:(j + 1) * d_inner]
+        cx = jnp.concatenate([c0, xp], axis=1)
+        w = lw[cn].astype(jnp.float32).reshape(d_inner, d_conv)
+        xc = sum(w[:, t] * cx[:, t: t + T, :] for t in range(d_conv))
+        branches.append(jax.nn.silu(xc))
+        new_conv.append(cx[:, T:, :])
+    q, k, v = branches
+    new_conv = jnp.concatenate(new_conv, axis=-1)
+
+    eps = cfg.rms_eps
+    q = _l2norm(q.reshape(B_, T, Hh, Dh), eps)
+    k = _l2norm(k.reshape(B_, T, Hh, Dh), eps)
+    v = v.reshape(B_, T, Hh, Dh)
+
+    # per-channel decay g1 = A_h * softplus(f_b(f_a(x)) + dt_bias)
+    g1 = matmul(matmul(h, lw["ssm_f_a"]).astype(jnp.float32), lw["ssm_f_b"])
+    g1 = jax.nn.softplus(g1.astype(jnp.float32)
+                         + lw["ssm_dt_bias"].astype(jnp.float32))
+    A = lw["ssm_a"].astype(jnp.float32).reshape(-1)[:Hh]  # -exp(A_log) folded
+    g1 = g1.reshape(B_, T, Hh, Dh) * A[None, None, :, None]
+    beta = jax.nn.sigmoid(matmul(h, lw["ssm_beta"]).astype(jnp.float32))
+
+    s0 = mem.ssm[il][seq_idx].astype(jnp.float32)  # [B, Dh, d_inner]
+    s0 = s0.reshape(B_, Dh, Hh, Dh).transpose(0, 2, 1, 3)  # [B, H, i(k), j(v)]
+    qs = q * (float(Dh) ** -0.5)
+
+    def step(S, inp):
+        q_t, k_t, v_t, g_t, b_t = inp  # [B,H,Dh] x4, [B,H]
+        S = S * jnp.exp(g_t)[..., :, None]  # decay per k-channel i
+        kv_mem = jnp.einsum("bhk,bhkv->bhv", k_t, S)
+        delta = (v_t - kv_mem) * b_t[..., None]
+        S = S + k_t[..., None] * delta[..., None, :]
+        out_t = jnp.einsum("bhk,bhkv->bhv", q_t, S)
+        return S, out_t
+
+    xs = (qs.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+          v.transpose(1, 0, 2, 3), g1.transpose(1, 0, 2, 3),
+          beta.transpose(1, 0, 2))
+    s_T, outs = jax.lax.scan(step, s0, xs)
+    out = outs.transpose(1, 0, 2, 3)  # [B, T, H, Dh]
+
+    from ..ops.basic import rms_norm
+    g2 = matmul(matmul(h, lw["ssm_g_a"]).astype(jnp.float32), lw["ssm_g_b"])
+    g2 = g2.astype(jnp.float32).reshape(B_, T, Hh, Dh)
+    out = rms_norm(out, lw["ssm_norm"], eps) * jax.nn.sigmoid(g2)
+    y = matmul(out.reshape(B_, T, d_inner).astype(h.dtype), lw["attn_output"])
+    s_T = s_T.transpose(0, 2, 1, 3).reshape(B_, Dh, d_inner)
+    return y, new_conv, s_T
+
+
 def lfm2_shortconv_layer(cfg, lw, h, mem, seq_idx, il: int):
     """LFM2 short convolution mixer (reference src/models/lfm2.cpp
     build_shortconv_block): in_proj -> (B, C, x); y = C * conv(B*x);

@@ -1715,3 +1715,55 @@ def _glm_dsa(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
         n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 0),
     )
+
+
+@register("hy_v3")
+def _hy_v3(cfg: ModelConfig, md) -> ModelConfig:
+    """Hunyuan V3 (reference src/models/hy-v3.cpp): qwen3-style per-head
+    qk-norm + NEOX rope, sigmoid-routed MoE with selection bias, leading
+    dense layers, always-on shared expert; MTP nextn blocks beyond the
+    trunk are draft-only."""
+    a = cfg.arch
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX, qk_norm=True, tie_embeddings=True,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 1),
+    )
+
+
+@register("kimi-linear")
+def _kimi_linear(cfg: ModelConfig, md) -> ModelConfig:
+    """Kimi-Linear (reference src/models/kimi-linear.cpp): hybrid KDA
+    (delta rule with per-channel decay, separate q/k/v causal convs,
+    sigmoid-gated rmsnorm output) + rope-free MLA layers, with sigmoid MoE
+    and shared experts after leading dense layers."""
+    a = cfg.arch
+    head_k = int(md.get(f"{a}.attention.key_length_mla", cfg.head_dim_k))
+    head_v = int(md.get(f"{a}.attention.value_length_mla", cfg.head_dim_v))
+    kda_dh = int(md.get(f"{a}.kda.head_dim", 128))
+    d_inner = cfg.n_heads * kda_dh
+    cfg.extra.update(
+        kv_lora_rank=int(md.get(f"{a}.attention.kv_lora_rank", 512)),
+        q_lora_rank=int(md.get(f"{a}.attention.q_lora_rank", 0) or 0),
+        memory="hybrid",
+        kda_head_dim=kda_dh,
+        ssm_d_conv=int(md.get(f"{a}.ssm.conv_kernel", 4)),
+        ssm_d_state=kda_dh,
+        ssm_d_inner=d_inner,
+        ssm_conv_dim=3 * d_inner,  # separate q/k/v conv windows
+    )
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NONE,  # rope-free MLA (vLLM rotary_emb=None)
+        n_kv_heads=cfg.n_heads,  # naive MHA expansion of the MLA latent
+        head_dim_k=head_k, head_dim_v=head_v,
+        expert_gating=gating,
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 1),
+    )

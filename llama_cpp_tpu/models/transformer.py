@@ -496,8 +496,11 @@ def mla_attention_block(
     from dataclasses import replace as _rp_replace
 
     rp = _rp_replace(_rope_params(cfg, il), n_dims=n_rot)
-    q_pe = apply_rope(q_pe, inputs.positions, rp)
-    k_pe = apply_rope(k_pe, inputs.positions, rp)
+    if cfg.rope_type != ROPE_TYPE_NONE:
+        # kimi-linear MLA has NO rope at all (kimi-linear.cpp: "Kimi MLA
+        # does NOT use RoPE, rotary_emb=None in vLLM")
+        q_pe = apply_rope(q_pe, inputs.positions, rp)
+        k_pe = apply_rope(k_pe, inputs.positions, rp)
 
     # YaRN-corrected kq scale (deepseek2.cpp:26-28); 1/sqrt(Dk) without yarn
     mscale = 1.0
@@ -1168,7 +1171,7 @@ def forward(
     phys = len(layer_seq) // max(n_loops, 1)
     def _is_mixer(lw):  # recurrent/conv mixer layers (not attention)
         return ("ssm_in" in lw or "shortconv_in" in lw or "ssm_ba" in lw
-                or "ssm_beta" in lw)
+                or "ssm_beta" in lw or "ssm_f_a" in lw)
 
     first_attn = next(
         (i for i, lw in enumerate(layer_seq) if not _is_mixer(lw)), 0)
@@ -1208,7 +1211,17 @@ def forward(
                 x = x + params["cvec"][il].astype(x.dtype)
             _tap(il, "l_out", x)
             continue
-        if "ssm_ba" in lw or "ssm_beta" in lw:
+        if "ssm_f_a" in lw:
+            # kimi-linear KDA mixer (hybrid memory, per-channel decay)
+            from dataclasses import replace as _replace
+
+            from . import mamba as _mamba
+
+            attn, new_conv, s_last = _mamba.kda_layer(
+                cfg, lw, h, kv.rs, inputs.seq_idx, il)
+            attn = attn.astype(x.dtype)
+            kv = _replace(kv, rs=kv.rs.put(il, inputs.seq_idx, new_conv, s_last))
+        elif "ssm_ba" in lw or "ssm_beta" in lw:
             # qwen3next/qwen35 gated DeltaNet mixer (hybrid memory)
             from dataclasses import replace as _replace
 

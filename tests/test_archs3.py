@@ -1180,3 +1180,194 @@ def test_glm_dsa_lite_indexer_reuse(tmp_path):
     p = str(tmp_path / "m.gguf")
     w.write(p)
     _run(p)
+
+
+def test_hy_v3(tmp_path):
+    """Hunyuan V3: dense-lead + sigmoid MoE with probs bias and shared
+    expert (reference src/models/hy-v3.cpp)."""
+    w = _writer("hy_v3", extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "expert_feed_forward_length": np.uint32(FF),
+        "expert_gating_func": np.uint32(2),
+    })
+    emit, _ = _emit_fn(48)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_q_norm.weight", HD, ones=True)
+        emit(w, b + "attn_k_norm.weight", HD, ones=True)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        if i == 0:  # leading dense
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        else:
+            emit(w, b + "ffn_gate_inp.weight", 4, E)
+            emit(w, b + "exp_probs_b.bias", 4, scale=0.1)
+            emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+            emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+            emit(w, b + "ffn_gate_shexp.weight", FF, E)
+            emit(w, b + "ffn_up_shexp.weight", FF, E)
+            emit(w, b + "ffn_down_shexp.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    _run(p)
+
+
+# ---------------------------------------------------------------------------
+# kimi-linear (KDA)
+# ---------------------------------------------------------------------------
+
+def test_kimi_linear_hybrid(tmp_path):
+    """KDA + rope-free MLA hybrid: loads, prefill == stepwise decode
+    (per-channel-decay delta state + separate q/k/v conv windows + MLA KV),
+    and generates (reference src/models/kimi-linear.cpp)."""
+    import jax.numpy as jnp
+
+    kda_dh, d_conv = 16, 4
+    d_inner = H * kda_dh
+    n_rot, nope, dv, kvr = 8, 8, 16, 16
+    hd_k = n_rot + nope
+    w = _writer("kimi-linear", n_rot=n_rot, heads=H, kv=[0, H], extra_md={
+        "attention.kv_lora_rank": np.uint32(kvr),
+        "attention.key_length_mla": np.uint32(hd_k),
+        "attention.value_length_mla": np.uint32(dv),
+        "kda.head_dim": np.uint32(kda_dh),
+        "ssm.conv_kernel": np.uint32(d_conv),
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "expert_feed_forward_length": np.uint32(FF),
+    })
+    emit, _ = _emit_fn(49)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    # layer 0: KDA
+    b = "blk.0."
+    emit(w, b + "attn_norm.weight", E, ones=True)
+    emit(w, b + "attn_q.weight", d_inner, E)
+    emit(w, b + "attn_k.weight", d_inner, E)
+    emit(w, b + "attn_v.weight", d_inner, E)
+    for cn in ("ssm_conv1d_q", "ssm_conv1d_k", "ssm_conv1d_v"):
+        emit(w, b + cn + ".weight", d_inner, 1, d_conv)
+    emit(w, b + "ssm_f_a.weight", kda_dh, E)
+    emit(w, b + "ssm_f_b.weight", d_inner, kda_dh)
+    emit(w, b + "ssm_beta.weight", H, E)
+    arr = -np.exp(np.random.default_rng(1).standard_normal((H, 1)) * 0.3
+                  ).astype(np.float32)
+    w.add_tensor(b + "ssm_a", arr.tobytes(), tuple(reversed(arr.shape)),
+                 GGMLType.F32)
+    emit(w, b + "ssm_dt.bias", d_inner, scale=0.1)
+    emit(w, b + "ssm_g_a.weight", kda_dh, E)
+    emit(w, b + "ssm_g_b.weight", d_inner, kda_dh)
+    emit(w, b + "ssm_norm.weight", kda_dh, ones=True)
+    emit(w, b + "attn_output.weight", E, d_inner)
+    emit(w, b + "ffn_norm.weight", E, ones=True)
+    emit(w, b + "ffn_gate.weight", FF, E)
+    emit(w, b + "ffn_up.weight", FF, E)
+    emit(w, b + "ffn_down.weight", E, FF)
+    # layer 1: rope-free MLA + MoE
+    b = "blk.1."
+    emit(w, b + "attn_norm.weight", E, ones=True)
+    emit(w, b + "attn_q.weight", H * hd_k, E)
+    emit(w, b + "attn_kv_a_mqa.weight", kvr + n_rot, E)
+    emit(w, b + "attn_kv_a_norm.weight", kvr, ones=True)
+    emit(w, b + "attn_kv_b.weight", H * (nope + dv), kvr)
+    emit(w, b + "attn_output.weight", E, H * dv)
+    emit(w, b + "ffn_norm.weight", E, ones=True)
+    emit(w, b + "ffn_gate_inp.weight", 4, E)
+    emit(w, b + "exp_probs_b.bias", 4, scale=0.1)
+    emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+    emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+    emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+    emit(w, b + "ffn_gate_shexp.weight", FF, E)
+    emit(w, b + "ffn_up_shexp.weight", FF, E)
+    emit(w, b + "ffn_down_shexp.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    assert model.cfg.extra["memory"] == "hybrid"
+    prompt = PROMPT + [11, 13]
+    ctx = Context(model, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    full = np.asarray(ctx.prefill(prompt, seq=0))
+    ctx2 = Context(model, n_ctx=64, n_seqs=1, n_ubatch=1,
+                   kv_dtype=jnp.float32)
+    step = None
+    for off in range(len(prompt)):
+        step = ctx2.decode(np.asarray([[prompt[off]]]), np.asarray([0]),
+                           np.asarray([[off]]), np.asarray([0]))
+    np.testing.assert_allclose(full, np.asarray(step)[0], rtol=3e-4,
+                               atol=3e-4)
+    out = Context(model, n_ctx=64, n_seqs=1).generate(PROMPT,
+                                                      max_new_tokens=4)
+    assert len(out) >= 1
+
+
+def test_kda_per_channel_decay_matters():
+    """KDA's decay is per (head, k-channel): a g1 varying across channels
+    must produce different output than its per-head mean (distinguishes KDA
+    from the qwen3next per-head rule)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models import mamba
+    from llama_cpp_tpu.models.config import ModelConfig
+
+    rng = np.random.default_rng(2)
+    E_, Hh, Dh, dc = 32, 2, 8, 3
+    d_inner = Hh * Dh
+    cfg = ModelConfig(arch="kimi-linear", n_embd=E_, n_heads=Hh)
+    cfg.extra.update(kda_head_dim=Dh, ssm_d_conv=dc)
+
+    def mk(seed, fb_scale):
+        r = np.random.default_rng(seed)
+        lw = {
+            "attn_q": jnp.asarray(r.standard_normal((d_inner, E_)) * .2,
+                                  jnp.float32),
+            "attn_k": jnp.asarray(r.standard_normal((d_inner, E_)) * .2,
+                                  jnp.float32),
+            "attn_v": jnp.asarray(r.standard_normal((d_inner, E_)) * .2,
+                                  jnp.float32),
+            "ssm_conv1d_q": jnp.asarray(
+                r.standard_normal((d_inner, dc)) * .2, jnp.float32),
+            "ssm_conv1d_k": jnp.asarray(
+                r.standard_normal((d_inner, dc)) * .2, jnp.float32),
+            "ssm_conv1d_v": jnp.asarray(
+                r.standard_normal((d_inner, dc)) * .2, jnp.float32),
+            "ssm_f_a": jnp.asarray(r.standard_normal((Dh, E_)) * .2,
+                                   jnp.float32),
+            "ssm_f_b": jnp.asarray(
+                r.standard_normal((d_inner, Dh)) * fb_scale, jnp.float32),
+            "ssm_beta": jnp.asarray(r.standard_normal((Hh, E_)) * .2,
+                                    jnp.float32),
+            "ssm_a": jnp.asarray(-np.ones((Hh,)), jnp.float32),
+            "ssm_dt_bias": jnp.asarray(r.standard_normal(d_inner) * .1,
+                                       jnp.float32),
+            "ssm_g_a": jnp.asarray(r.standard_normal((Dh, E_)) * .2,
+                                   jnp.float32),
+            "ssm_g_b": jnp.asarray(r.standard_normal((d_inner, Dh)) * .2,
+                                   jnp.float32),
+            "ssm_norm": jnp.asarray(np.ones(Dh), jnp.float32),
+            "attn_output": jnp.asarray(
+                r.standard_normal((E_, d_inner)) * .2, jnp.float32),
+        }
+        return lw
+
+    class Mem:
+        conv = np.zeros((1, 1, dc - 1, 3 * d_inner), np.float32)
+        ssm = np.zeros((1, 1, Dh, d_inner), np.float32)
+
+    h = jnp.asarray(rng.standard_normal((1, 5, E_)), jnp.float32)
+    lw = mk(7, 0.5)
+    y1, _, s1 = mamba.kda_layer(cfg, lw, h, Mem, jnp.asarray([0]), 0)
+    assert np.isfinite(np.asarray(y1)).all()
+    # flatten g1 channel variation away -> different result
+    lw2 = dict(lw, ssm_f_b=jnp.asarray(np.zeros((d_inner, Dh)), jnp.float32))
+    y2, _, _ = mamba.kda_layer(cfg, lw2, h, Mem, jnp.asarray([0]), 0)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
