@@ -73,6 +73,26 @@ LAYER_TENSORS = {
     # glm-dsa pre-split MLA decompression (reassembled at load)
     "attn_k_b.weight": "attn_k_b",
     "attn_v_b.weight": "attn_v_b",
+    # DeepSeek-V4 (deepseek4.cpp load_arch_tensors)
+    "attn_kv.weight": "attn_kv",
+    "attn_output_a.weight": "attn_output_a",
+    "attn_output_b.weight": "attn_output_b",
+    "hc_attn_fn.weight": "hc_attn_fn",
+    "hc_attn_base.weight": "hc_attn_base",
+    "hc_attn_scale.weight": "hc_attn_scale",
+    "hc_ffn_fn.weight": "hc_ffn_fn",
+    "hc_ffn_base.weight": "hc_ffn_base",
+    "hc_ffn_scale.weight": "hc_ffn_scale",
+    "attn_compressor_kv.weight": "attn_comp_wkv",
+    "attn_compressor_gate.weight": "attn_comp_wgate",
+    "attn_compressor_ape.weight": "attn_comp_ape",
+    "attn_compressor_norm.weight": "attn_comp_norm",
+    "indexer_compressor_kv.weight": "indexer_comp_wkv",
+    "indexer_compressor_gate.weight": "indexer_comp_wgate",
+    "indexer_compressor_ape.weight": "indexer_comp_ape",
+    "indexer_compressor_norm.weight": "indexer_comp_norm",
+    "ffn_gate_tid2eid.weight": "ffn_gate_tid2eid",
+    "exp_probs_b": "exp_probs_b",
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_gate_inp.bias": "ffn_gate_inp_bias",
     "ffn_gate_exps.weight": "ffn_gate_exps",
@@ -218,6 +238,10 @@ GLOBAL_TENSORS = {
     "output.bias": "output_bias",
     "rope_freqs.weight": "rope_factors",
     "fc.weight": "fc",  # EAGLE3 feature-fusion encoder (llama-arch.cpp:618)
+    # DeepSeek-V4 hyper-connection head (llama-arch.cpp:469-471)
+    "output_hc_fn.weight": "hc_head_fn",
+    "output_hc_base.weight": "hc_head_base",
+    "output_hc_scale.weight": "hc_head_scale",
     "enc.output_norm.weight": "enc_output_norm",  # eagle3 norm_before_fc
     "token_types.weight": "token_types",
     "cls.weight": "cls",
@@ -245,8 +269,13 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "time_mix_w2", "channel_mix_lerp_k", "channel_mix_lerp_r",
                "attn_output_norm", "attn_output_norm_bias",
                "layer_output_norm", "layer_output_norm_bias", "token_types",
-               "cls_bias", "cls_out_bias"
-    "attn_rel_b",}
+               "cls_bias", "cls_out_bias",
+               # DSV4 hyper-connections / compressor small tensors
+               "hc_attn_scale", "hc_attn_base", "hc_ffn_scale", "hc_ffn_base",
+               "hc_head_scale", "hc_head_base", "attn_comp_ape",
+               "attn_comp_norm", "indexer_comp_ape", "indexer_comp_norm",
+               "ffn_gate_tid2eid",
+               "attn_rel_b"}
 
 
 class Model:
@@ -275,6 +304,10 @@ class Model:
                     return t5.t5_encode(params, cfg, tokens), kv
                 return enc_only
             return t5.t5_forward
+        if self.cfg.extra.get("dsv4"):
+            from . import deepseek4
+
+            return deepseek4.forward
         if self.cfg.extra.get("rwkv"):
             from . import rwkv
 
@@ -416,6 +449,8 @@ def load_model(
         req = ("attn_norm", "attn_output")  # phi2: one norm feeds both branches
     elif cfg.norm_after:
         req = ("attn_output", "attn_post_norm", "ffn_post_norm")
+    elif cfg.extra.get("dsv4"):
+        req = ("attn_norm", "attn_kv", "hc_attn_fn")
     elif cfg.extra.get("n_head_arr") is not None:
         req = ()  # deci/openelm: per-layer head arrays allow partial blocks
     else:

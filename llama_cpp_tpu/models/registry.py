@@ -1767,3 +1767,48 @@ def _kimi_linear(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
         n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 1),
     )
+
+
+@register("deepseek4")
+def _deepseek4(cfg: ModelConfig, md) -> ModelConfig:
+    """DeepSeek-V4 (reference src/models/deepseek4.cpp + the DSV4 cache):
+    hyper-connection residual streams, single-latent k==v attention with
+    grouped low-rank o-projection and output de-rope, per-layer compressed
+    KV (CSA ratio 4 with lightning-indexer top-k; HCA ratio 128) over a raw
+    SWA window, sqrt-softplus MoE with hash-routed leading layers."""
+    a = cfg.arch
+    ratios = md.get(f"{a}.attention.compress_ratios")
+    if ratios is None:
+        ratios = [4] * cfg.n_layers
+    if hasattr(ratios, "tolist"):
+        ratios = ratios.tolist()
+    cfg.extra.update(
+        dsv4=True,
+        compress_ratios=tuple(int(r) for r in ratios)[: cfg.n_layers],
+        hc_mult=int(md.get(f"{a}.hyper_connection.count", 4)),
+        hc_sinkhorn_iters=int(
+            md.get(f"{a}.hyper_connection.sinkhorn_iterations", 3)),
+        hc_eps=float(md.get(f"{a}.hyper_connection.epsilon", 1e-4)),
+        o_group_count=int(md.get(f"{a}.attention.output_group_count", 1)),
+        o_lora_rank=int(md.get(f"{a}.attention.output_lora_rank", 0) or 0),
+        q_lora_rank=int(md.get(f"{a}.attention.q_lora_rank", 0) or 0),
+        compress_rope_base=float(
+            md.get(f"{a}.attention.compress_rope_freq_base",
+                   cfg.rope_freq_base)),
+        hash_layer_count=int(md.get(f"{a}.hash_layer_count", 0) or 0),
+        indexer_n_head=int(md.get(f"{a}.attention.indexer.head_count", 1)),
+        indexer_head_size=int(md.get(f"{a}.attention.indexer.key_length", 64)),
+        indexer_top_k=int(md.get(f"{a}.attention.indexer.top_k", 2048)),
+    )
+    gating = int(md.get(f"{a}.expert_gating_func", 4) or 4)
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        n_kv_heads=1,  # single shared latent, k == v
+        head_dim_v=cfg.head_dim_k,
+        expert_gating={1: "softmax", 2: "sigmoid"}.get(gating,
+                                                       "sqrtsoftplus"),
+        expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", True)),
+        expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
+        n_expert_shared=int(md.get(f"{a}.expert_shared_count", 1) or 1),
+        tie_embeddings=True,
+    )

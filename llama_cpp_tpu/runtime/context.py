@@ -93,6 +93,7 @@ class Context:
             paged = (self.cfg.extra.get("memory", "attn") == "attn"
                      and not self.cfg.extra.get("dsa")
                      and not self.cfg.extra.get("msa")
+                     and not self.cfg.extra.get("dsv4")
                      and not self.enc_dec)
         self.paged = paged
         self.alloc = None
@@ -144,7 +145,9 @@ class Context:
         ckvh = self.cfg.extra.get("cache_n_kv_heads", self.cfg.n_kv_heads)
         cdk = self.cfg.extra.get("cache_head_dim_k", self.cfg.head_dim_k)
         cdv = self.cfg.extra.get("cache_head_dim_v", self.cfg.head_dim_v)
-        use_paged = (paged if paged is not None else self.paged) and n_slots is None
+        use_paged = ((paged if paged is not None else self.paged)
+                     and n_slots is None
+                     and not self.cfg.extra.get("dsv4"))
         is_iswa = (self.cfg.sliding_window > 0 and self.cfg.swa_pattern > 0
                    and not self.cfg.extra.get("encoder"))
         if use_paged and not is_iswa:
@@ -162,6 +165,17 @@ class Context:
                 quantized=self._kv_quant,
                 page=self.page,
             )
+        if self.cfg.extra.get("dsv4"):
+            # DSV4: raw latent cache (k==v, 1 head) + compressor-activation
+            # caches (k = kv acts, v = score acts) for CSA/HCA + indexer
+            from .memory import DSV4Memory
+
+            dh = self.cfg.head_dim_k
+            di = self.cfg.extra.get("indexer_head_size", 64)
+            mk = lambda dk: KVCache.create(  # noqa: E731
+                self.cfg.n_layers, n_seqs or self.n_seqs,
+                n_slots or self.n_slots, 1, dk, dk, dtype=self._kv_dtype)
+            return DSV4Memory(raw=mk(dh), comp=mk(2 * dh), lid=mk(2 * di))
         if self.cfg.extra.get("dsa") or self.cfg.extra.get("msa"):
             # two synced caches: main KV + indexer keys (reference
             # llama_kv_cache_dsa / llama_kv_cache_msa)

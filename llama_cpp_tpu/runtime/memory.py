@@ -157,3 +157,47 @@ class DSAMemory:
     def seq_cp(self, dst: int, src: int) -> "DSAMemory":
         return replace(self, kv=self.kv.seq_cp(dst, src),
                        idx=self.idx.seq_cp(dst, src))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DSV4Memory:
+    """DeepSeek-V4 memory (reference llama_kv_cache_dsv4): a raw latent
+    cache (k == v, one head) plus per-token COMPRESSOR-ACTIVATION caches
+    for the CSA/HCA compressors and the lightning indexer. The reference
+    keeps ratio-sized ring states with rollback planes; we keep the full
+    activation history (slot == pos) and rebuild compressed rows inside
+    the traced step — same committed rows, no host bookkeeping."""
+
+    raw: "object"   # KVCache, 1 head, head_dim latent (k == v)
+    comp: "object"  # KVCache: k = compressor kv acts, v = score acts
+    lid: "object"   # KVCache: indexer compressor acts (CSA layers)
+
+    def tree_flatten(self):
+        return (self.raw, self.comp, self.lid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def pos(self):
+        return self.raw.pos
+
+    @property
+    def quantized(self) -> bool:
+        return self.raw.quantized
+
+    @property
+    def n_slots(self) -> int:
+        return self.raw.n_slots
+
+    def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30) -> "DSV4Memory":
+        return replace(self, raw=self.raw.seq_rm(seq, p0, p1),
+                       comp=self.comp.seq_rm(seq, p0, p1),
+                       lid=self.lid.seq_rm(seq, p0, p1))
+
+    def seq_cp(self, dst: int, src: int) -> "DSV4Memory":
+        return replace(self, raw=self.raw.seq_cp(dst, src),
+                       comp=self.comp.seq_cp(dst, src),
+                       lid=self.lid.seq_cp(dst, src))

@@ -1371,3 +1371,182 @@ def test_kda_per_channel_decay_matters():
     lw2 = dict(lw, ssm_f_b=jnp.asarray(np.zeros((d_inner, Dh)), jnp.float32))
     y2, _, _ = mamba.kda_layer(cfg, lw2, h, Mem, jnp.asarray([0]), 0)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+# ---------------------------------------------------------------------------
+# deepseek4 (DSV4)
+# ---------------------------------------------------------------------------
+
+def _make_dsv4(tmp_path, seed=90, ratios=(4, 8), window=16):
+    """Tiny DeepSeek-V4: layer0 = CSA (overlapped compression + lightning
+    indexer), layer1 = HCA-style non-overlap compression (small ratio so the
+    path is exercised at test sizes), hash routing on layer0."""
+    hc, G, olr, qr = 4, 2, 8, 24
+    Dh, rot = 16, 8
+    Hi, Di = 2, 16
+    w = _writer("deepseek4", n_rot=rot, extra_md={
+        "attention.key_length": np.uint32(Dh),
+        "attention.value_length": np.uint32(Dh),
+        "attention.q_lora_rank": np.uint32(qr),
+        "attention.output_group_count": np.uint32(G),
+        "attention.output_lora_rank": np.uint32(olr),
+        "attention.compress_ratios": np.asarray(ratios, np.uint32),
+        "attention.compress_rope_freq_base": np.float32(10000.0),
+        "attention.sliding_window": np.uint32(window),
+        "attention.indexer.head_count": np.uint32(Hi),
+        "attention.indexer.key_length": np.uint32(Di),
+        "attention.indexer.top_k": np.uint32(3),
+        "hyper_connection.count": np.uint32(hc),
+        "hyper_connection.sinkhorn_iterations": np.uint32(3),
+        "hyper_connection.epsilon": np.float32(1e-4),
+        "hash_layer_count": np.uint32(1),
+        "expert_count": np.uint32(4),
+        "expert_used_count": np.uint32(2),
+        "expert_feed_forward_length": np.uint32(FF),
+        "expert_gating_func": np.uint32(4),
+    })
+    emit, st = _emit_fn(seed)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output.weight", V, E)
+    emit(w, "output_hc_fn.weight", hc, hc * E)
+    emit(w, "output_hc_base.weight", hc, scale=0.1)
+    emit(w, "output_hc_scale.weight", 1, scale=0.5)
+    rng = np.random.default_rng(seed + 1)
+    for i, ratio in enumerate(ratios):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "attn_sinks.weight", H, scale=0.2)
+        emit(w, b + "attn_q_a.weight", qr, E)
+        emit(w, b + "attn_q_a_norm.weight", qr, ones=True)
+        emit(w, b + "attn_q_b.weight", H * Dh, qr)
+        emit(w, b + "attn_kv.weight", Dh, E)
+        emit(w, b + "attn_kv_a_norm.weight", Dh, ones=True)
+        # grouped o-lora: gguf {o_group_dim, o_lora, G} -> numpy [G, olr, gd]
+        gd = (H // G) * Dh
+        arr = (rng.standard_normal((G, olr, gd)) / np.sqrt(gd)).astype(
+            np.float32)
+        w.add_tensor(b + "attn_output_a.weight", arr.tobytes(),
+                     tuple(reversed(arr.shape)), GGMLType.F32)
+        st[b + "attn_output_a.weight"] = arr
+        emit(w, b + "attn_output_b.weight", E, G * olr)
+        for half in ("attn", "ffn"):
+            emit(w, b + f"hc_{half}_fn.weight", (2 + hc) * hc, hc * E)
+            emit(w, b + f"hc_{half}_base.weight", (2 + hc) * hc, scale=0.1)
+            emit(w, b + f"hc_{half}_scale.weight", 3, scale=0.5)
+        coff = 2 if ratio == 4 else 1
+        emit(w, b + "attn_compressor_kv.weight", coff * Dh, E)
+        emit(w, b + "attn_compressor_gate.weight", coff * Dh, E)
+        ape = (rng.standard_normal((ratio, coff * Dh)) * 0.2).astype(
+            np.float32)
+        w.add_tensor(b + "attn_compressor_ape.weight", ape.tobytes(),
+                     tuple(reversed(ape.shape)), GGMLType.F32)
+        emit(w, b + "attn_compressor_norm.weight", Dh, ones=True)
+        if ratio == 4:  # CSA: lightning indexer over compressed lid rows
+            emit(w, b + "indexer_compressor_kv.weight", 2 * Di, E)
+            emit(w, b + "indexer_compressor_gate.weight", 2 * Di, E)
+            iape = (rng.standard_normal((ratio, 2 * Di)) * 0.2).astype(
+                np.float32)
+            w.add_tensor(b + "indexer_compressor_ape.weight", iape.tobytes(),
+                         tuple(reversed(iape.shape)), GGMLType.F32)
+            emit(w, b + "indexer_compressor_norm.weight", Di, ones=True)
+            emit(w, b + "indexer.proj.weight", Hi, E)
+            emit(w, b + "indexer.attn_q_b.weight", Hi * Di, qr)
+        emit(w, b + "ffn_gate_inp.weight", 4, E)
+        if i == 0:  # hash-routed layer: token id -> expert ids
+            t2e = (np.arange(V * 2) % 4).reshape(V, 2).astype(np.float32)
+            w.add_tensor(b + "ffn_gate_tid2eid.weight", t2e.tobytes(),
+                         tuple(reversed(t2e.shape)), GGMLType.F32)
+        else:
+            emit(w, b + "exp_probs_b.bias", 4, scale=0.1)
+        emit(w, b + "ffn_gate_exps.weight", 4, FF, E)
+        emit(w, b + "ffn_up_exps.weight", 4, FF, E)
+        emit(w, b + "ffn_down_exps.weight", 4, E, FF)
+        emit(w, b + "ffn_gate_shexp.weight", FF, E)
+        emit(w, b + "ffn_up_shexp.weight", FF, E)
+        emit(w, b + "ffn_down_shexp.weight", E, FF)
+    p = str(tmp_path / "dsv4.gguf")
+    w.write(p)
+    return p
+
+
+def test_dsv4_sinkhorn_doubly_stochastic():
+    """Sinkhorn output: every src row and dst column sums to ~1 (matching
+    deepseek4.cpp build_hc_sinkhorn semantics)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models.deepseek4 import _hc_sinkhorn
+
+    rng = np.random.default_rng(0)
+    comb = jnp.asarray(rng.standard_normal((2, 3, 4, 4)), jnp.float32)
+    out = np.asarray(_hc_sinkhorn(comb, 6, 1e-6))
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=2e-3)  # over dst
+    np.testing.assert_allclose(out.sum(-2), 1.0, atol=2e-3)  # over src
+
+
+def test_dsv4_compress_blocks_reference():
+    """_compress_blocks vs a naive per-block transcription of
+    build_overlap_compressed_kv_from_state (prev-half of block b-1 +
+    cur-half of block b, softmax-weighted sum; first block's prev window
+    is the zero/-inf synthetic row)."""
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models.deepseek4 import _compress_blocks
+
+    rng = np.random.default_rng(1)
+    ratio, Dh, S = 4, 8, 16
+    kv = rng.standard_normal((S, 2 * Dh)).astype(np.float32)
+    sc = rng.standard_normal((S, 2 * Dh)).astype(np.float32)
+    pos = np.arange(S, dtype=np.int32)
+    comp, valid = _compress_blocks(jnp.asarray(kv), jnp.asarray(sc),
+                                   jnp.asarray(pos), ratio, True, Dh)
+    assert valid.all()
+    NB = S // ratio
+    for b in range(NB):
+        vals, scs = [], []
+        if b == 0:
+            vals.append(np.zeros((ratio, Dh)))
+            scs.append(np.full((ratio, Dh), -np.inf))
+        else:
+            vals.append(kv[(b - 1) * ratio: b * ratio, :Dh])
+            scs.append(sc[(b - 1) * ratio: b * ratio, :Dh])
+        vals.append(kv[b * ratio: (b + 1) * ratio, Dh:])
+        scs.append(sc[b * ratio: (b + 1) * ratio, Dh:])
+        vals = np.concatenate(vals)
+        scs = np.concatenate(scs)
+        e = np.exp(scs - scs.max(0, keepdims=True))
+        wgt = np.where(np.isfinite(scs), e, 0.0)
+        wgt = wgt / wgt.sum(0, keepdims=True)
+        want = (vals * wgt).sum(0)
+        np.testing.assert_allclose(np.asarray(comp)[b], want, rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_deepseek4_prefill_equals_stepwise(tmp_path):
+    """The whole DSV4 stack — hyper-connections, CSA with indexer, HCA-style
+    compression, hash MoE — must give identical logits from one prefill and
+    from one-token-at-a-time decode (proves the activation-cache compression
+    recompute is block-boundary-correct across decode)."""
+    import jax.numpy as jnp
+
+    p = _make_dsv4(tmp_path)
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    assert model.cfg.extra["dsv4"]
+    prompt = [3, 5, 9, 2, 7, 11, 13, 4, 8, 6, 1, 12, 10, 14]  # crosses blocks
+    ctx = Context(model, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    full = np.asarray(ctx.prefill(prompt, seq=0))
+    ctx2 = Context(model, n_ctx=64, n_seqs=1, n_ubatch=1,
+                   kv_dtype=jnp.float32)
+    step = None
+    for off in range(len(prompt)):
+        step = ctx2.decode(np.asarray([[prompt[off]]]), np.asarray([0]),
+                           np.asarray([[off]]), np.asarray([0]))
+    np.testing.assert_allclose(full, np.asarray(step)[0], rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_deepseek4_generates(tmp_path):
+    p = _make_dsv4(tmp_path, seed=91)
+    out = _run(p)
+    assert len(out) >= 1
