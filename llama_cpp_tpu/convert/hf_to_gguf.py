@@ -165,10 +165,14 @@ def convert_hf_model(
         "modernbert": "modern-bert",
         "qwen2_vl": "qwen2vl",
         "qwen2_5_vl": "qwen2vl",
+        "gemma3n_text": "gemma3n",
     }.get(mtype)
     if arch is None:
         raise NotImplementedError(f"convert: model_type {mtype}")
 
+    if arch == "gemma3n":
+        return _convert_gemma3n(model, out_path, ftype, tokenizer,
+                                vocab_override)
     if arch == "mamba":
         return _convert_mamba(model, out_path, ftype, tokenizer, vocab_override)
     if arch == "mamba2":
@@ -614,6 +618,142 @@ def convert_hf_model(
 
     w.write(out_path)
     return out_path
+
+
+
+
+def _convert_gemma3n(model, out_path: str, ftype: str, tokenizer=None,
+                     vocab_override=None) -> str:
+    """Gemma 3n HF -> GGUF (altup/laurel/per-layer-embd tensor zoo of
+    reference llama-arch.cpp:483-497; hparams gemma3n.cpp:3-21)."""
+    from statistics import NormalDist
+
+    cfg = model.config
+    if hasattr(cfg, "text_config"):
+        cfg = cfg.text_config
+    n_embd = cfg.hidden_size
+    head_dim = cfg.head_dim
+    L = cfg.num_hidden_layers
+    inter = cfg.intermediate_size
+    inter0 = inter[0] if isinstance(inter, (list, tuple)) else inter
+    layer_types = list(getattr(cfg, "layer_types", []) or [])
+    # swa period: index of the first full-attention layer + 1
+    pattern = 5
+    for i, t in enumerate(layer_types):
+        if t == "full_attention":
+            pattern = i + 1
+            break
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "gemma3n")
+    w.add(Keys.General.NAME, getattr(cfg, "name_or_path", "") or "gemma3n")
+    w.add(Keys.General.FILE_TYPE, np.uint32(_FTYPE_ID[ftype]))
+    P = "gemma3n."
+    w.add(P + "block_count", np.uint32(L))
+    w.add(P + "context_length",
+          np.uint32(getattr(cfg, "max_position_embeddings", 32768)))
+    w.add(P + "embedding_length", np.uint32(n_embd))
+    w.add(P + "feed_forward_length", np.uint32(inter0))
+    w.add(P + "attention.head_count", np.uint32(cfg.num_attention_heads))
+    w.add(P + "attention.head_count_kv", np.uint32(cfg.num_key_value_heads))
+    w.add(P + "attention.key_length", np.uint32(head_dim))
+    w.add(P + "attention.value_length", np.uint32(head_dim))
+    w.add(P + "attention.layer_norm_rms_epsilon", float(cfg.rms_norm_eps))
+    w.add(P + "attention.sliding_window", np.uint32(cfg.sliding_window))
+    w.add(P + "attention.sliding_window_pattern", np.uint32(pattern))
+    w.add(P + "attention.shared_kv_layers",
+          np.uint32(getattr(cfg, "num_kv_shared_layers", 0)))
+    w.add(P + "rope.freq_base", float(cfg.rope_theta))
+    w.add(P + "rope.freq_base_swa",
+          float(getattr(cfg, "rope_local_base_freq", 10000.0)))
+    w.add(P + "rope.dimension_count", np.uint32(head_dim))
+    w.add(P + "vocab_size", np.uint32(cfg.vocab_size))
+    w.add(P + "altup.num_inputs", np.uint32(cfg.altup_num_inputs))
+    w.add(P + "altup.active_idx", np.uint32(cfg.altup_active_idx))
+    w.add(P + "embedding_length_per_layer_input",
+          np.uint32(cfg.hidden_size_per_layer_input))
+    sp = list(getattr(cfg, "activation_sparsity_pattern", None)
+              or [0.0] * L)
+    nd = NormalDist()
+    w.add(P + "activation_sparsity_scale",
+          np.asarray([nd.inv_cdf(v) if v > 0 else 0.0 for v in sp],
+                     dtype=np.float32))
+    if getattr(cfg, "final_logit_softcapping", None):
+        w.add(P + "final_logit_softcapping",
+              float(cfg.final_logit_softcapping))
+    if tokenizer is not None:
+        _add_vocab_from_hf_tokenizer(w, tokenizer)
+    elif vocab_override:
+        w.add_all(vocab_override)
+
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in model.state_dict().items()}
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def get(name):
+        return sd[pre + name]
+
+    _emit(w, "token_embd.weight", get("embed_tokens.weight"), ftype)
+    _emit(w, "per_layer_token_embd.weight",
+          get("embed_tokens_per_layer.weight"), ftype)
+    _emit(w, "per_layer_model_proj.weight",
+          get("per_layer_model_projection.weight"), ftype)
+    _emit(w, "per_layer_proj_norm.weight",
+          get("per_layer_projection_norm.weight"), ftype)
+    A = cfg.altup_num_inputs
+    _emit(w, "altup_proj.weight",
+          np.stack([get(f"altup_projections.{i}.weight")
+                    for i in range(A - 1)]), ftype)
+    _emit(w, "altup_unembd_proj.weight",
+          np.stack([get(f"altup_unembed_projections.{i}.weight")
+                    for i in range(A - 1)]), ftype)
+    _emit(w, "output_norm.weight", get("norm.weight"), ftype)
+
+    for i in range(L):
+        p = f"layers.{i}."
+        b = f"blk.{i}."
+        _emit(w, b + "attn_norm.weight", get(p + "input_layernorm.weight"), ftype)
+        _emit(w, b + "attn_q.weight", get(p + "self_attn.q_proj.weight"), ftype)
+        _emit(w, b + "attn_k.weight", get(p + "self_attn.k_proj.weight"), ftype)
+        _emit(w, b + "attn_v.weight", get(p + "self_attn.v_proj.weight"), ftype)
+        _emit(w, b + "attn_output.weight", get(p + "self_attn.o_proj.weight"), ftype)
+        _emit(w, b + "attn_q_norm.weight", get(p + "self_attn.q_norm.weight"), ftype)
+        _emit(w, b + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"), ftype)
+        _emit(w, b + "post_attention_norm.weight",
+              get(p + "post_attention_layernorm.weight"), ftype)
+        _emit(w, b + "ffn_norm.weight",
+              get(p + "pre_feedforward_layernorm.weight"), ftype)
+        _emit(w, b + "post_ffw_norm.weight",
+              get(p + "post_feedforward_layernorm.weight"), ftype)
+        _emit(w, b + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"), ftype)
+        _emit(w, b + "ffn_up.weight", get(p + "mlp.up_proj.weight"), ftype)
+        _emit(w, b + "ffn_down.weight", get(p + "mlp.down_proj.weight"), ftype)
+        _emit(w, b + "altup_correct_coef.weight",
+              get(p + "altup.correction_coefs.weight"), ftype)
+        _emit(w, b + "altup_predict_coef.weight",
+              get(p + "altup.prediction_coefs.weight"), ftype)
+        _emit(w, b + "altup_router.weight",
+              get(p + "altup.modality_router.weight"), ftype)
+        _emit(w, b + "altup_router_norm.weight",
+              get(p + "altup.router_norm.weight"), ftype)
+        _emit(w, b + "altup_correct_scale.weight",
+              get(p + "altup.correct_output_scale"), ftype)
+        _emit(w, b + "laurel_l.weight",
+              get(p + "laurel.linear_left.weight"), ftype)
+        _emit(w, b + "laurel_r.weight",
+              get(p + "laurel.linear_right.weight"), ftype)
+        _emit(w, b + "laurel_post_norm.weight",
+              get(p + "laurel.post_laurel_norm.weight"), ftype)
+        _emit(w, b + "inp_gate.weight",
+              get(p + "per_layer_input_gate.weight"), ftype)
+        _emit(w, b + "proj.weight",
+              get(p + "per_layer_projection.weight"), ftype)
+        _emit(w, b + "post_norm.weight",
+              get(p + "post_per_layer_input_norm.weight"), ftype)
+
+    w.write(out_path)
+    return out_path
+
 
 
 def _convert_mamba(model, out_path: str, ftype: str, tokenizer=None,

@@ -63,6 +63,25 @@ LAYER_TENSORS = {
     "ffn_post_norm.weight": "ffn_post_norm",
     "post_ffw_norm.weight": "ffn_post_norm",
     "attn_sinks.weight": "attn_sinks",
+    # Gemma3n altup/laurel/per-layer-embd (llama-arch.cpp:485-497)
+    "altup_correct_coef.weight": "altup_correct_coef",
+    "altup_correct_scale.weight": "altup_correct_scale",
+    "altup_predict_coef.weight": "altup_predict_coef",
+    "altup_router.weight": "altup_router",
+    "altup_router_norm.weight": "altup_router_norm",
+    "laurel_l.weight": "laurel_l",
+    "laurel_r.weight": "laurel_r",
+    "laurel_post_norm.weight": "laurel_post_norm",
+    "inp_gate.weight": "per_layer_inp_gate",
+    # Gemma4 (llama-arch.cpp:403-423): dual-branch MoE norms, router input
+    # scale vector, fused gate_up experts, per-layer output scalar
+    "pre_ffw_norm_2.weight": "ffn_pre_norm_2",
+    "post_ffw_norm_1.weight": "ffn_post_norm_1",
+    "post_ffw_norm_2.weight": "ffn_post_norm_2",
+    "ffn_gate_inp.scale": "ffn_gate_inp_s",
+    "ffn_gate_up_exps.weight": "ffn_gate_up_exps",
+    "proj.weight": "per_layer_proj",
+    "post_norm.weight": "per_layer_post_norm",
     # DeepSeek-2 MLA (reference src/models/deepseek2.cpp load_arch_tensors)
     "attn_q_a.weight": "attn_q_a",
     "attn_q_a_norm.weight": "attn_q_a_norm",
@@ -237,6 +256,12 @@ GLOBAL_TENSORS = {
     "output.weight": "output",
     "output.bias": "output_bias",
     "rope_freqs.weight": "rope_factors",
+    # Gemma3n globals (llama-arch.cpp:483-489)
+    "per_layer_token_embd.weight": "per_layer_token_embd",
+    "per_layer_model_proj.weight": "per_layer_model_proj",
+    "per_layer_proj_norm.weight": "per_layer_proj_norm",
+    "altup_proj.weight": "altup_proj",
+    "altup_unembd_proj.weight": "altup_unembd_proj",
     "fc.weight": "fc",  # EAGLE3 feature-fusion encoder (llama-arch.cpp:618)
     # DeepSeek-V4 hyper-connection head (llama-arch.cpp:469-471)
     "output_hc_fn.weight": "hc_head_fn",
@@ -275,7 +300,13 @@ _DENSE_KEYS = {"attn_norm", "attn_norm_bias", "attn_q_norm", "attn_k_norm",
                "hc_head_scale", "hc_head_base", "attn_comp_ape",
                "attn_comp_norm", "indexer_comp_ape", "indexer_comp_norm",
                "ffn_gate_tid2eid",
-               "attn_rel_b"}
+               "attn_rel_b",
+               # gemma3n small altup/laurel tensors (exact f32, no planes)
+               "altup_correct_coef", "altup_predict_coef", "altup_router_norm",
+               "altup_correct_scale", "laurel_post_norm", "per_layer_post_norm",
+               "per_layer_proj_norm", "altup_proj", "altup_unembd_proj",
+               "ffn_pre_norm_2", "ffn_post_norm_1", "ffn_post_norm_2",
+               "ffn_gate_inp_s", "layer_out_scale"}
 
 
 class Model:
@@ -308,6 +339,14 @@ class Model:
             from . import deepseek4
 
             return deepseek4.forward
+        if self.cfg.extra.get("gemma3n"):
+            from . import gemma3n
+
+            return gemma3n.forward
+        if self.cfg.extra.get("gemma4"):
+            from . import gemma3n
+
+            return gemma3n.forward_gemma4
         if self.cfg.extra.get("rwkv"):
             from . import rwkv
 
@@ -390,7 +429,9 @@ def load_model(
         dense = key in _DENSE_KEYS or len(info.shape) == 1
         # matmul weights store transposed planes (TPU kernel layout);
         # the embedding table stays row-major for gather
-        transpose = (not dense and key not in ("token_embd", "pos_embd")
+        transpose = (not dense
+                     and key not in ("token_embd", "pos_embd",
+                                     "per_layer_token_embd")
                      and len(info.shape) >= 2)
         w = None
         if device_put is None:
@@ -480,12 +521,23 @@ def load_model(
             _fuse_presplit_mla_kv(lw, cfg)
     if fuse and not cfg.extra.get("q_gate_interleaved"):
         # (qwen35's wq embeds a per-head gate at double width — the fused
-        # split would mis-partition it, so those archs stay unfused)
-        for lw in layers:
-            _fuse_projections(lw)
+        # split would mis-partition it, so those archs stay unfused;
+        # shared-KV layers must keep a standalone wq for the q-only path)
+        _reuse = cfg.extra.get("kv_reuse")
+        for _il, lw in enumerate(layers):
+            _fuse_projections(
+                lw, fuse_qkv=_reuse is None or int(_reuse[_il]) < 0)
     if cfg.extra.get("mla_absorb"):
         for lw in layers:
             _split_mla_kv_b(lw, cfg)
+    for lw in layers:
+        if "ffn_gate_up_exps" in lw:
+            g, u = _split_gateup_exps(lw.pop("ffn_gate_up_exps"))
+            lw["ffn_gate_exps"], lw["ffn_up_exps"] = g, u
+    if "rope_factors" in params:
+        # gemma4 proportional-rope divisors (consumed by _rope_params)
+        cfg.extra["rope_factors_arr"] = np.asarray(params["rope_factors"],
+                                                   dtype=np.float32)
     if n_loops > 1:
         # nanbeige (reference nanbeige.cpp:66-70 "share physical weights
         # across loops"): logical layer il aliases physical il % n_phys —
@@ -493,6 +545,26 @@ def load_model(
         # its KV lines since caches allocate cfg.n_layers (logical) entries
         params["layers"] = list(layers) * n_loops
     return Model(cfg, params, tokenizer, f)
+
+
+def _split_gateup_exps(w):
+    """Fused [gate | up] expert tensor -> separate gate/up weights (first
+    n_ff output rows are the gate — reference llama-graph.cpp:2090-2108)."""
+    from ..ops.qtensor import QuantTensor
+
+    if isinstance(w, QuantTensor):
+        F = w.q.shape[-1] // 2
+
+        def mk(sl):
+            return QuantTensor(
+                q=w.q[..., sl], scales=w.scales[..., sl],
+                mins=None if w.mins is None else w.mins[..., sl],
+                group=w.group, ggml_type=w.ggml_type,
+                transposed=w.transposed, packed=w.packed)
+
+        return mk(slice(None, F)), mk(slice(F, None))
+    F = w.shape[-2] // 2
+    return w[..., :F, :], w[..., F:, :]
 
 
 def _fuse_presplit_mla_kv(lw: dict, cfg) -> None:
@@ -594,13 +666,14 @@ def _concat_weights(ws: list) -> Any | None:
     return None
 
 
-def _fuse_projections(lw: dict) -> None:
+def _fuse_projections(lw: dict, fuse_qkv: bool = True) -> None:
     """Fuse Q/K/V and gate/up projections into single matmuls.
 
     The decode step is HBM-latency bound on kernel count: each back-to-back
     quantized GEMM stalls on its first weight-tile DMA (the analog of the
     reference fusing wqkv when present). Fusing drops 7 matmuls/layer to 4."""
-    if all(k in lw for k in ("attn_q", "attn_k", "attn_v")) and "attn_qkv" not in lw:
+    if (fuse_qkv and all(k in lw for k in ("attn_q", "attn_k", "attn_v"))
+            and "attn_qkv" not in lw):
         fused = _concat_weights([lw["attn_q"], lw["attn_k"], lw["attn_v"]])
         bias_parts = [f"{k}_bias" in lw for k in ("attn_q", "attn_k", "attn_v")]
         if fused is not None and (all(bias_parts) or not any(bias_parts)):

@@ -146,6 +146,107 @@ def _gemma3(cfg: ModelConfig, md) -> ModelConfig:
     return c
 
 
+def _kv_reuse_layers(cfg: ModelConfig, n_shared: int,
+                     default_from_start: int | None = None) -> list[int]:
+    """Cross-layer KV sharing map (reference llama-model.cpp:2311-2320 /
+    modeling_gemma3n.py kv_shared_layer_index): each layer past
+    n_layer_kv_from_start reuses the LAST owned layer of its own SWA class."""
+    L = cfg.n_layers
+    from_start = L - n_shared if n_shared > 0 else (default_from_start or L)
+    from_start = max(1, min(from_start, L))
+    reuse = []
+    for il in range(L):
+        if il < from_start:
+            reuse.append(-1)
+            continue
+        cls = cfg.is_swa_layer(il)
+        src = next((j for j in range(from_start - 1, -1, -1)
+                    if cfg.is_swa_layer(j) == cls), -1)
+        reuse.append(src)
+    return reuse
+
+
+@register("gemma3n")
+def _gemma3n(cfg: ModelConfig, md) -> ModelConfig:
+    """Gemma 3n (reference src/models/gemma3n.cpp): AltUp streams, LAUREL,
+    per-layer token embeddings, activation sparsity, shared-KV tail layers.
+    Graph lives in models/gemma3n.py."""
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        embd_scale=float(cfg.n_embd) ** 0.5,
+        post_norms=True,
+        qk_norm=True,
+        tie_embeddings=True,
+        attn_scale=1.0,  # f_attention_scale = 1.0 (gemma3n.cpp:10)
+        swa_pattern=int(md.get(
+            "gemma3n.attention.sliding_window_pattern", 5)),
+    )
+    c.extra["gemma3n"] = True
+    c.extra["v_rms_norm"] = True
+    c.extra["rope_freq_base_swa"] = float(
+        md.get("gemma3n.rope.freq_base_swa", 10000.0))
+    c.extra["n_altup"] = int(md.get("gemma3n.altup.num_inputs", 4))
+    c.extra["i_altup_act"] = int(md.get("gemma3n.altup.active_idx", 0))
+    c.extra["n_embd_altup"] = int(md.get(
+        "gemma3n.embedding_length_per_layer_input", 256))
+    # per-layer activation-sparsity std multipliers; default mirrors the
+    # reference constants (models.h:804-805: first 10 layers, icdf(0.95))
+    sp = md.get("gemma3n.activation_sparsity_scale")
+    if sp is None:
+        sp = [1.6448533535003662 if il < 10 else 0.0
+              for il in range(cfg.n_layers)]
+    c.extra["act_sparsity_std"] = [float(v) for v in sp]
+    n_shared = int(md.get("gemma3n.attention.shared_kv_layers", 0))
+    c.extra["kv_reuse"] = _kv_reuse_layers(
+        c, n_shared, default_from_start=min(20, cfg.n_layers))
+    return c
+
+
+@register("gemma4")
+def _gemma4(cfg: ModelConfig, md) -> ModelConfig:
+    """Gemma 4 (reference src/models/gemma4.cpp): per-layer SWA array with
+    class-specific head dims, shared-KV tail, alternative attention (V from
+    the K projection), dual-branch MoE, per-layer embeddings, proportional
+    rope on full layers, per-layer output scalars.  Graph: models/gemma3n.py
+    forward_gemma4."""
+    import numpy as _np
+
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        embd_scale=float(cfg.n_embd) ** 0.5,
+        post_norms=True,
+        qk_norm=True,
+        tie_embeddings=True,
+        attn_scale=1.0,  # self.scaling = 1.0 (gemma4.cpp:11)
+        expert_weights_norm=True,  # build_moe_ffn(..., norm_w=true)
+    )
+    pat = md.get("gemma4.attention.sliding_window_pattern")
+    if isinstance(pat, (list, tuple, _np.ndarray)):
+        c.extra["is_swa_layers"] = [bool(v) for v in pat]
+        c = c.with_(swa_pattern=1)  # marker: per-layer array drives routing
+    else:
+        c = c.with_(swa_pattern=int(pat or 6))
+    c.extra["gemma4"] = True
+    c.extra["v_rms_norm"] = True
+    c.extra["rope_factors_full_only"] = True
+    c.extra["rope_freq_base_swa"] = float(
+        md.get("gemma4.rope.freq_base_swa", 10000.0))
+    dk_swa = int(md.get("gemma4.attention.key_length_swa", 0))
+    if dk_swa and dk_swa != cfg.head_dim_k:
+        c.extra["head_dim_k_swa"] = dk_swa
+        c.extra["head_dim_v_swa"] = int(
+            md.get("gemma4.attention.value_length_swa", dk_swa))
+        c.extra["rope_dims_swa"] = dk_swa
+    c.extra["n_embd_altup"] = int(md.get(
+        "gemma4.embedding_length_per_layer_input", 0))
+    n_shared = int(md.get("gemma4.attention.shared_kv_layers", 0))
+    if n_shared > 0:
+        c.extra["kv_reuse"] = _kv_reuse_layers(c, n_shared)
+    return c
+
+
 @register("phi3")
 def _phi3(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NEOX)

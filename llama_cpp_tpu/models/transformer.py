@@ -99,7 +99,12 @@ def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
     scale = cfg.rope_freq_scale
     dims = cfg.rope_dims
     ext = cfg.rope_ext_factor
+    # gemma4 proportional rope: the global rope_freqs tensor divides the
+    # frequencies on FULL-attention layers only (gemma4.cpp:192-196)
+    factors = cfg.extra.get("rope_factors_arr")
     if cfg.is_swa_layer(il):
+        if cfg.extra.get("rope_factors_full_only"):
+            factors = None
         if cfg.extra.get("rope_freq_base_swa"):
             base = cfg.extra["rope_freq_base_swa"]
             scale = cfg.extra.get("rope_freq_scale_swa", 1.0)
@@ -109,6 +114,7 @@ def _rope_params(cfg: ModelConfig, il: int) -> RopeParams:
             dims = cfg.extra["rope_dims_swa"]
             ext = 0.0
     return RopeParams(
+        freq_factors=factors,
         rope_type=cfg.rope_type,
         n_dims=dims,
         freq_base=base,
@@ -142,6 +148,11 @@ def attention_block(
         H = int(ha[il])
     if hka is not None:
         Hkv = int(hka[il])
+    if cfg.extra.get("head_dim_k_swa") and cfg.is_swa_layer(il):
+        # gemma4: SWA layers run narrower heads (ATTENTION_KEY_LENGTH_SWA);
+        # the iSWA sub-caches are allocated per-class (kv_cache.py)
+        Dk = int(cfg.extra["head_dim_k_swa"])
+        Dv = int(cfg.extra.get("head_dim_v_swa", Dk))
     cache_heads = cfg.n_kv_heads  # allocation width of every KV memory class
 
     # MSA block-sparse attention (reference minimax-m3 / llama_kv_cache_msa):
@@ -152,7 +163,23 @@ def attention_block(
         mem = kv
         kv = mem.kv
 
-    if "attn_qkv" in lw:  # fused projection (gpt2/gptneox/phi families)
+    # cross-layer KV sharing (gemma3n/gemma4 — reference llama-model.cpp
+    # reuse callback: layers >= n_layer_kv_from_start attend over the cache
+    # written by the last owned layer of the same SWA class and compute no
+    # K/V of their own)
+    _reuse = cfg.extra.get("kv_reuse")
+    src_il = il
+    if _reuse is not None and int(_reuse[il]) >= 0:
+        src_il = int(_reuse[il])
+    shared_kv = src_il != il
+
+    k = v = None
+    if shared_kv:
+        _tap(il, "attn_q", x)
+        q = matmul(x, lw["attn_q"])
+        if "attn_q_bias" in lw:
+            q = q + lw["attn_q_bias"]
+    elif "attn_qkv" in lw:  # fused projection (gpt2/gptneox/phi families)
         _tap(il, "attn_qkv", x)
         qkv = matmul(x, lw["attn_qkv"])
         if "attn_qkv_bias" in lw:
@@ -166,7 +193,9 @@ def attention_block(
         _tap(il, "attn_v", x)
         q = matmul(x, lw["attn_q"])
         k = matmul(x, lw["attn_k"])
-        v = matmul(x, lw["attn_v"])
+        # gemma4 "alternative attention": no v_proj -> V reuses the raw K
+        # projection (gemma4.cpp:220-222); each still gets its own norm
+        v = matmul(x, lw["attn_v"]) if "attn_v" in lw else k
         if "attn_q_bias" in lw:
             q = q + lw["attn_q_bias"]
         if "attn_k_bias" in lw:
@@ -186,17 +215,24 @@ def attention_block(
     clamp = cfg.extra.get("clamp_kqv", 0.0)
     if clamp:  # olmo/dbrx f_clamp_kqv on the projected q/k/v
         q = jnp.clip(q, -clamp, clamp)
-        k = jnp.clip(k, -clamp, clamp)
-        v = jnp.clip(v, -clamp, clamp)
+        if k is not None:
+            k = jnp.clip(k, -clamp, clamp)
+            v = jnp.clip(v, -clamp, clamp)
 
     if cfg.qk_norm and cfg.extra.get("qk_norm_full"):
         # olmo2-style: rmsnorm over the full projected width
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
-        k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
+        if k is not None:
+            k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
     q = q.reshape(B, T, H, Dk)
-    k = k.reshape(B, T, Hkv, Dk)
-    v = v.reshape(B, T, Hkv, Dv)
+    if k is not None:
+        k = k.reshape(B, T, Hkv, Dk)
+        v = v.reshape(B, T, Hkv, Dv)
+        if cfg.extra.get("v_rms_norm"):
+            # gemma3n/gemma4: weightless per-head rms-norm on V
+            # (modeling_gemma3n.py v_norm with_scale=False)
+            v = rms_norm(v, None, cfg.rms_eps)
 
     after_rope = cfg.extra.get("qk_norm_after_rope", False)
     if cfg.qk_norm and cfg.extra.get("qk_layernorm"):
@@ -204,11 +240,13 @@ def attention_block(
         # LLM_NORM on q/k)
         q = layer_norm(q, lw.get("attn_q_norm"), lw.get("attn_q_norm_bias"),
                        cfg.norm_eps)
-        k = layer_norm(k, lw.get("attn_k_norm"), lw.get("attn_k_norm_bias"),
-                       cfg.norm_eps)
+        if k is not None:
+            k = layer_norm(k, lw.get("attn_k_norm"),
+                           lw.get("attn_k_norm_bias"), cfg.norm_eps)
     elif cfg.qk_norm and not cfg.extra.get("qk_norm_full") and not after_rope:
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
-        k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
+        if k is not None:
+            k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
     roped = (cfg.rope_type != ROPE_TYPE_NONE
              and il not in cfg.extra.get("no_rope_layers", ()))
@@ -230,30 +268,33 @@ def attention_block(
             k = apply_mrope(k, pos3, sections, rp, interleaved=inter)
         else:
             q = apply_rope(q, inputs.positions, rp)
-            k = apply_rope(k, inputs.positions, rp)
+            if k is not None:
+                k = apply_rope(k, inputs.positions, rp)
     if cfg.qk_norm and after_rope and roped:
         # llama4 l2-norm (weightless rms) applied post-rope on rope layers
         q = rms_norm(q, lw.get("attn_q_norm"), cfg.rms_eps)
-        k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
+        if k is not None:
+            k = rms_norm(k, lw.get("attn_k_norm"), cfg.rms_eps)
 
     # position-addressed write (SET_ROWS analog): flatten [B,T] token grid;
     # the cache derives slots (iSWA ring layers wrap positions)
     seq_flat = jnp.repeat(inputs.seq_idx, T)
-    k_wr = k.reshape(B * T, Hkv, Dk)
-    v_wr = v.reshape(B * T, Hkv, Dv)
-    if Hkv != cache_heads:  # pad this layer's rows to the cache width
-        k_wr = jnp.pad(k_wr, ((0, 0), (0, cache_heads - Hkv), (0, 0)))
-        v_wr = jnp.pad(v_wr, ((0, 0), (0, cache_heads - Hkv), (0, 0)))
-    kv = kv.write_layer(
-        il,
-        seq_flat,
-        inputs.positions.reshape(-1),
-        k_wr,
-        v_wr,
-        update_pos=update_pos,
-        contiguous=B == 1 and T > 1,
-    )
-    kvc, li = kv.layer_view(il)
+    if not shared_kv:
+        k_wr = k.reshape(B * T, Hkv, Dk)
+        v_wr = v.reshape(B * T, Hkv, Dv)
+        if Hkv != cache_heads:  # pad this layer's rows to the cache width
+            k_wr = jnp.pad(k_wr, ((0, 0), (0, cache_heads - Hkv), (0, 0)))
+            v_wr = jnp.pad(v_wr, ((0, 0), (0, cache_heads - Hkv), (0, 0)))
+        kv = kv.write_layer(
+            il,
+            seq_flat,
+            inputs.positions.reshape(-1),
+            k_wr,
+            v_wr,
+            update_pos=update_pos,
+            contiguous=B == 1 and T > 1,
+        )
+    kvc, li = kv.layer_view(src_il)
 
     group_sel = None  # [B, Hkv, T, S] MSA per-group sparse mask
     if msa:

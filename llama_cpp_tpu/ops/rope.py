@@ -30,6 +30,9 @@ class RopeParams:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     orig_ctx: int = 0  # original training context for YaRN
+    # optional per-pair frequency divisors [n_dims/2] (ggml freq_factors:
+    # rope_yarn(theta_base / ff) — longrope / gemma4 proportional rope)
+    freq_factors: object = None
 
 
 def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
@@ -52,6 +55,9 @@ def rope_freqs_and_scale(p: RopeParams, head_dim: int):
     # theta for pair i: base^(-2i/n_dims)
     exponent = jnp.arange(half, dtype=jnp.float32) * (2.0 / n_dims)
     theta_extrap = jnp.power(jnp.float32(p.freq_base), -exponent)
+    if p.freq_factors is not None:
+        theta_extrap = theta_extrap / jnp.asarray(
+            p.freq_factors, jnp.float32)[:half]
     theta_interp = p.freq_scale * theta_extrap
     mscale = p.attn_factor
     if p.ext_factor != 0.0 and p.orig_ctx > 0:

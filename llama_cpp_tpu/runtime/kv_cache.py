@@ -297,19 +297,32 @@ class ISWACache:
     def build(cls, cfg, n_seqs: int, n_slots_full: int, n_slots_swa: int,
               dtype=jnp.bfloat16, quantized: bool = False) -> "ISWACache":
         is_swa = tuple(cfg.is_swa_layer(i) for i in range(cfg.n_layers))
+        # cross-layer KV sharing (gemma3n/gemma4): shared layers attend over
+        # an owned layer's lines and never write — allocate nothing for them
+        # (reference llama-kv-cache.cpp map_layer_ids reuse path)
+        reuse = cfg.extra.get("kv_reuse")
         fi, si = [], []
         nf = ns = 0
-        for s in is_swa:
+        for il, s in enumerate(is_swa):
+            if reuse is not None and int(reuse[il]) >= 0:
+                # alias the source layer's line so layer_view(il) resolves
+                # for ANY layer (reference map_layer_ids[il] = map[il_reuse])
+                src = int(reuse[il])
+                fi.append(fi[src]); si.append(si[src])
+                continue
             if s:
                 si.append(ns); fi.append(-1); ns += 1
             else:
                 fi.append(nf); si.append(-1); nf += 1
-        mk = lambda n_l, n_s, ring: KVCache.create(
-            max(n_l, 1), n_seqs, n_s, cfg.n_kv_heads, cfg.head_dim_k,
-            cfg.head_dim_v, dtype=dtype, quantized=quantized, ring=ring)
+        # gemma4: SWA layers may run narrower heads (head_dim_{k,v}_swa)
+        dk_swa = int(cfg.extra.get("head_dim_k_swa", cfg.head_dim_k))
+        dv_swa = int(cfg.extra.get("head_dim_v_swa", cfg.head_dim_v))
+        mk = lambda n_l, n_s, ring, dk, dv: KVCache.create(
+            max(n_l, 1), n_seqs, n_s, cfg.n_kv_heads, dk,
+            dv, dtype=dtype, quantized=quantized, ring=ring)
         return cls(
-            full=mk(nf, n_slots_full, False),
-            swa=mk(ns, n_slots_swa, True),
+            full=mk(nf, n_slots_full, False, cfg.head_dim_k, cfg.head_dim_v),
+            swa=mk(ns, n_slots_swa, True, dk_swa, dv_swa),
             is_swa=is_swa,
             full_idx=tuple(fi),
             swa_idx=tuple(si),

@@ -1550,3 +1550,196 @@ def test_deepseek4_generates(tmp_path):
     p = _make_dsv4(tmp_path, seed=91)
     out = _run(p)
     assert len(out) >= 1
+
+
+# ---------------------------------------------------------------------------
+# gemma4 (transcribed numpy oracle — no HF implementation exists)
+# ---------------------------------------------------------------------------
+
+def _np_rms(x, w=None, eps=1e-5):
+    y = x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + eps)
+    return y * w if w is not None else y
+
+
+def _np_gelu(x):
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _np_rope_neox(v, pos, base, factors=None):
+    T, H, D = v.shape
+    half = D // 2
+    inv = base ** -(np.arange(half, dtype=np.float64) * 2.0 / D)
+    if factors is not None:
+        inv = inv / factors[:half]
+    ang = pos[:, None].astype(np.float64) * inv  # [T, half]
+    c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+    x0, x1 = v[..., :half], v[..., half:]
+    return np.concatenate([x0 * c - x1 * s, x0 * s + x1 * c],
+                          axis=-1).astype(v.dtype)
+
+
+def test_gemma4(tmp_path):
+    """Gemma 4 (reference src/models/gemma4.cpp) against a line-by-line
+    numpy transcription: per-layer SWA array with narrower SWA heads,
+    shared-KV tail layer, alternative attention (no v_proj -> V from the K
+    projection), dual-branch MoE with weightless-norm router, per-layer
+    embeddings, proportional rope (rope_freqs on full layers), per-layer
+    output scalars, final softcap."""
+    L4, H, HKV4, DKF, DKS, FF4, EPL = 4, 4, 2, 16, 8, 96, 8
+    NEXP, NUSED, FEXP = 4, 2, 32
+    is_swa = [1, 0, 1, 1]
+    window = 4
+    w = _writer("gemma4", n_layers=L4, heads=H, kv=HKV4, n_rot=DKF,
+                extra_md={
+                    "attention.key_length": np.uint32(DKF),
+                    "attention.value_length": np.uint32(DKF),
+                    "attention.key_length_swa": np.uint32(DKS),
+                    "attention.value_length_swa": np.uint32(DKS),
+                    "attention.sliding_window": np.uint32(window),
+                    "attention.sliding_window_pattern":
+                        np.asarray(is_swa, np.uint32),
+                    "attention.shared_kv_layers": np.uint32(1),
+                    "rope.freq_base_swa": 10000.0,
+                    "embedding_length_per_layer_input": np.uint32(EPL),
+                    "expert_count": np.uint32(NEXP),
+                    "expert_used_count": np.uint32(NUSED),
+                    "expert_feed_forward_length": np.uint32(FEXP),
+                    "final_logit_softcapping": 30.0,
+                })
+    emit, st = _emit_fn(41)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E)
+    ff_arr = np.linspace(1.0, 2.0, DKF // 2).astype(np.float32)
+    st["rope_freqs.weight"] = ff_arr  # exercise the frequency division
+    w.add_tensor("rope_freqs.weight", ff_arr.tobytes(), (DKF // 2,),
+                 GGMLType.F32)
+    emit(w, "per_layer_token_embd.weight", V, L4 * EPL, scale=0.05)
+    emit(w, "per_layer_model_proj.weight", L4 * EPL, E)
+    emit(w, "per_layer_proj_norm.weight", EPL)
+    moe_layer, alt_v_layer, shared_layer = 1, 2, 3
+    for i in range(L4):
+        b = f"blk.{i}."
+        dk = DKS if is_swa[i] else DKF
+        emit(w, b + "attn_norm.weight", E)
+        emit(w, b + "attn_q.weight", H * dk, E)
+        if i != shared_layer:
+            emit(w, b + "attn_k.weight", HKV4 * dk, E)
+            if i != alt_v_layer:
+                emit(w, b + "attn_v.weight", HKV4 * dk, E)
+            emit(w, b + "attn_k_norm.weight", dk)
+        emit(w, b + "attn_output.weight", E, H * dk)
+        emit(w, b + "attn_q_norm.weight", dk)
+        emit(w, b + "attn_post_norm.weight", E)
+        emit(w, b + "ffn_norm.weight", E)
+        emit(w, b + "ffn_gate.weight", FF4, E)
+        emit(w, b + "ffn_up.weight", FF4, E)
+        emit(w, b + "ffn_down.weight", E, FF4)
+        emit(w, b + "ffn_post_norm.weight", E)
+        if i == moe_layer:
+            emit(w, b + "ffn_gate_inp.weight", NEXP, E)
+            emit(w, b + "ffn_gate_inp.scale", E)
+            emit(w, b + "pre_ffw_norm_2.weight", E)
+            emit(w, b + "post_ffw_norm_1.weight", E)
+            emit(w, b + "post_ffw_norm_2.weight", E)
+            emit(w, b + "ffn_gate_up_exps.weight", NEXP, 2 * FEXP, E)
+            emit(w, b + "ffn_down_exps.weight", NEXP, E, FEXP)
+        emit(w, b + "inp_gate.weight", EPL, E)
+        emit(w, b + "proj.weight", E, EPL)
+        emit(w, b + "post_norm.weight", E)
+        os_arr = np.asarray([0.98 + 0.01 * i], np.float32)
+        st[b + "layer_output_scale.weight"] = os_arr
+        w.add_tensor(b + "layer_output_scale.weight", os_arr.tobytes(), (1,),
+                     GGMLType.F32)
+    p = str(tmp_path / "g4.gguf")
+    w.write(p)
+
+    # ---------------- numpy transcription ----------------
+    toks = np.asarray(PROMPT, np.int32)
+    T = len(toks)
+    pos = np.arange(T)
+    g = lambda n: st[n]
+    x = g("token_embd.weight")[toks] * np.sqrt(E)
+    # per-layer inputs
+    per = g("per_layer_token_embd.weight")[toks].reshape(T, L4, EPL) \
+        * np.sqrt(EPL)
+    plp = (x @ g("per_layer_model_proj.weight").T) / np.sqrt(E)
+    plp = _np_rms(plp.reshape(T, L4, EPL), g("per_layer_proj_norm.weight"))
+    per = (plp + per) / np.sqrt(2.0)
+    kv_store = {}
+    for i in range(L4):
+        b = f"blk.{i}."
+        dk = DKS if is_swa[i] else DKF
+        base = 10000.0  # both bases equal in this fixture; factors differ
+        factors = None if is_swa[i] else g("rope_freqs.weight")
+        h = _np_rms(x, g(b + "attn_norm.weight"))
+        q = (h @ g(b + "attn_q.weight").T).reshape(T, H, dk)
+        q = _np_rms(q, g(b + "attn_q_norm.weight"))
+        q = _np_rope_neox(q, pos, base, factors)
+        if i == shared_layer:
+            k, v = kv_store[2]  # last owned SWA layer
+        else:
+            k = (h @ g(b + "attn_k.weight").T).reshape(T, HKV4, dk)
+            kv_name = b + "attn_v.weight"
+            v = ((h @ g(kv_name).T).reshape(T, HKV4, dk)
+                 if kv_name in st else
+                 (h @ g(b + "attn_k.weight").T).reshape(T, HKV4, dk))
+            k = _np_rms(k, g(b + "attn_k_norm.weight"))
+            v = _np_rms(v)  # weightless v norm
+            k = _np_rope_neox(k, pos, base, factors)
+            kv_store[i] = (k, v)
+        mask = pos[None, :] <= pos[:, None]
+        if is_swa[i]:
+            mask &= pos[None, :] > pos[:, None] - window
+        groups = H // HKV4
+        att = np.zeros((T, H, dk))
+        for hh in range(H):
+            sc = q[:, hh] @ k[:, hh // groups].T  # scale = 1.0
+            sc = np.where(mask, sc, -np.inf)
+            pr = np.exp(sc - sc.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            att[:, hh] = pr @ v[:, hh // groups]
+        attn = att.reshape(T, H * dk) @ g(b + "attn_output.weight").T
+        attn = _np_rms(attn, g(b + "attn_post_norm.weight"))
+        attn_out = x + attn
+        if i == moe_layer:
+            mlp = _np_rms(attn_out, g(b + "ffn_norm.weight"))
+            mlp = (_np_gelu(mlp @ g(b + "ffn_gate.weight").T)
+                   * (mlp @ g(b + "ffn_up.weight").T)) \
+                @ g(b + "ffn_down.weight").T
+            mlp = _np_rms(mlp, g(b + "post_ffw_norm_1.weight"))
+            moe_in = _np_rms(attn_out, g(b + "pre_ffw_norm_2.weight"))
+            rx = _np_rms(attn_out) / np.sqrt(E) * g(b + "ffn_gate_inp.scale")
+            logits_r = rx @ g(b + "ffn_gate_inp.weight").T
+            pr = np.exp(logits_r - logits_r.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            gu = g(b + "ffn_gate_up_exps.weight")  # [NEXP, 2F, E]
+            dn = g(b + "ffn_down_exps.weight")  # [NEXP, E, F]
+            moe = np.zeros((T, E))
+            for t in range(T):
+                sel = np.argsort(-pr[t])[:NUSED]
+                wts = pr[t][sel] / pr[t][sel].sum()  # norm_w=true
+                for e, wt in zip(sel, wts):
+                    ge = _np_gelu(moe_in[t] @ gu[e, :FEXP].T)
+                    ue = moe_in[t] @ gu[e, FEXP:].T
+                    moe[t] += wt * ((ge * ue) @ dn[e].T)
+            moe = _np_rms(moe, g(b + "post_ffw_norm_2.weight"))
+            cur = mlp + moe
+        else:
+            hf = _np_rms(attn_out, g(b + "ffn_norm.weight"))
+            cur = (_np_gelu(hf @ g(b + "ffn_gate.weight").T)
+                   * (hf @ g(b + "ffn_up.weight").T)) \
+                @ g(b + "ffn_down.weight").T
+        cur = _np_rms(cur, g(b + "ffn_post_norm.weight"))
+        x = attn_out + cur
+        fp = _np_gelu(x @ g(b + "inp_gate.weight").T) * per[:, i]
+        fp = _np_rms(fp @ g(b + "proj.weight").T, g(b + "post_norm.weight"))
+        x = x + fp
+        x = x * g(b + "layer_output_scale.weight")[0]
+    x = _np_rms(x, g("output_norm.weight"))
+    ref = x @ g("token_embd.weight").T
+    ref = 30.0 * np.tanh(ref / 30.0)
+
+    ours = _logits(p)
+    np.testing.assert_allclose(ours.reshape(-1), ref[-1], rtol=2e-4,
+                               atol=2e-4)

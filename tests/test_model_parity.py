@@ -70,7 +70,7 @@ def run_ours(path, tokens, n_slots=32, prefer_quant=False):
         slots=jnp.arange(N, dtype=jnp.int32)[None, :],
         positions=jnp.arange(N, dtype=jnp.int32)[None, :],
     )
-    logits, kv = forward(
+    logits, kv = m.forward_fn(
         m.params, m.cfg, jnp.asarray(tokens, jnp.int32)[None, :], inputs, kv
     )
     return m, np.asarray(logits), kv
@@ -1285,3 +1285,72 @@ def test_roberta_encoder(tmp_path):
                           inputs, None)
     np.testing.assert_allclose(np.asarray(hid).reshape(N, -1), ref,
                                rtol=6e-4, atol=6e-4)
+
+
+def test_gemma3n(tmp_path):
+    """Gemma 3n: altup streams, laurel, per-layer embeddings, activation
+    sparsity, cross-layer KV sharing (reference src/models/gemma3n.cpp)."""
+    cfg = transformers.Gemma3nTextConfig(
+        vocab_size=150, vocab_size_per_layer_input=150, hidden_size=48,
+        intermediate_size=[64] * 6, num_hidden_layers=6,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        altup_num_inputs=4, altup_active_idx=0, laurel_rank=8,
+        hidden_size_per_layer_input=16, num_kv_shared_layers=2,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "full_attention"] * 2,
+        sliding_window=4, rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        activation_sparsity_pattern=[0.95, 0.95, 0.0, 0.0, 0.0, 0.0],
+        final_logit_softcapping=30.0, max_position_embeddings=64,
+        rms_norm_eps=1e-6,
+    )
+    torch.manual_seed(71)
+    hf = transformers.Gemma3nForCausalLM(cfg).eval()
+    path = str(tmp_path / "g3n.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 130, 22, 9]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    m, ours, _ = run_ours(path, tokens)
+    assert m.cfg.extra.get("kv_reuse") == [-1, -1, -1, -1, 3, 2]
+    np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_gemma3n_stepwise_decode(tmp_path):
+    """KV sharing through the iSWA cache: token-by-token decode must equal
+    the one-shot prefill logits (shared layers read owned layers' lines)."""
+    cfg = transformers.Gemma3nTextConfig(
+        vocab_size=150, vocab_size_per_layer_input=150, hidden_size=48,
+        intermediate_size=[64] * 6, num_hidden_layers=6,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        altup_num_inputs=2, altup_active_idx=0, laurel_rank=8,
+        hidden_size_per_layer_input=16, num_kv_shared_layers=2,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "full_attention"] * 2,
+        sliding_window=4, rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        activation_sparsity_pattern=[0.95, 0.0, 0.0, 0.0, 0.0, 0.0],
+        final_logit_softcapping=30.0, max_position_embeddings=64,
+        rms_norm_eps=1e-6,
+    )
+    torch.manual_seed(72)
+    hf = transformers.Gemma3nForCausalLM(cfg).eval()
+    path = str(tmp_path / "g3ns.gguf")
+    convert_hf_model(hf, path, ftype="f32")
+    tokens = [2, 5, 40, 96, 7, 130, 22, 9]
+
+    from llama_cpp_tpu.runtime.context import Context
+
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(m, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    pre = ctx.prefill(tokens)
+    # shared layers own no cache lines: the full half holds 2 layers (2,?)
+    # minus none shared-full; 6 layers = 4 owned (3 swa + 1 full... ) —
+    # assert fewer lines than model layers
+    ctx2 = Context(m, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    for t in tokens[:-1]:
+        ctx2.decode_one(t)
+    step = ctx2.decode_one(tokens[-1])
+    np.testing.assert_allclose(step, pre, rtol=3e-4, atol=3e-4)
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0, -1].numpy()
+    np.testing.assert_allclose(np.asarray(pre).reshape(-1), ref,
+                               rtol=3e-3, atol=3e-3)
