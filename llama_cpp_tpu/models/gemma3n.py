@@ -16,11 +16,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.basic import ACTIVATIONS, rms_norm
 from ..ops.qtensor import QuantTensor, embed_lookup, matmul
 from .config import ModelConfig
-from .transformer import AttnInputs, attention_block, norm, softcap
+from .transformer import AttnInputs, _tap, attention_block, norm, softcap
 
 
 def _rms_mag(x: jnp.ndarray) -> jnp.ndarray:
@@ -204,6 +205,10 @@ def forward_gemma4(
         if "layer_out_scale" in lw:
             x = x * lw["layer_out_scale"].reshape(-1)[0].astype(x.dtype)
 
+    # pre-output-norm residual tap: feeds the gemma4-assistant MTP drafter
+    # (the reference's t_h_nextn is this row AFTER output_norm — the
+    # speculator applies the norm itself; gemma4.cpp:383-387)
+    _tap(len(params["layers"]), "l_in", x)
     x = x.reshape(B * T, E)
     if output_rows is not None:
         x = x[output_rows]
@@ -318,3 +323,127 @@ def forward(
     if cfg.final_logit_softcap:
         logits = softcap(logits, cfg.final_logit_softcap)
     return logits, kv
+
+
+# ---------------------------------------------------------------------------
+# Gemma 4 assistant (MTP drafter over the TARGET's KV cache)
+# ---------------------------------------------------------------------------
+
+def assistant_forward(params, cfg: ModelConfig, tokens, h, inputs,
+                      tgt_kv, tgt_tok_embd):
+    """Gemma-4-assistant draft step (reference src/models/gemma4-assistant
+    .cpp): input is concat(target_tok_embd[token] * sqrt(E_bb), h) projected
+    by nextn.pre_projection; every layer runs q-only attention over the
+    TARGET context's KV cache (share callback llama-model.cpp:2342-2350 —
+    cfg.extra['kv_reuse'] maps each draft layer to the target's last layer
+    of the same SWA class); returns (logits, h_next) where h_next =
+    nextn.post_projection(post-norm hidden) chains into the next step."""
+    ex = cfg.extra
+    E = cfg.n_embd
+    Ebb = int(ex["n_embd_out"])
+    cdtype = cfg.compute_dtype or jnp.bfloat16
+    act = ACTIVATIONS[cfg.act]
+    B, T = tokens.shape
+    x = embed_lookup(tgt_tok_embd, tokens, dtype=cdtype)
+    x = (x.astype(jnp.float32) * float(Ebb) ** 0.5).astype(cdtype)
+    xh = jnp.concatenate([x, h.astype(cdtype)], axis=-1)
+    cur = matmul(xh, params["nextn_proj_pre"])
+    for il, lw in enumerate(params["layers"]):
+        hn = norm(cfg, cur, lw, "attn_norm")
+        attn, _ = attention_block(cfg, lw, hn, inputs, tgt_kv, il,
+                                  update_pos=False)
+        attn = rms_norm(attn, lw["attn_post_norm"], cfg.rms_eps)
+        attn_out = cur + attn
+        hf = norm(cfg, attn_out, lw, "ffn_norm")
+        ff = matmul(_geglu(lw, hf, act), lw["ffn_down"])
+        ff = rms_norm(ff, lw["ffn_post_norm"], cfg.rms_eps)
+        cur = attn_out + ff
+        if "layer_out_scale" in lw:
+            cur = cur * lw["layer_out_scale"].reshape(-1)[0].astype(cur.dtype)
+    cur = norm(cfg, cur, params, "output_norm")
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["token_embd"]
+    logits = matmul(cur.reshape(B * T, E), out_w, dtype=jnp.float32)
+    h_next = matmul(cur, params["nextn_proj_post"], dtype=jnp.float32)
+    return logits, h_next
+
+
+class Gemma4AssistantSpeculator:
+    """Speculator-protocol adapter (runtime/speculative.py) for the Gemma-4
+    MTP assistant — the reference's 'draft-mtp' is_mem_shared mode
+    (common/speculative.cpp:1249-1650): no draft KV at all; every draft
+    query attends the live target cache at a FIXED position n_past, and the
+    drafter's own h_next output chains across draft steps."""
+
+    needs_features = True
+
+    def __init__(self, draft_model, ctx, seq: int = 0, p_min: float = 0.75):
+        self.cfg = draft_model.cfg
+        self.params = draft_model.params
+        self.ctx = ctx
+        self.seq = seq
+        self.p_min = p_min
+        tl = ctx.model.cfg.n_layers
+        # capture the target's PRE-output-norm row; output_norm applies here
+        self.target_layers = (tl,)
+        self.cfg.extra["kv_reuse"] = [
+            tl - 2 if self.cfg.is_swa_layer(il) else tl - 1
+            for il in range(self.cfg.n_layers)]
+        self.t_out_norm = ctx.model.params["output_norm"]
+        self.tgt_tok_embd = ctx.model.params["token_embd"]
+        self.pending_h = None  # np [E_bb] target post-norm hidden
+        self._fn = None
+
+    def reset(self) -> None:
+        self.pending_h = None
+
+    # -- target-verify feedback ----------------------------------------
+    def process(self, tokens, feats, pos0: int) -> None:
+        n = feats.shape[0] if hasattr(feats, "shape") else len(feats)
+        if n == 0:
+            return
+        h = rms_norm(jnp.asarray(feats, jnp.float32), self.t_out_norm,
+                     self.ctx.model.cfg.rms_eps)
+        self.pending_h = np.asarray(h[-1], np.float32)
+
+    # -- drafting --------------------------------------------------------
+    def _step(self):
+        if self._fn is None:
+            cfg, tok_embd = self.cfg, self.tgt_tok_embd
+
+            @jax.jit
+            def fn(params, token, h, kv, seq_idx, pos):
+                inputs = AttnInputs(seq_idx=seq_idx, slots=pos,
+                                    positions=pos)
+                return assistant_forward(params, cfg, token, h, inputs, kv,
+                                         tok_embd)
+
+            self._fn = fn
+        return self._fn
+
+    def draft(self, tokens, n: int):
+        if self.pending_h is None or n <= 0:
+            return []
+        n_past = len(tokens) - 1
+        cur = tokens[-1]
+        h = jnp.asarray(self.pending_h)[None, None, :]
+        kv = self.ctx.kv
+        seq = jnp.asarray([self.seq], jnp.int32)
+        # fixed position for every draft token (is_mem_shared mode —
+        # speculative.cpp:1636-1639)
+        pos = jnp.asarray([[n_past]], jnp.int32)
+        out = []
+        fn = self._step()
+        for _ in range(n):
+            logits, h_next = fn(self.params, jnp.asarray([[cur]], jnp.int32),
+                                h, kv, seq, pos)
+            lrow = np.asarray(logits[0])
+            t = int(lrow.argmax())
+            p = float(jax.nn.softmax(jnp.asarray(lrow))[t])
+            if p < self.p_min:
+                break
+            out.append(t)
+            cur = t
+            h = h_next[:, -1:][..., :]
+        return out

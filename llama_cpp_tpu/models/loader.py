@@ -262,6 +262,9 @@ GLOBAL_TENSORS = {
     "per_layer_proj_norm.weight": "per_layer_proj_norm",
     "altup_proj.weight": "altup_proj",
     "altup_unembd_proj.weight": "altup_unembd_proj",
+    # gemma4-assistant MTP projections (llama-arch.cpp:503-504)
+    "nextn.pre_projection.weight": "nextn_proj_pre",
+    "nextn.post_projection.weight": "nextn_proj_post",
     "fc.weight": "fc",  # EAGLE3 feature-fusion encoder (llama-arch.cpp:618)
     # DeepSeek-V4 hyper-connection head (llama-arch.cpp:469-471)
     "output_hc_fn.weight": "hc_head_fn",
@@ -347,6 +350,12 @@ class Model:
             from . import gemma3n
 
             return gemma3n.forward_gemma4
+        if self.cfg.extra.get("gemma4_assistant"):
+            def _no_standalone(*a, **k):
+                raise RuntimeError(
+                    "gemma4-assistant is an MTP drafter over a target "
+                    "context; use models.gemma3n.Gemma4AssistantSpeculator")
+            return _no_standalone
         if self.cfg.extra.get("rwkv"):
             from . import rwkv
 

@@ -247,6 +247,46 @@ def _gemma4(cfg: ModelConfig, md) -> ModelConfig:
     return c
 
 
+@register("gemma4-assistant")
+def _gemma4_assistant(cfg: ModelConfig, md) -> ModelConfig:
+    """Gemma 4 MTP assistant (reference src/models/gemma4-assistant.cpp):
+    a q-only drafter whose every layer attends the TARGET context's KV
+    cache; consumed via models.gemma3n.Gemma4AssistantSpeculator (the
+    kv_reuse map into the target layer space is bound at speculator init)."""
+    import numpy as _np
+
+    c = cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        act="gelu",
+        post_norms=True,
+        qk_norm=True,
+        tie_embeddings=True,
+        attn_scale=1.0,
+    )
+    pat = md.get("gemma4-assistant.attention.sliding_window_pattern")
+    if isinstance(pat, (list, tuple, _np.ndarray)):
+        c.extra["is_swa_layers"] = [bool(v) for v in pat]
+        c = c.with_(swa_pattern=1)
+    else:
+        c = c.with_(swa_pattern=int(pat or 6))
+    c.extra["gemma4_assistant"] = True
+    c.extra["rope_factors_full_only"] = True
+    c.extra["rope_freq_base_swa"] = float(
+        md.get("gemma4-assistant.rope.freq_base_swa", 10000.0))
+    dk_swa = int(md.get("gemma4-assistant.attention.key_length_swa", 0))
+    if dk_swa and dk_swa != cfg.head_dim_k:
+        c.extra["head_dim_k_swa"] = dk_swa
+        c.extra["head_dim_v_swa"] = int(
+            md.get("gemma4-assistant.attention.value_length_swa", dk_swa))
+        c.extra["rope_dims_swa"] = dk_swa
+    # target hidden width (EMBEDDING_LENGTH_OUT, llama-arch.cpp:181)
+    c.extra["n_embd_out"] = int(md.get(
+        "gemma4-assistant.embedding_length_out", cfg.n_embd))
+    c.extra["n_layer_nextn"] = int(md.get(
+        "gemma4-assistant.nextn_predict_layers", cfg.n_layers))
+    return c
+
+
 @register("phi3")
 def _phi3(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NEOX)

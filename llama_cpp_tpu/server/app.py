@@ -624,6 +624,10 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
 
                 return lambda i: Eagle3Speculator(
                     dmodel, ctx.model, n_ctx=ctx.n_ctx)
+            if dmodel.cfg.arch == "gemma4-assistant":
+                from ..models.gemma3n import Gemma4AssistantSpeculator
+
+                return lambda i: Gemma4AssistantSpeculator(dmodel, ctx, seq=i)
             from ..runtime.speculative import DraftModelSpeculator
 
             dctx = Context(dmodel, n_ctx=ctx.n_ctx, n_seqs=n_seqs)
