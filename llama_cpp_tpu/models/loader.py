@@ -80,6 +80,12 @@ LAYER_TENSORS = {
     "post_ffw_norm_2.weight": "ffn_post_norm_2",
     "ffn_gate_inp.scale": "ffn_gate_inp_s",
     "ffn_gate_up_exps.weight": "ffn_gate_up_exps",
+    # CogVLM vision-expert weight set (llama-arch.cpp:599-603)
+    "vis_attn_qkv.weight": "visexp_attn_qkv",
+    "vis_attn_output.weight": "visexp_attn_output",
+    "vis_gate.weight": "visexp_ffn_gate",
+    "vis_down.weight": "visexp_ffn_down",
+    "vis_up.weight": "visexp_ffn_up",
     "proj.weight": "per_layer_proj",
     "post_norm.weight": "per_layer_post_norm",
     # DeepSeek-2 MLA (reference src/models/deepseek2.cpp load_arch_tensors)

@@ -90,6 +90,67 @@ def _qwen2vl(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, attn_bias=True)
 
 
+@register("paddleocr")
+def _paddleocr(cfg: ModelConfig, md) -> ModelConfig:
+    """PaddleOCR text model (reference src/models/paddleocr.cpp): the
+    qwen2vl graph with OPTIONAL qkv biases."""
+    sec = md.get("paddleocr.rope.dimension_sections", [16, 24, 24, 0])
+    if hasattr(sec, "tolist"):
+        sec = sec.tolist()
+    cfg.extra["mrope_sections"] = tuple(int(x) for x in sec if int(x) > 0)
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX)
+
+
+@register("hunyuan_vl")
+def _hunyuan_vl(cfg: ModelConfig, md) -> ModelConfig:
+    """Hunyuan-VL text model (reference src/models/hunyuan-vl.cpp): qwen2
+    graph with per-head q/k rms-norm AFTER rope, optional M-RoPE sections,
+    and XDRoPE NTK-alpha frequency scaling (hunyuan-vl.cpp:8-12)."""
+    c = cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                  tie_embeddings=True)
+    c.extra["qk_norm_after_rope"] = True
+    sec = md.get("hunyuan_vl.rope.dimension_sections")
+    if sec is not None:
+        if hasattr(sec, "tolist"):
+            sec = sec.tolist()
+        sec = [int(x) for x in sec]
+        if sec and sec[0] > 0 and sec[1] > 0:  # use_mrope()
+            c.extra["mrope_sections"] = tuple(x for x in sec if x > 0)
+    alpha = float(md.get("hunyuan_vl.rope.scaling.alpha", 0.0) or 0.0)
+    if alpha > 0.0:
+        d = cfg.head_dim_k
+        c = c.with_(rope_freq_base=cfg.rope_freq_base
+                    * alpha ** (float(d) / (d - 2)))
+    return c
+
+
+@register("cogvlm")
+def _cogvlm(cfg: ModelConfig, md) -> ModelConfig:
+    """CogVLM (reference src/models/cogvlm.cpp): llama graph with a
+    PARALLEL vision-expert weight set — image-embedding ubatches run the
+    visexp qkv/o/ffn weights, text ubatches the regular ones."""
+    cfg.extra["visexp"] = True
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, tie_embeddings=True)
+
+
+@register("deepseek2-ocr")
+def _deepseek2_ocr(cfg: ModelConfig, md) -> ModelConfig:
+    """DeepSeek-OCR text decoder (reference src/models/deepseek2ocr.cpp):
+    the deepseek2 MoE stack (leading dense layers, shared experts, gating
+    func enum) but PLAIN MHA — no MLA latents."""
+    return cfg.with_(
+        rope_type=ROPE_TYPE_NEOX,
+        tie_embeddings=True,
+        expert_gating="softmax"
+        if int(md.get("deepseek2-ocr.expert_gating_func", 1)) == 1
+        else "sigmoid",
+        expert_weights_norm=bool(
+            md.get("deepseek2-ocr.expert_weights_norm", False)),
+        expert_weights_scale=float(
+            md.get("deepseek2-ocr.expert_weights_scale", 1.0)),
+    )
+
+
 @register("qwen3")
 def _qwen3(cfg: ModelConfig, md) -> ModelConfig:
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)

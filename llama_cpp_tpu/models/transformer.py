@@ -1208,6 +1208,20 @@ def forward(
     # weight dicts), so each LOGICAL layer has its own KV lines; phys marks
     # the loop boundary for the inter-loop norm
     layer_seq = params["layers"]
+    if cfg.extra.get("visexp") and inputs_embeds is not None:
+        # CogVLM vision-expert ubatch (cogvlm.cpp:75-99): image-embedding
+        # chunks run the PARALLEL visexp qkv/o/ffn weight set; text chunks
+        # keep the regular weights
+        layer_seq = [
+            {**{k: v for k, v in lw.items()
+                if k not in ("ffn_gateup", "attn_q", "attn_k", "attn_v")},
+             "attn_qkv": lw["visexp_attn_qkv"],
+             "attn_output": lw["visexp_attn_output"],
+             "ffn_gate": lw["visexp_ffn_gate"],
+             "ffn_up": lw["visexp_ffn_up"],
+             "ffn_down": lw["visexp_ffn_down"]}
+            for lw in layer_seq
+        ]
     n_loops = cfg.extra.get("n_loops", 1)
     phys = len(layer_seq) // max(n_loops, 1)
     def _is_mixer(lw):  # recurrent/conv mixer layers (not attention)

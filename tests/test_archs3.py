@@ -1743,3 +1743,259 @@ def test_gemma4(tmp_path):
     ours = _logits(p)
     np.testing.assert_allclose(ours.reshape(-1), ref[-1], rtol=2e-4,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# cogvlm / hunyuan_vl / paddleocr / deepseek2-ocr
+# ---------------------------------------------------------------------------
+
+def _np_rope_neox_t(v, pos, base):
+    T, H_, D = v.shape
+    half = D // 2
+    inv = base ** -(np.arange(half, dtype=np.float64) * 2.0 / D)
+    ang = pos[:, None].astype(np.float64) * inv
+    c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+    x0, x1 = v[..., :half], v[..., half:]
+    return np.concatenate([x0 * c - x1 * s, x0 * s + x1 * c],
+                          axis=-1).astype(v.dtype)
+
+
+def _np_rms_t(x, w=None, eps=1e-5):
+    y = x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + eps)
+    return y * w if w is not None else y
+
+
+def _np_attn(q, k, v, pos):
+    T, H_, D = q.shape
+    Hkv = k.shape[1]
+    groups = H_ // Hkv
+    mask = pos[None, :] <= pos[:, None]
+    out = np.zeros_like(q[..., : v.shape[-1]])
+    for hh in range(H_):
+        sc = (q[:, hh] @ k[:, hh // groups].T) / np.sqrt(D)
+        sc = np.where(mask, sc, -np.inf)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        out[:, hh] = pr @ v[:, hh // groups]
+    return out
+
+
+def test_cogvlm(tmp_path):
+    """CogVLM (reference src/models/cogvlm.cpp) vs a numpy transcription of
+    the text path, plus the vision-expert weight switch on embedding
+    ubatches."""
+    w = _writer("cogvlm", kv=H)  # fused qkv => H == HKV
+    emit, st = _emit_fn(43)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E)
+        emit(w, b + "attn_qkv.weight", 3 * E, E)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "vis_attn_qkv.weight", 3 * E, E)
+        emit(w, b + "vis_attn_output.weight", E, E)
+        emit(w, b + "ffn_norm.weight", E)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "vis_gate.weight", FF, E)
+        emit(w, b + "vis_up.weight", FF, E)
+        emit(w, b + "vis_down.weight", E, FF)
+    p = str(tmp_path / "cog.gguf")
+    w.write(p)
+
+    toks = np.asarray(PROMPT, np.int32)
+    T = len(toks)
+    pos = np.arange(T)
+    g = lambda n: st[n]
+
+    def np_forward(x, vis):
+        pre = "vis_" if vis else ""
+        qkv_n = "vis_attn_qkv" if vis else "attn_qkv"
+        out_n = "vis_attn_output" if vis else "attn_output"
+        for i in range(L):
+            b = f"blk.{i}."
+            h = _np_rms_t(x, g(b + "attn_norm.weight"))
+            qkv = h @ g(b + qkv_n + ".weight").T
+            q = qkv[:, :E].reshape(T, H, HD)
+            k = qkv[:, E:2 * E].reshape(T, H, HD)
+            v = qkv[:, 2 * E:].reshape(T, H, HD)
+            q = _np_rope_neox_t(q, pos, 10000.0)
+            k = _np_rope_neox_t(k, pos, 10000.0)
+            att = _np_attn(q, k, v, pos).reshape(T, E)
+            x = x + att @ g(b + out_n + ".weight").T
+            hf = _np_rms_t(x, g(b + "ffn_norm.weight"))
+            gate = hf @ g(b + ("vis_gate" if vis else "ffn_gate") + ".weight").T
+            up = hf @ g(b + ("vis_up" if vis else "ffn_up") + ".weight").T
+            sil = gate / (1.0 + np.exp(-gate))
+            x = x + (sil * up) @ g(b + ("vis_down" if vis else "ffn_down")
+                                   + ".weight").T
+        x = _np_rms_t(x, g("output_norm.weight"))
+        return x @ g("token_embd.weight").T
+
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.models.transformer import AttnInputs
+    from llama_cpp_tpu.runtime.kv_cache import KVCache
+
+    m = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    x0 = g("token_embd.weight")[toks]
+
+    def run(vis):
+        kv = KVCache.create(L, 1, 32, H, HD, HD, dtype=jnp.float32)
+        inputs = AttnInputs(seq_idx=jnp.zeros(1, jnp.int32),
+                            slots=jnp.asarray(pos)[None, :],
+                            positions=jnp.asarray(pos)[None, :])
+        if vis:
+            lg, _ = m.forward_fn(m.params, m.cfg,
+                                 jnp.asarray(toks)[None, :], inputs, kv,
+                                 inputs_embeds=jnp.asarray(x0)[None, :])
+        else:
+            lg, _ = m.forward_fn(m.params, m.cfg,
+                                 jnp.asarray(toks)[None, :], inputs, kv)
+        return np.asarray(lg)
+
+    np.testing.assert_allclose(run(False), np_forward(x0.copy(), False),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(run(True), np_forward(x0.copy(), True),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hunyuan_vl(tmp_path):
+    """Hunyuan-VL text graph (reference src/models/hunyuan-vl.cpp): q/k
+    rms-norm AFTER rope + XDRoPE NTK-alpha base scaling, vs numpy."""
+    alpha = 4.0
+    w = _writer("hunyuan_vl", extra_md={"rope.scaling.alpha": alpha})
+    emit, st = _emit_fn(44)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E)
+        emit(w, b + "attn_q.weight", E, E)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_q_norm.weight", HD)
+        emit(w, b + "attn_k_norm.weight", HD)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "ffn_norm.weight", E)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "hyvl.gguf")
+    w.write(p)
+
+    toks = np.asarray(PROMPT, np.int32)
+    T = len(toks)
+    pos = np.arange(T)
+    g = lambda n: st[n]
+    base = 10000.0 * alpha ** (HD / (HD - 2))
+
+    x = g("token_embd.weight")[toks]
+    for i in range(L):
+        b = f"blk.{i}."
+        h = _np_rms_t(x, g(b + "attn_norm.weight"))
+        q = (h @ g(b + "attn_q.weight").T).reshape(T, H, HD)
+        k = (h @ g(b + "attn_k.weight").T).reshape(T, HKV, HD)
+        v = (h @ g(b + "attn_v.weight").T).reshape(T, HKV, HD)
+        q = _np_rope_neox_t(q, pos, base)
+        k = _np_rope_neox_t(k, pos, base)
+        q = _np_rms_t(q, g(b + "attn_q_norm.weight"))  # norm AFTER rope
+        k = _np_rms_t(k, g(b + "attn_k_norm.weight"))
+        att = _np_attn(q, k, v, pos).reshape(T, E)
+        x = x + att @ g(b + "attn_output.weight").T
+        hf = _np_rms_t(x, g(b + "ffn_norm.weight"))
+        gate = hf @ g(b + "ffn_gate.weight").T
+        sil = gate / (1.0 + np.exp(-gate))
+        x = x + (sil * (hf @ g(b + "ffn_up.weight").T)) \
+            @ g(b + "ffn_down.weight").T
+    x = _np_rms_t(x, g("output_norm.weight"))
+    ref = x @ g("token_embd.weight").T
+
+    ours = _logits(p)
+    # Context keeps a bf16 KV cache; allow its quantization noise
+    np.testing.assert_allclose(ours.reshape(-1), ref[-1], rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_paddleocr_matches_qwen2vl(tmp_path):
+    """PaddleOCR text model == qwen2vl graph when no biases are present
+    (reference paddleocr.cpp:10 'same with qwen2vl.cpp, bias optional')."""
+    def build(arch):
+        w = _writer(arch, extra_md={
+            "rope.dimension_sections": np.asarray([4, 2, 2, 0], np.uint32)})
+        emit, st = _emit_fn(45)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E)
+        for i in range(L):
+            b = f"blk.{i}."
+            emit(w, b + "attn_norm.weight", E)
+            emit(w, b + "attn_q.weight", E, E)
+            emit(w, b + "attn_k.weight", HKV * HD, E)
+            emit(w, b + "attn_v.weight", HKV * HD, E)
+            emit(w, b + "attn_output.weight", E, E)
+            emit(w, b + "ffn_norm.weight", E)
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        p = str(tmp_path / f"{arch}.gguf")
+        w.write(p)
+        return p
+
+    a = _logits(build("paddleocr"))
+    b = _logits(build("qwen2vl"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_deepseek2_ocr(tmp_path):
+    """DeepSeek-OCR decoder (reference src/models/deepseek2ocr.cpp): plain
+    MHA + deepseek MoE. Dense-lead layers match the qwen2 graph exactly;
+    the MoE tail (sigmoid gating + shared expert) decodes finitely."""
+    def build(arch, moe):
+        md = {}
+        if arch == "deepseek2-ocr":
+            md = {"expert_gating_func": np.uint32(2),
+                  "expert_weights_norm": True,
+                  "leading_dense_block_count": np.uint32(L if not moe else 1)}
+            if moe:
+                md.update({"expert_count": np.uint32(4),
+                           "expert_used_count": np.uint32(2),
+                           "expert_feed_forward_length": np.uint32(32),
+                           "expert_shared_count": np.uint32(1),
+                           "expert_weights_scale": 2.0})
+        w = _writer(arch, extra_md=md)
+        emit, st = _emit_fn(46)
+        emit(w, "token_embd.weight", V, E, scale=0.05)
+        emit(w, "output_norm.weight", E)
+        for i in range(L):
+            b = f"blk.{i}."
+            emit(w, b + "attn_norm.weight", E)
+            emit(w, b + "attn_q.weight", E, E)
+            emit(w, b + "attn_k.weight", HKV * HD, E)
+            emit(w, b + "attn_v.weight", HKV * HD, E)
+            emit(w, b + "attn_output.weight", E, E)
+            emit(w, b + "ffn_norm.weight", E)
+            if moe and i >= 1:
+                emit(w, b + "ffn_gate_inp.weight", 4, E)
+                emit(w, b + "ffn_gate_exps.weight", 4, 32, E)
+                emit(w, b + "ffn_up_exps.weight", 4, 32, E)
+                emit(w, b + "ffn_down_exps.weight", 4, E, 32)
+                emit(w, b + "ffn_gate_shexp.weight", 32, E)
+                emit(w, b + "ffn_up_shexp.weight", 32, E)
+                emit(w, b + "ffn_down_shexp.weight", E, 32)
+            else:
+                emit(w, b + "ffn_gate.weight", FF, E)
+                emit(w, b + "ffn_up.weight", FF, E)
+                emit(w, b + "ffn_down.weight", E, FF)
+        p = str(tmp_path / f"{arch}{moe}.gguf")
+        w.write(p)
+        return p
+
+    # all-dense: graph identical to qwen2
+    a = _logits(build("deepseek2-ocr", False))
+    b = _logits(build("qwen2", False))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # MoE tail decodes
+    _run(build("deepseek2-ocr", True))
