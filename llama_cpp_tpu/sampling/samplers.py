@@ -51,6 +51,7 @@ class SamplingParams:
     infill: bool = False  # fill-in-the-middle sampler (needs vocab)
     logit_bias: dict[int, float] = field(default_factory=dict)
     grammar: str = ""
+    reasoning_budget: int = -1  # max tokens inside <think>…</think>; -1 = off
 
     @property
     def is_greedy(self) -> bool:
@@ -457,6 +458,130 @@ class Infill(Sampler):
         out = np.full_like(logits, -np.inf)
         out[keep] = np.log(np.maximum(p[keep], 1e-30))
         return out
+
+
+class ReasoningBudget(Sampler):
+    """Token budget for reasoning blocks (reference
+    common/reasoning-budget.{h,cpp}): IDLE → COUNTING once a start sequence
+    (e.g. <think>) is generated; after `budget` tokens, wait for any pending
+    UTF-8 multibyte sequence to close, then FORCE the forced token sequence
+    (the closing </think>) by masking all other logits; DONE passes through
+    and re-arms if a new start sequence appears."""
+
+    IDLE, COUNTING, WAITING_UTF8, FORCING, DONE = range(5)
+
+    def __init__(self, start_seqs, end_seqs, forced_tokens, budget,
+                 piece_bytes=None, initial_state=None):
+        self.start_seqs = [list(s) for s in start_seqs if s]
+        self.end_seqs = [list(s) for s in end_seqs if s]
+        self.forced = list(forced_tokens)
+        self.budget = int(budget)
+        self.piece_bytes = piece_bytes  # token -> bytes, for UTF-8 boundary
+        self.state_ = self.IDLE if initial_state is None else initial_state
+        self.remaining = self.budget
+        self.force_idx = 0
+        self.end_match: list[int] | None = None
+        self._recent: list[int] = []
+        self._pending_utf8 = 0
+        max_seq = max(
+            [len(s) for s in self.start_seqs + self.end_seqs] or [1]
+        )
+        self._keep = max_seq
+
+    def _ends_with_any(self, seqs):
+        for s in seqs:
+            if len(self._recent) >= len(s) and self._recent[-len(s):] == s:
+                return s
+        return None
+
+    def _track_utf8(self, token: int):
+        if self.piece_bytes is None:
+            return
+        try:
+            b = self.piece_bytes(token)
+        except Exception:
+            return
+        for byte in b:
+            if self._pending_utf8 > 0:
+                if 0x80 <= byte < 0xC0:
+                    self._pending_utf8 -= 1
+                else:
+                    self._pending_utf8 = 0  # malformed; don't stall
+            if self._pending_utf8 == 0:
+                if byte >= 0xF0:
+                    self._pending_utf8 = 3
+                elif byte >= 0xE0:
+                    self._pending_utf8 = 2
+                elif byte >= 0xC0:
+                    self._pending_utf8 = 1
+
+    def apply(self, state, logits):
+        if self.state_ == self.FORCING and self.force_idx < len(self.forced):
+            out = np.full_like(logits, -np.inf)
+            out[self.forced[self.force_idx]] = 0.0
+            return out
+        return logits
+
+    def accept(self, state, token):
+        self._recent.append(int(token))
+        if len(self._recent) > self._keep:
+            del self._recent[: -self._keep]
+        st = self.state_
+        if st == self.FORCING:
+            # only our forced token can have been sampled
+            self.force_idx += 1
+            if self.force_idx >= len(self.forced):
+                self.state_ = self.DONE
+            return
+        if st in (self.IDLE, self.DONE):
+            if self._ends_with_any(self.start_seqs):
+                self.state_ = self.COUNTING
+                self.remaining = self.budget
+                self.end_match = None
+            return
+        if st == self.COUNTING:
+            self._track_utf8(int(token))
+            hit = self._ends_with_any(self.end_seqs)
+            if hit is not None:
+                self.state_ = self.DONE
+                self.end_match = hit
+                return
+            self.remaining -= 1
+            if self.remaining <= 0:
+                if self._pending_utf8 > 0:
+                    self.state_ = self.WAITING_UTF8
+                else:
+                    self.state_ = self.FORCING
+                    self.force_idx = 0
+            return
+        if st == self.WAITING_UTF8:
+            self._track_utf8(int(token))
+            if self._pending_utf8 == 0:
+                self.state_ = self.FORCING
+                self.force_idx = 0
+
+    def reset(self):
+        self.state_ = self.IDLE
+        self.remaining = self.budget
+        self.force_idx = 0
+        self.end_match = None
+        self._recent.clear()
+        self._pending_utf8 = 0
+
+
+def make_reasoning_budget(vocab, tokenize, budget: int,
+                          start: str = "<think>", end: str = "</think>"):
+    """Build a ReasoningBudget from text markers: tokenizes the start/end
+    sequences with the model tokenizer (special parsing on) and forces the
+    end marker when the budget expires."""
+    start_ids = tokenize(start)
+    end_ids = tokenize(end)
+    forced = tokenize("\n" + end)
+    piece_bytes = None
+    if vocab is not None and hasattr(vocab, "text_of"):
+        piece_bytes = lambda t: vocab.text_of(t).encode("utf-8", "ignore")
+    return ReasoningBudget([start_ids], [end_ids], forced, budget,
+                           piece_bytes=piece_bytes)
 
 
 class SamplerChain:

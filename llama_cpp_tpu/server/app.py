@@ -19,6 +19,7 @@ from aiohttp import web
 
 from ..sampling.samplers import SamplingParams
 from .chat import apply_chat_template
+from .chat_parser import StreamingChatParser, detect_format
 from .scheduler import GenTask, Scheduler
 
 
@@ -42,6 +43,10 @@ def _sampling_from_request(body: dict[str, Any]) -> SamplingParams:
     p.adaptive_decay = float(body.get("adaptive_decay", p.adaptive_decay))
     if "seed" in body and body["seed"] is not None:
         p.seed = int(body["seed"]) & 0xFFFFFFFF
+    if body.get("reasoning_budget") is not None:
+        p.reasoning_budget = int(body["reasoning_budget"])
+    if body.get("thinking_budget") is not None:  # alias
+        p.reasoning_budget = int(body["thinking_budget"])
     if body.get("logit_bias"):
         p.logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
     return p
@@ -350,25 +355,51 @@ class ServerApp:
             }
         )
 
+    def _chat_parse_format(self, body: dict) -> str:
+        """Stream-parse format for this request: tool-call grammar sniffed
+        from the chat template when tools are declared, else content+think."""
+        if not body.get("tools"):
+            return "generic"
+        template = body.get("chat_template") or (
+            self.tok.vocab.chat_template if self.tok else None
+        )
+        return detect_format(template)
+
     async def chat_completions(self, req):
         body = await req.json()
         prompt = self._prompt_from_chat(body)
         task = self._make_task(body, prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
+        fmt = self._chat_parse_format(body)
         if body.get("stream"):
-            return await self._stream_openai(req, task, rid, chat=True)
+            return await self._stream_openai(req, task, rid, chat=True,
+                                             fmt=fmt)
         done = await self._run_task(task)
         result = await done
-        message = {"role": "assistant", "content": result["text"]}
         finish = result["finish_reason"]
-        if body.get("tools"):
+        parser = StreamingChatParser(fmt)
+        parser.put(result["text"])
+        parser.finish()
+        parsed = parser.result
+        message = {"role": "assistant", "content": parsed.content or None}
+        if parsed.reasoning:
+            message["reasoning_content"] = parsed.reasoning
+        calls = [
+            {"id": t.id, "type": "function",
+             "function": {"name": t.name, "arguments": t.arguments}}
+            for t in parsed.tool_calls
+        ]
+        if not calls and body.get("tools"):
             from .tool_calls import parse_tool_calls
 
             content, calls = parse_tool_calls(result["text"])
             if calls:
-                message = {"role": "assistant",
-                           "content": content or None, "tool_calls": calls}
-                finish = "tool_calls"
+                message["content"] = content or None
+        if calls:
+            message["tool_calls"] = calls
+            finish = "tool_calls"
+        if message["content"] is None and not calls and not parsed.reasoning:
+            message["content"] = result["text"]
         return web.json_response(
             {
                 "id": rid,
@@ -442,7 +473,8 @@ class ServerApp:
             },
         })
 
-    async def _stream_openai(self, req, task: GenTask, rid: str, chat: bool):
+    async def _stream_openai(self, req, task: GenTask, rid: str, chat: bool,
+                             fmt: str = "generic"):
         q: asyncio.Queue = asyncio.Queue()
         done = await self._run_task(task, stream_q=q)
         resp = web.StreamResponse(
@@ -457,20 +489,30 @@ class ServerApp:
             return f"data: {json.dumps(obj)}\n\n".encode()
 
         obj_type = "chat.completion.chunk" if chat else "text_completion"
-        if chat:
-            await resp.write(
-                sse(
-                    {
-                        "id": rid,
-                        "object": obj_type,
+        # streaming-diff parser (reference chat-peg-parser + compute_diffs):
+        # re-parses the accumulated text each token and yields structured
+        # content / reasoning_content / tool_calls deltas
+        parser = StreamingChatParser(fmt) if chat else None
+
+        def chunk_for(choice) -> bytes:
+            return sse({"id": rid, "object": obj_type,
                         "created": int(time.time()),
-                        "model": self.model_name,
-                        "choices": [
-                            {"index": 0, "delta": {"role": "assistant"}, "finish_reason": None}
-                        ],
-                    }
-                )
-            )
+                        "model": self.model_name, "choices": [choice]})
+
+        async def emit(d, final: bool = False):
+            if not chat:
+                await resp.write(chunk_for(
+                    {"index": 0, "text": d["delta"], "finish_reason": None}))
+                return
+            diffs = parser.finish() if final else parser.put(d["delta"])
+            for delta in diffs:
+                await resp.write(chunk_for(
+                    {"index": 0, "delta": delta, "finish_reason": None}))
+
+        if chat:
+            await resp.write(chunk_for(
+                {"index": 0, "delta": {"role": "assistant"},
+                 "finish_reason": None}))
         while True:
             get = asyncio.ensure_future(q.get())
             fin = asyncio.ensure_future(asyncio.wait_for(asyncio.shield(done), None))
@@ -478,39 +520,11 @@ class ServerApp:
                 {get, fin}, return_when=asyncio.FIRST_COMPLETED
             )
             if get in dp:
-                d = get.result()
-                delta = (
-                    {"content": d["delta"]} if chat else None
-                )
-                choice = (
-                    {"index": 0, "delta": delta, "finish_reason": None}
-                    if chat
-                    else {"index": 0, "text": d["delta"], "finish_reason": None}
-                )
-                await resp.write(
-                    sse(
-                        {
-                            "id": rid,
-                            "object": obj_type,
-                            "created": int(time.time()),
-                            "model": self.model_name,
-                            "choices": [choice],
-                        }
-                    )
-                )
+                await emit(get.result())
                 if fin in dp:
                     # drain remaining deltas before finishing
                     while not q.empty():
-                        d = q.get_nowait()
-                        choice = (
-                            {"index": 0, "delta": {"content": d["delta"]}, "finish_reason": None}
-                            if chat
-                            else {"index": 0, "text": d["delta"], "finish_reason": None}
-                        )
-                        await resp.write(sse({"id": rid, "object": obj_type,
-                                              "created": int(time.time()),
-                                              "model": self.model_name,
-                                              "choices": [choice]}))
+                        await emit(q.get_nowait())
                     break
                 for p in pending:
                     p.cancel()
@@ -519,10 +533,15 @@ class ServerApp:
                     p.cancel()
                 break
         result = await done
+        finish = result["finish_reason"]
+        if chat:
+            await emit(None, final=True)
+            if parser.result.tool_calls:
+                finish = "tool_calls"
         final_choice = (
-            {"index": 0, "delta": {}, "finish_reason": result["finish_reason"]}
+            {"index": 0, "delta": {}, "finish_reason": finish}
             if chat
-            else {"index": 0, "text": "", "finish_reason": result["finish_reason"]}
+            else {"index": 0, "text": "", "finish_reason": finish}
         )
         await resp.write(
             sse(

@@ -142,6 +142,14 @@ class Scheduler:
         slot.sampler = SamplerChain.from_params(
             task.params, tok.vocab if tok else None
         )
+        if task.params.reasoning_budget >= 0 and tok is not None:
+            from ..sampling.samplers import make_reasoning_budget
+
+            slot.sampler.samplers.insert(0, make_reasoning_budget(
+                tok.vocab,
+                lambda s: tok.encode(s, add_special=False,
+                                     parse_special=True),
+                task.params.reasoning_budget))
         slot.grammar = None
         slot.speculator = None
         if self.spec_factory is not None:
@@ -376,7 +384,7 @@ class Scheduler:
         return (p.is_greedy and slot.grammar is None and not p.logit_bias
                 and p.penalty_repeat == 1.0 and p.penalty_freq == 0.0
                 and p.penalty_present == 0.0 and p.dry_multiplier == 0.0
-                and slot.task.n_probs == 0)
+                and p.reasoning_budget < 0 and slot.task.n_probs == 0)
 
     def _reclaim_victim(self, gen):
         # reclaim by finishing the longest-running generation; the

@@ -193,3 +193,88 @@ def test_infill_prefix_merge_and_eog():
     logits = np.log(np.array([0.05, 0.05, 0.05, 0.85], dtype=np.float32))
     out = inf.apply(st, logits.copy())
     assert np.isfinite(out[3]) and np.isneginf(out[:3]).all()
+
+
+# ---------------------------------------------------------------------------
+# reasoning budget (reference common/reasoning-budget.cpp)
+
+
+def test_reasoning_budget_state_machine():
+    from llama_cpp_tpu.sampling.samplers import ReasoningBudget
+
+    START, END_A, END_B, FORCE = [1, 2], [3], [9, 3], [7, 3]
+    rb = ReasoningBudget([START], [END_A, END_B], FORCE, budget=3)
+    logits = np.zeros(16, np.float32)
+
+    # IDLE: passthrough, watching for start
+    assert np.array_equal(rb.apply(None, logits.copy()), logits)
+    rb.accept(None, 1)
+    assert rb.state_ == rb.IDLE
+    rb.accept(None, 2)  # start seq complete
+    assert rb.state_ == rb.COUNTING
+
+    # COUNTING: 3 tokens allowed
+    rb.accept(None, 5)
+    rb.accept(None, 6)
+    assert rb.state_ == rb.COUNTING
+    rb.accept(None, 5)  # budget exhausted
+    assert rb.state_ == rb.FORCING
+
+    # FORCING: only forced token survives masking
+    out = rb.apply(None, logits.copy())
+    assert np.isfinite(out[7]) and not np.isfinite(out[5])
+    rb.accept(None, 7)
+    out = rb.apply(None, logits.copy())
+    assert np.isfinite(out[3]) and not np.isfinite(out[7])
+    rb.accept(None, 3)
+    assert rb.state_ == rb.DONE
+
+    # DONE: passthrough; re-arms on a new start sequence
+    assert np.array_equal(rb.apply(None, logits.copy()), logits)
+    rb.accept(None, 1)
+    rb.accept(None, 2)
+    assert rb.state_ == rb.COUNTING
+
+
+def test_reasoning_budget_natural_end():
+    from llama_cpp_tpu.sampling.samplers import ReasoningBudget
+
+    rb = ReasoningBudget([[1]], [[9, 3]], [7], budget=100)
+    rb.accept(None, 1)
+    assert rb.state_ == rb.COUNTING
+    rb.accept(None, 9)
+    rb.accept(None, 3)  # natural end sequence
+    assert rb.state_ == rb.DONE
+    assert rb.end_match == [9, 3]
+
+
+def test_reasoning_budget_utf8_wait():
+    from llama_cpp_tpu.sampling.samplers import ReasoningBudget
+
+    pieces = {5: b"\xe2\x82", 6: b"\xac", 1: b"<t>", 8: b"x"}
+    rb = ReasoningBudget([[1]], [[3]], [7], budget=1,
+                         piece_bytes=lambda t: pieces.get(t, b""))
+    rb.accept(None, 1)
+    rb.accept(None, 5)  # budget hits 0 mid-euro-sign
+    assert rb.state_ == rb.WAITING_UTF8
+    rb.accept(None, 6)  # completes the codepoint
+    assert rb.state_ == rb.FORCING
+
+
+def test_reasoning_budget_in_chain():
+    from llama_cpp_tpu.sampling.samplers import (ReasoningBudget,
+                                                 SamplerChain,
+                                                 SamplingParams)
+
+    p = SamplingParams(temp=0.0)
+    chain = SamplerChain.from_params(p)
+    chain.samplers.insert(0, ReasoningBudget([[2]], [[3]], [3], budget=1))
+    v = 8
+    # model "wants" token 5 forever
+    logits = np.full(v, -1.0, np.float32)
+    logits[5] = 10.0
+    assert chain.sample(logits.copy()) == 5  # IDLE
+    chain.accept(2)  # prompt/think opener arrives via accept
+    assert chain.sample(logits.copy()) == 5  # budget 1: allowed
+    assert chain.sample(logits.copy()) == 3  # forced close
+    assert chain.sample(logits.copy()) == 5  # DONE passthrough

@@ -456,3 +456,40 @@ def test_scheduler_ngram_speculative(tmp_path_factory):
             sched.stop()
 
     assert run_once(True)["tokens"] == run_once(False)["tokens"]
+
+
+def test_stream_matches_nonstream_content(served):
+    """Streamed structured deltas (PEG streaming-diff path) must concatenate
+    to exactly the non-streamed message content at temperature 0."""
+    async def go():
+        client = TestClient(TestServer(served.new_app()))
+        await client.start_server()
+        try:
+            req = {
+                "messages": [{"role": "user", "content": "hello world"}],
+                "max_tokens": 8,
+                "temperature": 0.0,
+                "seed": 7,
+            }
+            r = await client.post("/v1/chat/completions", json=req)
+            full = (await r.json())["choices"][0]["message"]["content"] or ""
+
+            r = await client.post(
+                "/v1/chat/completions", json={**req, "stream": True}
+            )
+            body = await r.text()
+            events = [
+                json.loads(line[6:])
+                for line in body.splitlines()
+                if line.startswith("data: ") and line != "data: [DONE]"
+            ]
+            streamed = "".join(
+                e["choices"][0]["delta"].get("content", "")
+                for e in events
+                if e["choices"][0].get("delta")
+            )
+            assert streamed.strip() == full.strip()
+        finally:
+            await client.close()
+
+    _run(go())
