@@ -63,8 +63,13 @@ class ServerApp:
         import tempfile as _tf
 
         self.slot_save_dir = slot_save_dir or _tf.gettempdir()
+        self.mcp = None  # McpManager, set by run_server when --mcp given
         self.app = web.Application()
         r = self.app.router
+        r.add_get("/", self.webui)
+        r.add_get("/index.html", self.webui)
+        r.add_get("/tools", self.tools_list)
+        r.add_post("/tools/call", self.tools_call)
         r.add_get("/health", self.health)
         r.add_get("/props", self.props)
         r.add_get("/metrics", self.metrics)
@@ -82,6 +87,31 @@ class ServerApp:
         r.add_post("/v1/messages", self.anthropic_messages)
         r.add_post("/v1/responses", self.responses)
         r.add_post("/infill", self.infill)
+
+    # -- webui + tools (reference tools/ui + server-tools.cpp) -----------
+    async def webui(self, req):
+        from .webui import WEBUI_HTML
+
+        return web.Response(text=WEBUI_HTML, content_type="text/html")
+
+    async def tools_list(self, req):
+        tools = self.mcp.definitions() if self.mcp is not None else []
+        return web.json_response({"tools": tools})
+
+    async def tools_call(self, req):
+        body = await req.json()
+        name = body.get("name", "")
+        args = body.get("arguments", {})
+        if self.mcp is None:
+            return web.json_response({"error": "no tools configured"},
+                                     status=400)
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(
+                None, lambda: self.mcp.call(name, args))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response(result)
 
     # -- helpers ---------------------------------------------------------
     async def _run_task(self, task: GenTask, stream_q: asyncio.Queue | None = None):
@@ -631,6 +661,13 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
     draft_model = ctx_kw.pop("draft_model", None)
     spec_mode = ctx_kw.pop("spec", "")
     n_draft = ctx_kw.pop("n_draft", 8)
+    mcp_cmds = ctx_kw.pop("mcp", None)
+    mcp_mgr = None
+    if mcp_cmds:
+        from .mcp import McpManager
+
+        mcp_mgr = McpManager()
+        mcp_mgr.start(list(mcp_cmds))
 
     def make_spec_factory(ctx):
         """Per-slot speculator factory (reference per-slot drafting,
@@ -677,6 +714,7 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
                       n_draft=n_draft)
     sched.start()
     app = ServerApp(sched, model_name=model.cfg.name or "model")
+    app.mcp = mcp_mgr
     web.run_app(app.app, host=host, port=port)
 
 
@@ -702,6 +740,9 @@ def main(argv=None):
                     help="self-speculation mode (prompt-lookup ngram)")
     ap.add_argument("--draft-max", type=int, default=8,
                     help="max drafted tokens per step")
+    ap.add_argument("--mcp", action="append", default=[],
+                    help="MCP server command to spawn and expose via /tools "
+                    "(repeatable; reference llama-server --mcp)")
     args = ap.parse_args(argv)
     models = {}
     for i, spec in enumerate(args.model):
@@ -715,7 +756,7 @@ def main(argv=None):
                kv_total=args.kv_total or None,
                quantized_kv=args.kv_quant,
                draft_model=args.model_draft, spec=args.spec,
-               n_draft=args.draft_max)
+               n_draft=args.draft_max, mcp=args.mcp)
 
 
 if __name__ == "__main__":
