@@ -18,7 +18,7 @@ from .mmproj import load_mmproj
 
 @dataclass
 class Chunk:
-    kind: str  # "text" | "image"
+    kind: str  # "text" | "image" | "audio"
     tokens: list | None = None
     embeds: np.ndarray | None = None  # [n, n_embd_llm]
 
@@ -26,6 +26,31 @@ class Chunk:
 class MtmdModel:
     def __init__(self, mmproj_path: str):
         self.cfg, self.params = load_mmproj(mmproj_path)
+        # audio tower shares the mmproj file (reference: one clip_ctx per
+        # modality, clip.has_audio_encoder)
+        self.audio_cfg = None
+        self.audio_params = None
+        from ..gguf.reader import read_gguf
+
+        md = read_gguf(mmproj_path).metadata
+        if md.get("clip.has_audio_encoder"):
+            from .audio import load_audio_mmproj
+
+            self.audio_cfg, self.audio_params = load_audio_mmproj(mmproj_path)
+
+    def encode_audio(self, samples: np.ndarray) -> np.ndarray:
+        """16 kHz mono PCM -> [n_tokens, n_embd_llm] f32 (all 30 s chunks
+        concatenated; reference mtmd.cpp audio path)."""
+        from .audio import log_mel_spectrogram, whisper_encoder_forward
+
+        if self.audio_cfg is None:
+            raise ValueError("mmproj has no audio encoder")
+        outs = []
+        for mel in log_mel_spectrogram(samples, n_mel=self.audio_cfg.n_mel):
+            out = whisper_encoder_forward(self.audio_params, self.audio_cfg,
+                                          jnp.asarray(mel))
+            outs.append(np.asarray(out, np.float32))
+        return np.concatenate(outs, axis=0)
 
     @property
     def n_image_tokens(self) -> int:
