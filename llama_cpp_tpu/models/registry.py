@@ -1255,6 +1255,7 @@ def _mellum(cfg: ModelConfig, md) -> ModelConfig:
     a = cfg.arch
     c = cfg.with_(
         rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_weights_norm=True,  # mellum.cpp build_moe_ffn norm_w=true
         sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
         swa_pattern=int(md.get(f"{a}.attention.sliding_window_pattern", 4)),
     )
@@ -1297,6 +1298,7 @@ def _hunyuan_moe(cfg: ModelConfig, md) -> ModelConfig:
     cfg.extra["qk_norm_after_rope"] = True
     return cfg.with_(
         rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+        expert_weights_norm=True,  # hunyuan-moe.cpp: norm_topk_prob=true
         n_expert_shared=max(1, int(md.get(f"{a}.expert_shared_count", 1))),
     )
 
@@ -1305,16 +1307,23 @@ def _hunyuan_moe(cfg: ModelConfig, md) -> ModelConfig:
 def _exaone_moe(cfg: ModelConfig, md) -> ModelConfig:
     """EXAONE-MoE (reference src/models/exaone-moe.cpp): pre-norm blocks,
     per-head qk rmsnorm before rope, iSWA pattern (default window 128 /
-    period 4), MoE with gated shared expert."""
+    period 4) with rope ONLY on the local layers, MoE with gated shared
+    expert and a configurable gating function."""
     a = cfg.arch
+    gating = {1: "softmax", 2: "sigmoid"}.get(
+        int(md.get(f"{a}.expert_gating_func", 1) or 1), "softmax")
     c = cfg.with_(
         rope_type=ROPE_TYPE_NEOX, qk_norm=True,
         sliding_window=int(md.get(f"{a}.attention.sliding_window", 128)),
         swa_pattern=int(md.get(f"{a}.attention.sliding_window_pattern", 4)),
         n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
+        expert_gating=gating,
         expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", False)),
         expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
     )
+    # exaone-moe.cpp ropes only is_swa (local) layers
+    c.extra["no_rope_layers"] = tuple(
+        il for il in range(c.n_layers) if not c.is_swa_layer(il))
     swa_base = md.get(f"{a}.rope.freq_base_swa")
     if swa_base:
         c.extra["rope_freq_base_swa"] = float(swa_base)
@@ -1328,10 +1337,15 @@ def _cohere2moe(cfg: ModelConfig, md) -> ModelConfig:
     and shared dense FFN."""
     a = cfg.arch
     pat = int(md.get(f"{a}.attention.sliding_window_pattern", 4))
+    # gating defaults to SIGMOID when the key is absent (cohere2moe.cpp:27)
     gating = {1: "softmax", 2: "sigmoid"}.get(
-        int(md.get(f"{a}.expert_gating_func", 1) or 1), "softmax")
+        int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
+    # RMS when a rms-eps key is present, LN otherwise (cohere2moe.cpp:5-9)
+    has_rms = f"{a}.attention.layer_norm_rms_epsilon" in md
+    # swa layers are dense-FIRST: il % pat != 0 (set_swa_pattern(p, true))
+    cfg.extra["swa_first_global"] = True
     c = cfg.with_(
-        rope_type=ROPE_TYPE_NORM, use_rms_norm=False,
+        rope_type=ROPE_TYPE_NORM, use_rms_norm=has_rms,
         parallel_residual=True, shared_parallel_norm=True,
         logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
         sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
@@ -1423,13 +1437,20 @@ def _nomic_bert_moe(cfg: ModelConfig, md) -> ModelConfig:
                      act="gelu", glu=False)
 
 
-def _swa_pattern_extra(cfg: ModelConfig, md, a: str) -> ModelConfig:
+def _swa_pattern_extra(cfg: ModelConfig, md, a: str,
+                       scalar_is_array: bool = False) -> ModelConfig:
     """Shared SWA-pattern plumbing: scalar period or per-layer bool array
     (LLM_KV_ATTENTION_SLIDING_WINDOW_PATTERN get_key_or_arr), plus the
     optional local-layer rope base."""
     pat = md.get(f"{a}.attention.sliding_window_pattern", 4)
     if isinstance(pat, (list, tuple)) or hasattr(pat, "__len__"):
         cfg.extra["is_swa_layers"] = tuple(bool(int(v)) for v in pat)
+        pat_i = 0
+    elif scalar_is_array:
+        # mimo2.cpp/step35.cpp read the pattern with get_key_or_arr into
+        # the PER-LAYER array: a scalar key broadcasts, so any nonzero
+        # scalar means every layer is SWA
+        cfg.extra["is_swa_layers"] = tuple([bool(int(pat))] * cfg.n_layers)
         pat_i = 0
     else:
         pat_i = int(pat)
@@ -1475,17 +1496,20 @@ def _step35(cfg: ModelConfig, md) -> ModelConfig:
         expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
         n_expert_shared=int(md.get(f"{a}.expert_shared_count", 0)),
     )
-    return _swa_pattern_extra(c, md, a)
+    return _swa_pattern_extra(c, md, a, scalar_is_array=True)
 
 
 @register("mimo2")
 def _mimo2(cfg: ModelConfig, md) -> ModelConfig:
-    """MiMo-2 (reference src/models/mimo2.cpp): MoE + per-layer SWA array,
+    """MiMo-2 (reference src/models/mimo2.cpp): sigmoid-gated normed MoE +
+    per-layer SWA array (scalar pattern key broadcasts to every layer),
     attention sinks, optional value scale folded by the converter; nextn
     (MTP) tail layers skipped."""
     a = cfg.arch
-    c = cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
-    return _swa_pattern_extra(c, md, a)
+    # mimo2.cpp hard-codes GATING_FUNC_TYPE_SIGMOID with norm_w=true
+    c = cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
+                  expert_gating="sigmoid", expert_weights_norm=True)
+    return _swa_pattern_extra(c, md, a, scalar_is_array=True)
 
 
 @register("grovemoe")
@@ -1557,6 +1581,7 @@ def _afmoe(cfg: ModelConfig, md) -> ModelConfig:
         int(md.get(f"{a}.expert_gating_func", 2) or 2), "sigmoid")
     c = cfg.with_(
         rope_type=ROPE_TYPE_NEOX, qk_norm=True, post_norms=True,
+        embd_scale=float(cfg.n_embd) ** 0.5,  # afmoe.cpp: inpL * sqrt(E)
         expert_gating=gating,
         expert_weights_norm=bool(md.get(f"{a}.expert_weights_norm", True)),
         expert_weights_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
@@ -1633,6 +1658,34 @@ def _eagle3(cfg: ModelConfig, md) -> ModelConfig:
         draft_only=True,  # no standalone generate: paired with a target
     )
     return cfg.with_(rope_type=ROPE_TYPE_NORM)
+
+
+@register("dflash")
+def _dflash(cfg: ModelConfig, md) -> ModelConfig:
+    """DFlash block-diffusion drafter (reference src/models/dflash.cpp):
+    an `fc` encoder fusing N extracted target-layer inputs into g
+    embeddings that are injected as the drafter's K/V context, plus a small
+    llama-style stack (per-head qk rmsnorm, swiglu) that denoises a
+    [id_last, <mask>...] block non-causally. NEOX rope for the legacy
+    backbone (llama-model.cpp:2689; the DSV4/DSpark variant is NORM and
+    not yet implemented here). Driven by models/dflash.py, not the shared
+    forward."""
+    ids = md.get("dflash.target_layers")
+    if ids is None:
+        raise ValueError("DFlash model requires dflash.target_layers "
+                         "metadata (dflash.cpp:7-9)")
+    if hasattr(ids, "tolist"):
+        ids = ids.tolist()
+    if int(md.get("dflash.hyper_connection_count", 0) or 0) > 0:
+        raise NotImplementedError("DSpark/DSV4 dflash variant")
+    cfg.extra.update(
+        target_layers=tuple(int(i) for i in ids),
+        block_size=int(md.get("dflash.block_size", 16)),
+        mask_token_id=int(md.get("tokenizer.ggml.mask_token_id", 0)),
+        draft_only=True,
+        no_qkv_fuse=True,  # KV injection needs standalone wk/wv
+    )
+    return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True)
 
 
 def _as_arr(v):

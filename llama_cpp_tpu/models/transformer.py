@@ -1222,8 +1222,20 @@ def forward(
              "ffn_down": lw["visexp_ffn_down"]}
             for lw in layer_seq
         ]
+    if "layer_stages" in params:
+        # pipeline-parallel serving (parallel/pipeline.py): the dense layer
+        # stack runs as a GPipe shard_map over the plan's pp axis; layers
+        # and their KV lines are stage-resident, activations ride ICI
+        from ..parallel.pipeline import pipeline_layer_stack
+        from ..parallel.state import get_plan
+
+        plan = get_plan()
+        x, kv = pipeline_layer_stack(cfg, params["layer_stages"], x, inputs,
+                                     kv, plan.mesh, axis=plan.pp_axis)
+        layer_seq = []
+
     n_loops = cfg.extra.get("n_loops", 1)
-    phys = len(layer_seq) // max(n_loops, 1)
+    phys = max(len(layer_seq) // max(n_loops, 1), 1)
     def _is_mixer(lw):  # recurrent/conv mixer layers (not attention)
         return ("ssm_in" in lw or "shortconv_in" in lw or "ssm_ba" in lw
                 or "ssm_beta" in lw or "ssm_f_a" in lw)
@@ -1378,7 +1390,9 @@ def forward(
                 else:
                     rx = x_in if cfg.extra.get("router_raw_input") else None
                     ff = moe_block(cfg, lw, h, router_x=rx)
-                    if "ffn_gate" in lw:  # dense+moe hybrid (deepseek/grok)
+                    # dense+moe hybrid (deepseek/grok); the load-time fusion
+                    # may have packed gate+up into one ffn_gateup plane
+                    if "ffn_gate" in lw or "ffn_gateup" in lw:
                         ff = ff + ffn_block(cfg, lw, h, il)
                         ds = cfg.extra.get("dense_moe_scale", 1.0)
                         if ds != 1.0:  # grok: (dense+moe) * sqrt(2)/2
