@@ -534,7 +534,8 @@ def load_model(
     if cfg.extra.get("kv_lora_rank"):
         for lw in layers:
             _fuse_presplit_mla_kv(lw, cfg)
-    if fuse and not cfg.extra.get("q_gate_interleaved"):
+    if (fuse and not cfg.extra.get("q_gate_interleaved")
+            and not cfg.extra.get("no_qkv_fuse")):
         # (qwen35's wq embeds a per-head gate at double width — the fused
         # split would mis-partition it, so those archs stay unfused;
         # shared-KV layers must keep a standalone wq for the q-only path)

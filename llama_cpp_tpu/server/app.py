@@ -680,6 +680,11 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
 
                 return lambda i: Eagle3Speculator(
                     dmodel, ctx.model, n_ctx=ctx.n_ctx)
+            if dmodel.cfg.arch == "dflash":
+                from ..models.dflash import DflashSpeculator
+
+                return lambda i: DflashSpeculator(
+                    dmodel, ctx.model, n_ctx=ctx.n_ctx)
             if dmodel.cfg.arch == "gemma4-assistant":
                 from ..models.gemma3n import Gemma4AssistantSpeculator
 

@@ -931,6 +931,74 @@ def make_tiny_eagle3_gguf(
     return path
 
 
+def make_tiny_dflash_gguf(
+    path: str,
+    target_layers=(0, 1),
+    n_embd_tgt: int = 64,
+    n_embd: int = 64,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    n_ff: int = 128,
+    vocab_size: int = 300,
+    block_size: int = 8,
+    mask_token_id: int = 3,
+    seed: int = 13,
+) -> str:
+    """Random-weight DFlash block-diffusion drafter GGUF (reference
+    src/models/dflash.cpp load_arch_tensors, legacy non-DSV4 variant):
+    fc encoder over the extracted target layers + a small llama-style
+    stack with per-head qk rmsnorm; token_embd/output borrowed from the
+    target at run time."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_heads
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "dflash")
+    w.add(Keys.General.NAME, "tiny-dflash")
+    w.add("dflash.block_count", np.uint32(n_layers))
+    w.add("dflash.context_length", np.uint32(256))
+    w.add("dflash.embedding_length", np.uint32(n_embd))
+    w.add("dflash.feed_forward_length", np.uint32(n_ff))
+    w.add("dflash.attention.head_count", np.uint32(n_heads))
+    w.add("dflash.attention.head_count_kv", np.uint32(n_kv_heads))
+    w.add("dflash.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("dflash.rope.freq_base", 10000.0)
+    w.add("dflash.rope.dimension_count", np.uint32(head_dim))
+    w.add("dflash.vocab_size", np.uint32(vocab_size))
+    w.add("dflash.target_layers", np.asarray(target_layers, dtype=np.int32))
+    w.add("dflash.block_size", np.uint32(block_size))
+    w.add("tokenizer.ggml.mask_token_id", np.uint32(mask_token_id))
+
+    def emit(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                     GGMLType.F32)
+
+    def rand(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-1]))
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    kv_dim = n_kv_heads * head_dim
+    emit("fc.weight", rand(n_embd, len(target_layers) * n_embd_tgt))
+    emit("enc.output_norm.weight", np.ones(n_embd))
+    emit("output_norm.weight", np.ones(n_embd))
+    for il in range(n_layers):
+        b = f"blk.{il}."
+        emit(b + "attn_norm.weight", np.ones(n_embd))
+        emit(b + "attn_q.weight", rand(n_heads * head_dim, n_embd))
+        emit(b + "attn_k.weight", rand(kv_dim, n_embd))
+        emit(b + "attn_v.weight", rand(kv_dim, n_embd))
+        emit(b + "attn_output.weight", rand(n_embd, n_heads * head_dim))
+        emit(b + "attn_q_norm.weight", np.ones(head_dim))
+        emit(b + "attn_k_norm.weight", np.ones(head_dim))
+        emit(b + "ffn_norm.weight", np.ones(n_embd))
+        emit(b + "ffn_gate.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_up.weight", rand(n_ff, n_embd))
+        emit(b + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write(path)
+    return path
+
+
 def make_tiny_rwkv_hybrid_gguf(
     path: str,
     arch: str = "rwkv6qwen2",

@@ -102,6 +102,10 @@ def main(argv=None):
             from ..models.eagle3 import Eagle3Speculator
 
             speculator = Eagle3Speculator(dmodel, model, n_ctx=args.ctx_size)
+        elif dmodel.cfg.arch == "dflash":
+            from ..models.dflash import DflashSpeculator
+
+            speculator = DflashSpeculator(dmodel, model, n_ctx=args.ctx_size)
         elif dmodel.cfg.arch == "gemma4-assistant":
             from ..models.gemma3n import Gemma4AssistantSpeculator
 
