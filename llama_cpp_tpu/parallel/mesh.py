@@ -25,12 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.qtensor import QuantTensor
 
 
-def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int | None = None, devices=None,
+              pp: int = 1) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if tp is None:
-        tp = len(devices) // dp
-    if dp * tp > len(devices):
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
+        tp = len(devices) // (dp * pp)
+    if dp * tp * pp > len(devices):
+        raise ValueError(
+            f"mesh {pp}x{dp}x{tp} needs {dp*tp*pp} devices, "
+            f"have {len(devices)}")
+    if pp > 1:
+        arr = np.array(devices[: pp * dp * tp]).reshape(pp, dp, tp)
+        return Mesh(arr, ("pp", "dp", "tp"))
     arr = np.array(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 

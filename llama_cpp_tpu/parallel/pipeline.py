@@ -79,3 +79,134 @@ def pipeline_apply(
 def stack_stage_params(per_stage: list) -> object:
     """List of per-stage pytrees -> one pytree with a leading stage axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_stage)
+
+
+# ---------------------------------------------------------------------------
+# serving integration: the dense layer stack as a GPipe pipeline
+# ---------------------------------------------------------------------------
+
+
+def stack_layer_stages(layers: list, n_stages: int):
+    """params["layers"] (L homogeneous dicts) -> one pytree with leaves
+    [S, K, ...] (S stages of K layers each). The layer dicts must share one
+    key set and per-key shapes — plain dense decoders only."""
+    L = len(layers)
+    if L % n_stages:
+        raise ValueError(f"{L} layers not divisible into {n_stages} stages")
+    keys = set(layers[0].keys())
+    for lw in layers[1:]:
+        if set(lw.keys()) != keys:
+            raise ValueError("pipeline parallelism needs homogeneous layers"
+                             f" (key mismatch: {set(lw.keys()) ^ keys})")
+    K = L // n_stages
+    stages = []
+    for s in range(n_stages):
+        group = layers[s * K: (s + 1) * K]
+        stages.append(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *group))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def shard_layer_stages(stages, mesh: Mesh, axis: str = "pp"):
+    """Place each stage's slice on its pipeline rank (dim0 over `axis`)."""
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), stages)
+
+
+def pipeline_layer_stack(
+    cfg,
+    stages,  # leaves [S, K, ...] sharded dim0 over `axis`
+    x: jnp.ndarray,  # [B, T, E] embedded input
+    inputs,  # AttnInputs (seq_idx [B], slots/positions [B, T])
+    kv,  # KVCache: k/v [L, ...] sharded dim0 over `axis`; pos replicated
+    mesh: Mesh,
+    axis: str = "pp",
+):
+    """Run the transformer layer stack through the GPipe schedule, KV
+    threaded as per-stage state. The serving analog of the reference's
+    scheduler pipelining (ggml-backend.cpp:1804 n_copies event machinery):
+    T is split into M microbatches; stage s owns layers [s*K, (s+1)*K) and
+    their KV lines; activations rotate stage-to-stage over ICI with
+    lax.ppermute. Position-addressed KV makes inactive fill/drain ticks
+    harmless — their writes are routed to the trash slot.
+
+    Causality across microbatches holds because chunk m is processed by
+    every stage before chunk m+1 arrives there, so earlier chunks' KV rows
+    are already resident. -> (y [B, T, E], kv')."""
+    from dataclasses import replace
+
+    from ..models.transformer import (AttnInputs, attention_block, ffn_block,
+                                      norm)
+    from ..runtime.kv_cache import KVCache
+    from jax.experimental.shard_map import shard_map
+
+    S = mesh.shape[axis]
+    B, T, E = x.shape
+    L = kv.k.shape[0]
+    K = L // S
+    # microbatch split along T: GPipe keeps all stages busy when M >= S;
+    # decode (T == 1) degrades to fill-drain (still correct, latency-bound)
+    M = S if (T % S == 0 and T // S >= 8) else 1
+    mb = T // M
+    trash = kv.n_slots - 1
+
+    x_mb = x.reshape(B, M, mb, E).swapaxes(0, 1)  # [M, B, mb, E]
+    slots_mb = inputs.slots.reshape(B, M, mb).swapaxes(0, 1)
+    pos_mb = inputs.positions.reshape(B, M, mb).swapaxes(0, 1)
+    quant = kv.k_scale is not None
+
+    def body(st, k_loc, v_loc, ks_loc, vs_loc, pos, x_all, slots_all,
+             pos_all, seq_idx):
+        params_me = jax.tree_util.tree_map(lambda a: a[0], st)  # [K, ...]
+        sid = jax.lax.axis_index(axis)
+        carry = jnp.zeros(x_all.shape[1:], x_all.dtype)
+        out = jnp.zeros_like(x_all)
+        perm = [(i, (i + 1) % S) for i in range(S)]
+        for t in range(M + S - 1):
+            m = t - sid
+            active = (m >= 0) & (m < M)
+            mi = jnp.clip(m, 0, M - 1)
+            h = jnp.where(sid == 0, x_all[jnp.clip(t, 0, M - 1)], carry)
+            mb_inputs = AttnInputs(
+                seq_idx=seq_idx,
+                slots=jnp.where(active, slots_all[mi], trash),
+                positions=jnp.where(active, pos_all[mi], -1),
+            )
+            kvc = KVCache(k=k_loc, v=v_loc, pos=pos,
+                          k_scale=ks_loc, v_scale=vs_loc)
+            for kk in range(K):
+                lw = jax.tree_util.tree_map(lambda a, _k=kk: a[_k],
+                                            params_me)
+                hn = norm(cfg, h, lw, "attn_norm")
+                attn, kvc = attention_block(cfg, lw, hn, mb_inputs, kvc, kk,
+                                            update_pos=kk == 0)
+                h = h + attn
+                hn = norm(cfg, h, lw, "ffn_norm")
+                ff = ffn_block(cfg, lw, hn, kk)
+                h = h + ff
+            k_loc, v_loc, pos = kvc.k, kvc.v, kvc.pos
+            ks_loc, vs_loc = kvc.k_scale, kvc.v_scale
+            h = jnp.where(active, h, 0.0).astype(x_all.dtype)
+            bank = (sid == S - 1) & active
+            out = out.at[mi].set(jnp.where(bank, h, out[mi]))
+            if t < M + S - 2:
+                carry = jax.lax.ppermute(h, axis, perm)
+        y = jax.lax.psum(jnp.where(sid == S - 1, out, 0.0), axis)
+        return y, k_loc, v_loc, ks_loc, vs_loc, pos
+
+    pp, rep = P(axis), P()
+    scale_spec = pp if quant else rep  # None leaves vanish from the pytree
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: pp, stages),
+                  pp, pp, scale_spec, scale_spec, rep, rep, rep, rep, rep),
+        out_specs=(rep, pp, pp, scale_spec, scale_spec, rep),
+        check_rep=False,
+    )
+    y, k2, v2, ks2, vs2, pos2 = fn(
+        stages, kv.k, kv.v, kv.k_scale, kv.v_scale, kv.pos,
+        x_mb, slots_mb, pos_mb, inputs.seq_idx)
+    kv2 = replace(kv, k=k2, v=v2, k_scale=ks2, v_scale=vs2, pos=pos2)
+    return y.swapaxes(0, 1).reshape(B, T, E), kv2

@@ -25,10 +25,15 @@ class ParallelPlan:
     mesh: Mesh | None = None
     ep_axis: str | None = None  # experts sharded dim-0 over this axis
     capacity_factor: float = 2.0  # ep_moe send-buffer headroom
+    pp_axis: str | None = None  # layer stages sharded over this axis
 
     @property
     def ep(self) -> bool:
         return self.mesh is not None and self.ep_axis is not None
+
+    @property
+    def pp(self) -> bool:
+        return self.mesh is not None and self.pp_axis is not None
 
 
 _PLAN = ParallelPlan()
@@ -39,10 +44,11 @@ def get_plan() -> ParallelPlan:
 
 
 def set_plan(mesh: Mesh | None = None, ep_axis: str | None = None,
-             capacity_factor: float = 2.0) -> ParallelPlan:
+             capacity_factor: float = 2.0,
+             pp_axis: str | None = None) -> ParallelPlan:
     global _PLAN
     _PLAN = ParallelPlan(mesh=mesh, ep_axis=ep_axis,
-                         capacity_factor=capacity_factor)
+                         capacity_factor=capacity_factor, pp_axis=pp_axis)
     return _PLAN
 
 

