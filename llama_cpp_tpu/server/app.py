@@ -748,7 +748,32 @@ def main(argv=None):
     ap.add_argument("--mcp", action="append", default=[],
                     help="MCP server command to spawn and expose via /tools "
                     "(repeatable; reference llama-server --mcp)")
+    # parallel serving (reference --split-mode/--tensor-split/rpc analogs)
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel ways (0 = all local devices when "
+                    "any parallel flag is set)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel ways over batch rows")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline stages (dense models; layers stage-"
+                    "resident)")
+    ap.add_argument("--ep", action="store_true",
+                    help="expert parallelism: shard MoE experts over tp "
+                    "with all-to-all dispatch")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host coordinator address host:port "
+                    "(jax.distributed; every host runs this same command)")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    mesh = None
+    if (args.tp or args.dp or args.pp > 1 or args.ep
+            or args.coordinator or args.num_hosts):
+        from ..parallel.distributed import init_multihost, serving_mesh
+
+        init_multihost(args.coordinator, args.num_hosts, args.host_id)
+        mesh = serving_mesh(dp=args.dp, tp=args.tp, pp=args.pp)
     models = {}
     for i, spec in enumerate(args.model):
         if "=" in spec:
@@ -761,7 +786,8 @@ def main(argv=None):
                kv_total=args.kv_total or None,
                quantized_kv=args.kv_quant,
                draft_model=args.model_draft, spec=args.spec,
-               n_draft=args.draft_max, mcp=args.mcp)
+               n_draft=args.draft_max, mcp=args.mcp,
+               mesh=mesh, ep=args.ep)
 
 
 if __name__ == "__main__":
