@@ -306,6 +306,201 @@ def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IQ codebook quants (iq2_xs / iq3_s / iq4_xs)
+#
+# Original encoders: the reference's neighbour-table machinery
+# (ggml-quants.c iq2xs_init_impl + quantize_row_iq2_xs) is an encode-speed
+# device, not part of the format — brute force over the 512-row codebooks
+# vectorizes fine in numpy. Codewords are chosen scale-free first (maximize
+# weighted correlation^2), scales least-squares fitted and quantized, then
+# codewords refined once at the final effective scale. Decode layouts are
+# the bit-exact-tested ones in quant/dequant.py.
+# ---------------------------------------------------------------------------
+
+
+def _best_grid_rows(a: np.ndarray, w: np.ndarray, grid: np.ndarray,
+                    eff: np.ndarray | None = None) -> np.ndarray:
+    """Best codebook row per group. a/w: [G, n] magnitudes / importance;
+    grid: [C, n] unsigned codewords. eff=None -> scale-free (argmax of
+    weighted corr^2); else minimize true weighted L2 at that scale."""
+    den = np.einsum("gn,cn->gc", w, grid * grid)
+    num = np.einsum("gn,cn->gc", w * a, grid)
+    if eff is None:
+        score = np.where(den > 0,
+                         num * np.maximum(num, 0.0) / np.where(den == 0, 1, den),
+                         -1.0)
+        return np.argmin(-score, axis=1)
+    err = den * (eff * eff)[:, None] - 2.0 * eff[:, None] * num
+    return np.argmin(err, axis=1)
+
+
+def _ls_scale(a, w, g):
+    """Weighted least-squares scale fitting eff*g ~ a over the last axis."""
+    num = (w * a * g).sum(-1)
+    den = (w * g * g).sum(-1)
+    return np.where(den > 0, num / np.where(den == 0, 1, den), 0.0)
+
+
+def _iq_weights(x2d: np.ndarray, qw) -> np.ndarray:
+    # reference quantize_row_iq*_impl weighting: sqrt(sigma2 + x^2) per
+    # 256-block (qw-multiplied when an imatrix is supplied)
+    sigma2 = 2.0 * (x2d * x2d).mean(-1, keepdims=True)
+    w = np.sqrt(sigma2 + x2d * x2d)
+    if qw is not None:
+        w = w * qw.reshape(x2d.shape).astype(np.float32)
+    return w + 1e-12
+
+
+def quant_iq2_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ2_XS (layout: dequant.dequant_iq2_xs): 32 uint16 per 256-block,
+    each = 9-bit grid row | 7-bit ksigns index over a group of 8; one
+    4-bit level per PAIR of groups packed one byte per ib32;
+    v = d*(0.5+ls)*0.25*grid*sign. Sign patterns carry even parity — the
+    other half flips the least-important element."""
+    from .dequant import IQ2XS_GRID, KSIGNS_IQ2XS
+
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    nb = len(x)
+    w = _iq_weights(x, qw)
+    xg, wg = x.reshape(-1, 8), w.reshape(-1, 8)
+    a = np.abs(xg)
+    grid = IQ2XS_GRID.astype(np.float32)  # [512, 8]
+
+    sbits = (xg < 0).astype(np.int64)
+    sbyte = (sbits << np.arange(8)).sum(-1)
+    ok = KSIGNS_IQ2XS[sbyte & 0x7F] == sbyte
+    flip = np.argmin(wg * a * a, axis=-1)
+    sbyte = np.where(ok, sbyte, sbyte ^ (1 << flip))
+    sign_idx = (sbyte & 0x7F).astype(np.uint16)
+
+    rows = _best_grid_rows(a, wg, grid)
+    g = grid[rows]
+    ap, wp, gp = (v.reshape(-1, 16) for v in (a, wg, g))
+    e = np.maximum(_ls_scale(ap, wp, gp), 0.0).reshape(nb, 16)
+    d0 = e.max(-1) / (0.25 * 15.5)
+
+    def _fit(d):
+        dn = np.where(d > 0, d, 1.0)
+        ls = np.clip(_nearest_int(e / (0.25 * dn[:, None]) - 0.5), 0, 15)
+        eff = (dn[:, None] * 0.25 * (0.5 + ls)).repeat(2, axis=1).reshape(-1)
+        rows = _best_grid_rows(a, wg, grid, eff=eff)
+        g = grid[rows]
+        err = (wg * (eff[:, None] * g - a) ** 2).sum(-1).reshape(nb, -1).sum(-1)
+        return ls, rows, err
+
+    # super-scale search (make_qx_quants role): the max-pair anchor is
+    # rarely the best trade against the 4-bit level grid
+    best = None
+    for f in (0.7, 0.8, 0.9, 1.0, 1.1, 1.25, 1.45):
+        d = _f16_round(d0 * f)
+        ls, rows_c, err = _fit(d)
+        if best is None:
+            best = [d, ls, rows_c, err]
+        else:
+            upd = err < best[3]
+            best[0] = np.where(upd, d, best[0])
+            best[1] = np.where(upd[:, None], ls, best[1])
+            best[2] = np.where(upd.repeat(32), rows_c, best[2])
+            best[3] = np.minimum(err, best[3])
+    d, ls, rows = best[0], best[1], best[2]
+
+    qs = (rows.astype(np.uint16) | (sign_idx << 9)).reshape(nb, 32)
+    scales = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)  # [nb, 8]
+    return np.concatenate(
+        [_fp16_bytes(d), qs.view(np.uint8).reshape(nb, 64), scales],
+        axis=1).astype(np.uint8).reshape(-1)
+
+
+def quant_iq3_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ3_S (layout: dequant.dequant_iq3_s): 8 codewords of 4 values per
+    ib32 (9-bit rows: low byte in qs, high bit in qh), explicit per-value
+    sign bits, one 4-bit level per ib32; v = d*(1+2*ls)*grid*sign."""
+    from .dequant import IQ3S_GRID
+
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    nb = len(x)
+    w = _iq_weights(x, qw)
+    xg, wg = x.reshape(-1, 4), w.reshape(-1, 4)
+    a = np.abs(xg)
+    grid = IQ3S_GRID.astype(np.float32)  # [512, 4]
+
+    rows = _best_grid_rows(a, wg, grid)
+    g = grid[rows]
+    a32, w32, g32 = (v.reshape(-1, 32) for v in (a, wg, g))
+    e = np.maximum(_ls_scale(a32, w32, g32), 0.0).reshape(nb, 8)
+    d0 = e.max(-1) / 31.0
+
+    def _fit(d):
+        dn = np.where(d > 0, d, 1.0)
+        ls = np.clip(_nearest_int((e / dn[:, None] - 1.0) / 2.0), 0, 15)
+        eff = (dn[:, None] * (1.0 + 2.0 * ls)).repeat(8, axis=1).reshape(-1)
+        rows = _best_grid_rows(a, wg, grid, eff=eff)
+        g = grid[rows]
+        err = (wg * (eff[:, None] * g - a) ** 2).sum(-1).reshape(nb, -1).sum(-1)
+        return ls, rows, err
+
+    best = None
+    for f in (0.7, 0.8, 0.9, 1.0, 1.1, 1.25, 1.45):
+        d = _f16_round(d0 * f)
+        ls, rows_c, err = _fit(d)
+        if best is None:
+            best = [d, ls, rows_c, err]
+        else:
+            upd = err < best[3]
+            best[0] = np.where(upd, d, best[0])
+            best[1] = np.where(upd[:, None], ls, best[1])
+            best[2] = np.where(upd.repeat(64), rows_c, best[2])
+            best[3] = np.minimum(err, best[3])
+    d, ls, rows = best[0], best[1], best[2].reshape(nb, 8, 8)
+
+    qs = (rows & 0xFF).astype(np.uint8).reshape(nb, 64)
+    qh = ((rows >> 8) << np.arange(8)).sum(-1).astype(np.uint8)  # [nb, 8]
+    sbits = (xg < 0).astype(np.int64).reshape(nb, 32, 8)
+    signs = (sbits << np.arange(8)).sum(-1).astype(np.uint8)  # [nb, 32]
+    scales = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)  # [nb, 4]
+    return np.concatenate(
+        [_fp16_bytes(d), qs, qh, signs, scales],
+        axis=1).astype(np.uint8).reshape(-1)
+
+
+def quant_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_XS (layout: dequant.dequant_iq4_xs): the IQ4_NL nonlinear LUT
+    with per-sub-32 6-bit levels under one fp16 super scale;
+    v = d*ls*kvalues[q]."""
+    x = x.reshape(-1, QK_K).astype(np.float32)
+    nb = len(x)
+    w = _iq_weights(x, qw)
+    xs, ws = x.reshape(-1, 32), w.reshape(-1, 32)
+    kv = KVALUES_IQ4NL.astype(np.float32)
+
+    # per-sub LS scale via one assignment round at amax init (iq4_nl style)
+    amax, mx = _signed_absmax(xs)
+    e = mx / float(KVALUES_IQ4NL[0])
+    e = np.where(amax < GROUP_MAX_EPS, 0.0, e)
+    en = np.where(e != 0, e, 1.0)
+    q = np.argmin(np.abs(xs[:, :, None] / en[:, None, None] - kv), axis=-1)
+    e = _ls_scale(xs, ws, kv[q])
+    d = _f16_round(np.abs(e).reshape(nb, 8).max(-1) / 31.0)
+    dn = np.where(d > 0, d, 1.0)
+    ls = np.clip(_nearest_int(e.reshape(nb, 8) / dn[:, None]), -32, 31)
+    eff = (dn[:, None] * ls).reshape(-1)
+    effn = np.where(eff != 0, eff, 1.0)
+    q = np.argmin(np.abs(xs[:, :, None] / effn[:, None, None] - kv),
+                  axis=-1).astype(np.uint8)
+    q = np.where((eff == 0)[:, None], np.uint8(np.argmin(np.abs(kv))), q)
+
+    lsu = (ls + 32).astype(np.uint16)  # [nb, 8]
+    scales_l = (lsu[:, 0::2] & 0xF) | ((lsu[:, 1::2] & 0xF) << 4)  # [nb, 4]
+    sh = ((lsu >> 4).astype(np.uint16) << (2 * np.arange(8))).sum(-1)
+    scales_h = sh.astype(np.uint16)[:, None].view(np.uint8)  # [nb, 2]
+    qv = q.reshape(nb, 8, 32)
+    qs = (qv[:, :, :16] | (qv[:, :, 16:] << 4)).reshape(nb, 128)
+    return np.concatenate(
+        [_fp16_bytes(d), scales_h, scales_l.astype(np.uint8), qs],
+        axis=1).astype(np.uint8).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # K-quants
 # ---------------------------------------------------------------------------
 
@@ -600,9 +795,13 @@ _QUANT = {
     GGMLType.Q8_K: quant_q8_K,
     GGMLType.MXFP4: quant_mxfp4,
     GGMLType.IQ4_NL: quant_iq4_nl,
+    GGMLType.IQ2_XS: quant_iq2_xs,
+    GGMLType.IQ3_S: quant_iq3_s,
+    GGMLType.IQ4_XS: quant_iq4_xs,
 }
 
-IMATRIX_AWARE = {GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
+IMATRIX_AWARE = {GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                 GGMLType.IQ2_XS, GGMLType.IQ3_S, GGMLType.IQ4_XS}
 
 
 def quantize(x: np.ndarray, dtype: GGMLType, qw: np.ndarray | None = None) -> np.ndarray:

@@ -37,6 +37,9 @@ FTYPES = {
     "q6_k": (GGMLType.Q6_K, FileType.MOSTLY_Q6_K),
     "mxfp4": (GGMLType.MXFP4, FileType.MOSTLY_MXFP4),
     "iq4_nl": (GGMLType.IQ4_NL, FileType.MOSTLY_IQ4_NL),
+    "iq4_xs": (GGMLType.IQ4_XS, FileType.MOSTLY_IQ4_XS),
+    "iq3_s": (GGMLType.IQ3_S, FileType.MOSTLY_IQ3_S),
+    "iq2_xs": (GGMLType.IQ2_XS, FileType.MOSTLY_IQ2_XS),
 }
 
 

@@ -97,6 +97,12 @@ def main():
     ap.add_argument("--tmp", default="/tmp/quality_gates")
     args = ap.parse_args()
 
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon plugin's get_backend hook ignores JAX_PLATFORMS and can
+        # block on a dead tunnel; the config knob is honored before init
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from llama_cpp_tpu.ops.pallas.flash_attn import set_force_flash

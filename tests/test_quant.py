@@ -28,6 +28,12 @@ ROUNDTRIP_TYPES = {
     GGMLType.Q6_K: 0.015,
     GGMLType.MXFP4: 0.11,
     GGMLType.IQ4_NL: 0.073,
+    # IQ codebook encoders (original numpy search, quant/quantize.py):
+    # bounds mirror the reference MAX_QUANTIZATION_TOTAL_ERROR tiers
+    # (0.0075/0.0040 at n=4096 on the same cos data ~ rel 0.34/0.18)
+    GGMLType.IQ2_XS: 0.33,
+    GGMLType.IQ3_S: 0.14,
+    GGMLType.IQ4_XS: 0.065,
 }
 
 N = 256 * 8
