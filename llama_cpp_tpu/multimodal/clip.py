@@ -121,14 +121,66 @@ def clip_forward(params, cfg: VisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
 
     if cfg.use_cls and cfg.drop_cls:
         x = x[:, 1:]
+    return apply_projector(cfg, params, x)
 
-    # projector
+
+def apply_projector(cfg: "VisionConfig", params, x):
+    """Vision-feature projector dispatch -> [B, n_tokens, n_embd_llm]
+    (reference tools/mtmd/models/{llava,siglip,internvl}.cpp projector
+    tails; tensor names per clip-impl.h)."""
     if cfg.projector == "mlp":
         x = jnp.dot(x, params["mm_0"].T) + params.get("mm_0_bias", 0.0)
         x = jax.nn.gelu(x, approximate=False)
         x = jnp.dot(x, params["mm_2"].T) + params.get("mm_2_bias", 0.0)
+    elif cfg.projector == "mlp_norm":
+        # llava-variant with layernorms (reference models/llava.cpp:175-194)
+        x = jnp.dot(x, params["mm_0"].T) + params.get("mm_0_bias", 0.0)
+        x = _ln(x, params["mm_1"], params.get("mm_1_bias"), cfg.eps)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.dot(x, params["mm_3"].T) + params.get("mm_3_bias", 0.0)
+        x = _ln(x, params["mm_4"], params.get("mm_4_bias"), cfg.eps)
     elif cfg.projector == "linear":
         x = jnp.dot(x, params["mm_0"].T) + params.get("mm_0_bias", 0.0)
+    elif cfg.projector == "gemma3":
+        # reference models/siglip.cpp:18-40: avg-pool k x k over the patch
+        # grid, rms-norm (soft_emb_norm), project with mm_input_proj
+        B, N, E = x.shape
+        side = int(N ** 0.5)
+        k = int(cfg.extra.get("proj_scale_factor", 4) or 4)
+        g = x.reshape(B, side, side, E)
+        g = g.reshape(B, side // k, k, side // k, k, E).mean(axis=(2, 4))
+        x = g.reshape(B, (side // k) ** 2, E)
+        ss = jnp.sqrt(jnp.mean(x.astype(jnp.float32) ** 2, -1,
+                               keepdims=True) + cfg.eps)
+        x = x / ss * params["mm_soft_emb_norm"]
+        x = jnp.dot(x, params["mm_input_proj"])
+    elif cfg.projector in ("idefics3", "internvl"):
+        # pixel shuffle (models/siglip.cpp:41-46, internvl.cpp:24-41) then
+        # fc (idefics3) or LN + 2-layer GELU MLP (internvl)
+        B, N, E = x.shape
+        side = int(N ** 0.5)
+        s = int(cfg.extra.get("proj_scale_factor", 2) or 2)
+        g = x.reshape(B, side, side, E)  # [B, h, w, E] row-major patches
+        if cfg.projector == "internvl":
+            # internvl.cpp: width-dim shuffle first, then height
+            g = g.reshape(B, side, side // s, s * E)
+            g = g.transpose(0, 2, 1, 3).reshape(
+                B, side // s, side // s, s * s * E)
+            g = g.transpose(0, 2, 1, 3)
+        else:
+            # build_patch_merge_permute: rows of s*E, then columns
+            g = g.reshape(B, side, side // s, s * E)
+            g = g.transpose(0, 2, 1, 3).reshape(
+                B, side // s, side // s, s * s * E)
+            g = g.transpose(0, 2, 1, 3)
+        x = g.reshape(B, (side // s) ** 2, s * s * E)
+        if cfg.projector == "idefics3":
+            x = jnp.dot(x, params["mm_fc"].T)
+        else:
+            x = _ln(x, params["mm_0"], params.get("mm_0_bias"), 1e-5)
+            x = jnp.dot(x, params["mm_1"].T) + params.get("mm_1_bias", 0.0)
+            x = jax.nn.gelu(x, approximate=False)
+            x = jnp.dot(x, params["mm_3"].T) + params.get("mm_3_bias", 0.0)
     else:  # pragma: no cover
         raise NotImplementedError(f"projector {cfg.projector!r}")
     return x

@@ -35,8 +35,18 @@ _GLOBAL_MAP = {
     "v.post_ln.bias": "post_ln_bias",
     "mm.0.weight": "mm_0",
     "mm.0.bias": "mm_0_bias",
+    "mm.1.weight": "mm_1",  # internvl / mlp_norm stacks
+    "mm.1.bias": "mm_1_bias",
     "mm.2.weight": "mm_2",
     "mm.2.bias": "mm_2_bias",
+    "mm.3.weight": "mm_3",
+    "mm.3.bias": "mm_3_bias",
+    "mm.4.weight": "mm_4",
+    "mm.4.bias": "mm_4_bias",
+    # gemma3 (clip-impl.h:141-142) / idefics3 (:143)
+    "mm.input_projection.weight": "mm_input_proj",
+    "mm.soft_emb_norm.weight": "mm_soft_emb_norm",
+    "mm.model.fc.weight": "mm_fc",
 }
 
 
@@ -123,6 +133,16 @@ def load_mmproj(path: str):
     if md.get(P + "image_mean") is not None:
         cfg.image_mean = tuple(float(x) for x in md[P + "image_mean"])
         cfg.image_std = tuple(float(x) for x in md[P + "image_std"])
+    sf = md.get(P + "projector.scale_factor")  # clip-impl.h:60
+    if sf is not None:
+        cfg.extra["proj_scale_factor"] = int(sf)
+    if cfg.projector in ("gemma3", "idefics3", "internvl"):
+        # siglip towers: no CLS token (gemma3/idefics3); internvl keeps a
+        # CLS it drops before the shuffle (internvl.cpp:6-23)
+        cfg.use_cls = cfg.projector == "internvl"
+        cfg.drop_cls = True
+        cfg.feature_layer = int(md.get(P + "feature_layer", cfg.n_layers))
+        cfg.act = "gelu_tanh"
     params = {"layers": [dict() for _ in range(cfg.n_layers)]}
     for name, info in f.tensors.items():
         arr = dequantize_tensor(np.asarray(info.data), info.dtype, info.shape)

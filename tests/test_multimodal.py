@@ -239,3 +239,104 @@ def test_qwen2vl_full_pipeline(tmp_path):
     logits, _ = forward(m.params, m.cfg, jnp.asarray([ids], jnp.int32),
                         inputs, kv, inputs_embeds=jnp.asarray(embeds))
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gemma3_projector_matches_hf():
+    """apply_projector("gemma3") vs the HF Gemma3MultiModalProjector on the
+    same tower features (avg-pool + soft-emb rmsnorm + input projection;
+    reference tools/mtmd/models/siglip.cpp:18-40)."""
+    import torch
+    import transformers
+
+    from llama_cpp_tpu.multimodal.clip import VisionConfig, apply_projector
+
+    vc = transformers.SiglipVisionConfig(
+        hidden_size=64, image_size=64, patch_size=8, layer_norm_eps=1e-6)
+    cfg_hf = transformers.Gemma3Config(
+        vision_config=vc,
+        text_config=transformers.Gemma3TextConfig(hidden_size=48),
+        mm_tokens_per_image=4)  # tokens_per_side 2 -> kernel 4
+    from transformers.models.gemma3.modeling_gemma3 import \
+        Gemma3MultiModalProjector
+
+    torch.manual_seed(0)
+    proj = Gemma3MultiModalProjector(cfg_hf)
+    with torch.no_grad():
+        proj.mm_input_projection_weight.normal_(0, 0.08)
+        proj.mm_soft_emb_norm.weight.normal_(0, 0.1)
+    feats = torch.randn(1, 64, 64)  # [B, N=8x8 patches, E]
+    with torch.no_grad():
+        want = proj(feats).numpy()
+
+    cfg = VisionConfig(n_embd=64, eps=1e-6, projector="gemma3",
+                       extra={"proj_scale_factor": 4})
+    params = {
+        # gemma rmsnorm applies (1 + w); the GGUF converter folds the +1
+        "mm_soft_emb_norm": 1.0 + proj.mm_soft_emb_norm.weight.detach().numpy(),
+        "mm_input_proj": proj.mm_input_projection_weight.detach().numpy(),
+    }
+    got = np.asarray(apply_projector(cfg, params, jnp.asarray(feats.numpy())))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_idefics3_projector_matches_hf():
+    """apply_projector("idefics3") vs HF Idefics3Connector (pixel shuffle +
+    modality projection; reference models/siglip.cpp:41-46)."""
+    import torch
+    import transformers
+    from transformers.models.idefics3.modeling_idefics3 import \
+        Idefics3Connector
+
+    from llama_cpp_tpu.multimodal.clip import VisionConfig, apply_projector
+
+    cfg_hf = transformers.Idefics3Config(
+        scale_factor=2,
+        vision_config=transformers.Idefics3VisionConfig(hidden_size=32),
+        text_config=transformers.LlamaConfig(hidden_size=24),
+    )
+    torch.manual_seed(1)
+    conn = Idefics3Connector(cfg_hf)
+    feats = torch.randn(1, 36, 32)  # 6x6 patch grid
+    with torch.no_grad():
+        want = conn(feats).numpy()
+
+    cfg = VisionConfig(n_embd=32, projector="idefics3",
+                       extra={"proj_scale_factor": 2})
+    params = {"mm_fc": conn.modality_projection.proj.weight.detach().numpy()}
+    got = np.asarray(apply_projector(cfg, params, jnp.asarray(feats.numpy())))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_internvl_projector_matches_hf():
+    """apply_projector("internvl") vs HF pixel_shuffle + multimodal
+    projector (reference models/internvl.cpp:24-50)."""
+    import torch
+    import transformers
+    from transformers.models.internvl.modeling_internvl import (
+        InternVLModel, InternVLMultiModalProjector)
+
+    from llama_cpp_tpu.multimodal.clip import VisionConfig, apply_projector
+
+    cfg_hf = transformers.InternVLConfig(
+        vision_config=transformers.InternVLVisionConfig(hidden_size=32),
+        text_config=transformers.Qwen2Config(hidden_size=24),
+        downsample_ratio=0.5, projector_hidden_act="gelu",
+    )
+    torch.manual_seed(2)
+    proj = InternVLMultiModalProjector(cfg_hf)
+    feats = torch.randn(1, 36, 32)  # 6x6 grid
+    with torch.no_grad():
+        shuffled = InternVLModel.pixel_shuffle(None, feats.view(1, 6, 6, 32),
+                                               scale_factor=0.5)
+        want = proj(shuffled.reshape(1, 9, 128)).numpy()
+
+    cfg = VisionConfig(n_embd=32, projector="internvl",
+                       extra={"proj_scale_factor": 2})
+    sd = {k: v.detach().numpy() for k, v in proj.state_dict().items()}
+    params = {
+        "mm_0": sd["layer_norm.weight"], "mm_0_bias": sd["layer_norm.bias"],
+        "mm_1": sd["linear_1.weight"], "mm_1_bias": sd["linear_1.bias"],
+        "mm_3": sd["linear_2.weight"], "mm_3_bias": sd["linear_2.bias"],
+    }
+    got = np.asarray(apply_projector(cfg, params, jnp.asarray(feats.numpy())))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
