@@ -765,7 +765,11 @@ def main(argv=None):
                     "(jax.distributed; every host runs this same command)")
     ap.add_argument("--num-hosts", type=int, default=None)
     ap.add_argument("--host-id", type=int, default=None)
+    from ..utils.logging import add_log_args, apply_log_args
+
+    add_log_args(ap)
     args = ap.parse_args(argv)
+    apply_log_args(args)
 
     mesh = None
     if (args.tp or args.dp or args.pp > 1 or args.ep

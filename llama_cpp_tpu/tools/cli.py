@@ -51,8 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     from .args import apply_env_and_preset
+    from ..utils.logging import add_log_args, apply_log_args
 
-    args = apply_env_and_preset(build_parser(), argv)
+    ap = build_parser()
+    add_log_args(ap)
+    args = apply_env_and_preset(ap, argv)
+    apply_log_args(args)
 
     from ..models.loader import load_model
     from ..runtime.context import Context

@@ -174,3 +174,60 @@ def test_env_and_preset_args(tmp_path, monkeypatch):
     monkeypatch.delenv("LLAMA_ARG_CTX_SIZE")
     a = apply_env_and_preset(parser(), ["--preset", str(pf), "--temp", "0.5"])
     assert a.ctx_size == 1024 and a.temp == 0.5
+
+
+def test_logging_setup(tmp_path, capsys):
+    """common/log analog: verbosity thresholds, level letters, file sink."""
+    import io
+
+    from llama_cpp_tpu.utils.logging import get_logger, setup_logging
+
+    buf = io.StringIO()
+    setup_logging(verbosity=0, colors="off", stream=buf,
+                  logfile=str(tmp_path / "log.txt"), timestamps=False)
+    log = get_logger("test")
+    log.debug("hidden at info level")
+    log.info("hello %d", 42)
+    log.error("boom")
+    out = buf.getvalue()
+    assert "hello 42" in out and "boom" in out
+    assert "hidden" not in out
+    assert out.splitlines()[0].startswith("I test:")
+    assert "E test: boom" in out
+    ftxt = (tmp_path / "log.txt").read_text()
+    assert "hello 42" in ftxt
+
+    buf2 = io.StringIO()
+    setup_logging(verbosity=-1, colors="on", stream=buf2)
+    log.info("quiet")
+    log.error("loud")
+    out2 = buf2.getvalue()
+    assert "quiet" not in out2 and "loud" in out2
+    assert "\033[31m" in out2  # error colored red
+    setup_logging(verbosity=0, colors="off")  # reset for other tests
+
+
+def test_eval_callback_dump(tmp_path, capsys):
+    """eval-callback analog: per-op tensor dump with corner elision + sum
+    (reference examples/eval-callback + common/debug.cpp)."""
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+    from llama_cpp_tpu.tools.eval_callback import (format_tensor,
+                                                   run_eval_callback)
+
+    txt = format_tensor(np.arange(24, dtype=np.float32).reshape(2, 12), n=2)
+    assert "..." in txt and "sum = 276" in txt
+
+    p = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(p, vocab_size=128, n_layers=2, n_embd=32,
+                         n_heads=2, n_kv_heads=2, n_ff=64, ftype="f32")
+    import io
+
+    out = io.StringIO()
+    caps = run_eval_callback(p, [3, 5, 7], keys={"l_in", "l_out"}, n=2,
+                             out=out)
+    assert caps and all(k in ("l_in", "l_out") for _, k, _a in caps)
+    # layer ids 0..n_layers-1 plus the pre-output-norm row (id n_layers,
+    # the reference's embeddings-nextn extraction point)
+    assert {il for il, _, _ in caps} == {0, 1, 2}
+    s = out.getvalue()
+    assert "blk.0.l_in" in s and "sum =" in s
