@@ -57,6 +57,31 @@ class SamplingParams:
     def is_greedy(self) -> bool:
         return self.temp <= 0 and self.mirostat == 0
 
+    def apply_gguf_defaults(self, md: dict,
+                            explicit: set[str] = frozenset()) -> "SamplingParams":
+        """Model-embedded sampling defaults (reference llama-arch.cpp:157-168
+        general.sampling.* keys, written by the model saver): any field the
+        caller did NOT set explicitly takes the GGUF value when present."""
+        from dataclasses import replace
+
+        keymap = {  # gguf suffix -> field, cast
+            "top_k": ("top_k", int), "top_p": ("top_p", float),
+            "min_p": ("min_p", float), "temp": ("temp", float),
+            "xtc_probability": ("xtc_probability", float),
+            "xtc_threshold": ("xtc_threshold", float),
+            "penalty_last_n": ("penalty_last_n", int),
+            "penalty_repeat": ("penalty_repeat", float),
+            "mirostat": ("mirostat", int),
+            "mirostat_tau": ("mirostat_tau", float),
+            "mirostat_eta": ("mirostat_eta", float),
+        }
+        upd = {}
+        for suffix, (field_name, cast) in keymap.items():
+            v = md.get(f"general.sampling.{suffix}")
+            if v is not None and field_name not in explicit:
+                upd[field_name] = cast(v)
+        return replace(self, **upd) if upd else self
+
 
 def _softmax(logits: np.ndarray) -> np.ndarray:
     m = logits.max()

@@ -23,9 +23,14 @@ from .chat_parser import StreamingChatParser, detect_format
 from .scheduler import GenTask, Scheduler
 
 
-def _sampling_from_request(body: dict[str, Any]) -> SamplingParams:
+def _sampling_from_request(body: dict[str, Any],
+                           model_md: dict | None = None) -> SamplingParams:
     p = SamplingParams()
-    p.temp = float(body.get("temperature", 0.8))
+    if model_md:
+        # model-embedded defaults (general.sampling.*, llama-arch.cpp:157)
+        # seed per-request knobs; explicit request fields still win below
+        p = p.apply_gguf_defaults(model_md)
+    p.temp = float(body.get("temperature", p.temp))
     p.top_p = float(body.get("top_p", p.top_p))
     p.top_k = int(body.get("top_k", p.top_k))
     p.min_p = float(body.get("min_p", p.min_p))
@@ -165,7 +170,8 @@ class ServerApp:
             grammar = schema_to_gbnf(schema)
         return GenTask(
             prompt_ids=ids,
-            params=_sampling_from_request(body),
+            params=_sampling_from_request(
+                body, getattr(self.ctx.model.gguf, "metadata", None)),
             max_tokens=int(
                 body.get("max_tokens")
                 or body.get("max_completion_tokens")

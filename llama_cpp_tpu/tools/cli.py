@@ -85,6 +85,14 @@ def main(argv=None):
         seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
         grammar=grammar or "",
     )
+    # model-embedded sampling defaults (general.sampling.*) fill any knob
+    # the user left at its CLI default
+    defaults = ap.parse_args([a for a in ("-m", args.model)])
+    explicit = {f for f, a in (("temp", "temp"), ("top_k", "top_k"),
+                               ("top_p", "top_p"), ("min_p", "min_p"),
+                               ("penalty_repeat", "repeat_penalty"))
+                if getattr(args, a) != getattr(defaults, a)}
+    params = params.apply_gguf_defaults(model.gguf.metadata, explicit)
 
     if args.lora:
         from ..models.adapters import apply_lora, load_lora

@@ -278,3 +278,22 @@ def test_reasoning_budget_in_chain():
     assert chain.sample(logits.copy()) == 5  # budget 1: allowed
     assert chain.sample(logits.copy()) == 3  # forced close
     assert chain.sample(logits.copy()) == 5  # DONE passthrough
+
+
+def test_gguf_embedded_sampling_defaults():
+    """general.sampling.* model-embedded defaults (reference
+    llama-arch.cpp:157-168): unset fields take the GGUF value; explicit
+    fields win."""
+    from llama_cpp_tpu.sampling.samplers import SamplingParams
+
+    md = {"general.sampling.temp": 0.3, "general.sampling.top_k": 12,
+          "general.sampling.min_p": 0.11,
+          "general.sampling.mirostat": 2,
+          "general.sampling.mirostat_tau": 4.0}
+    p = SamplingParams().apply_gguf_defaults(md)
+    assert p.temp == 0.3 and p.top_k == 12 and p.min_p == 0.11
+    assert p.mirostat == 2 and p.mirostat_tau == 4.0
+    assert p.top_p == SamplingParams().top_p  # untouched
+
+    q = SamplingParams(temp=1.5).apply_gguf_defaults(md, explicit={"temp"})
+    assert q.temp == 1.5 and q.top_k == 12
