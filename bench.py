@@ -33,9 +33,16 @@ def device_bytes(tree) -> int:
 
 
 def main():
+    import jax
     import jax.numpy as jnp
     import jax.random as jrandom
     import numpy as np
+
+    # xprof capture (reference eval-callback/perf tooling analog): set
+    # LLAMA_PROFILE_DIR to write a TensorBoard-loadable trace of the run
+    prof_dir = os.environ.get("LLAMA_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
 
     from llama_cpp_tpu.models.loader import load_model
     from llama_cpp_tpu.runtime.context import Context
@@ -135,6 +142,8 @@ def main():
             "hbm_bw_assumed_GBs": 819,
         },
     }))
+    if prof_dir:
+        jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

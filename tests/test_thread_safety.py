@@ -116,3 +116,45 @@ def test_scheduler_concurrent_submission_stress(tmp_path):
         assert len(stats) == 10
     finally:
         sched.stop()
+
+
+def test_n_models_m_contexts_stress(tmp_path):
+    """The reference's full matrix (tests/test-thread-safety.cpp): N models
+    x M contexts, every context generating concurrently in its own thread,
+    each with a different prompt; all outputs must match their own
+    single-threaded reference run."""
+    paths = []
+    for i in range(2):  # N = 2 models (different seeds -> different weights)
+        p = str(tmp_path / f"ts{i}.gguf")
+        make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=64,
+                             n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32",
+                             seed=10 + i)
+        paths.append(p)
+    models = [load_model(p, prefer_quant=False) for p in paths]
+    prompts = [[5, 9, 23, 42], [7, 3, 88, 11, 6], [1, 2, 3],
+               [42, 42, 42, 42, 42]]
+
+    refs = {}
+    for mi, m in enumerate(models):
+        for pi, pr in enumerate(prompts):
+            refs[(mi, pi)] = Context(m, n_ctx=64, n_seqs=1).generate(
+                pr, max_new_tokens=6)
+
+    results = {}
+    errs = []
+
+    def worker(mi, pi):
+        try:
+            ctx = Context(models[mi], n_ctx=64, n_seqs=1)
+            results[(mi, pi)] = ctx.generate(prompts[pi], max_new_tokens=6)
+        except Exception as e:  # pragma: no cover
+            errs.append((mi, pi, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(mi, pi))
+               for mi in range(len(models)) for pi in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert results == refs
