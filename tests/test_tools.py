@@ -231,3 +231,20 @@ def test_eval_callback_dump(tmp_path, capsys):
     assert {il for il, _, _ in caps} == {0, 1, 2}
     s = out.getvalue()
     assert "blk.0.l_in" in s and "sum =" in s
+
+
+def test_tokenize_tool(tmp_path, capsys):
+    """llama-tokenize analog: ids + pieces + count, vocab-only load."""
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+    from llama_cpp_tpu.tools.tokenize import main as tok_main
+
+    p = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(p, vocab_size=128, n_layers=1, n_embd=32,
+                         n_heads=2, n_kv_heads=2, n_ff=64, ftype="f32")
+    ids = tok_main(["-m", p, "-p", "ab", "--show-count"])
+    out = capsys.readouterr().out
+    assert ids and f"Total number of tokens: {len(ids)}" in out
+    assert "->" in out
+    ids2 = tok_main(["-m", p, "-p", "ab", "--ids"])
+    out2 = capsys.readouterr().out
+    assert out2.strip().startswith("[") and str(ids2[0]) in out2
