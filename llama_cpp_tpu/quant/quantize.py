@@ -381,10 +381,14 @@ def quant_iq2_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
 
     def _fit(d):
         dn = np.where(d > 0, d, 1.0)
-        ls = np.clip(_nearest_int(e / (0.25 * dn[:, None]) - 0.5), 0, 15)
-        eff = (dn[:, None] * 0.25 * (0.5 + ls)).repeat(2, axis=1).reshape(-1)
-        rows = _best_grid_rows(a, wg, grid, eff=eff)
-        g = grid[rows]
+        ei = e
+        for _ in range(3):  # alternate rows <-> per-pair level refit
+            ls = np.clip(_nearest_int(ei / (0.25 * dn[:, None]) - 0.5), 0, 15)
+            eff = (dn[:, None] * 0.25 * (0.5 + ls)).repeat(2, axis=1).reshape(-1)
+            rows = _best_grid_rows(a, wg, grid, eff=eff)
+            g = grid[rows]
+            ei = np.maximum(_ls_scale(*(v.reshape(-1, 16) for v in (a, wg, g))),
+                            0.0).reshape(nb, 16)
         err = (wg * (eff[:, None] * g - a) ** 2).sum(-1).reshape(nb, -1).sum(-1)
         return ls, rows, err
 
@@ -432,10 +436,14 @@ def quant_iq3_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
 
     def _fit(d):
         dn = np.where(d > 0, d, 1.0)
-        ls = np.clip(_nearest_int((e / dn[:, None] - 1.0) / 2.0), 0, 15)
-        eff = (dn[:, None] * (1.0 + 2.0 * ls)).repeat(8, axis=1).reshape(-1)
-        rows = _best_grid_rows(a, wg, grid, eff=eff)
-        g = grid[rows]
+        ei = e
+        for _ in range(3):  # alternate rows <-> per-ib32 level refit
+            ls = np.clip(_nearest_int((ei / dn[:, None] - 1.0) / 2.0), 0, 15)
+            eff = (dn[:, None] * (1.0 + 2.0 * ls)).repeat(8, axis=1).reshape(-1)
+            rows = _best_grid_rows(a, wg, grid, eff=eff)
+            g = grid[rows]
+            ei = np.maximum(_ls_scale(*(v.reshape(-1, 32) for v in (a, wg, g))),
+                            0.0).reshape(nb, 8)
         err = (wg * (eff[:, None] * g - a) ** 2).sum(-1).reshape(nb, -1).sum(-1)
         return ls, rows, err
 
