@@ -44,8 +44,12 @@ def forward(
     if "pos_embd" in params:
         x = x + embed_lookup(params["pos_embd"],
                              jnp.maximum(inputs.positions, 0), jnp.float32)
-    x = layer_norm(x, params.get("token_embd_norm"),
-                   params.get("token_embd_norm_bias"), eps)
+    if "token_embd_norm" in params:
+        # bert-family embedding LN; pre-norm RMS encoders (neo-bert /
+        # eurobert) feed raw embeddings into the first block (their
+        # graphs have no embd norm: neo-bert.cpp/eurobert.cpp)
+        x = layer_norm(x, params["token_embd_norm"],
+                       params.get("token_embd_norm_bias"), eps)
 
     valid = (inputs.positions >= 0)  # [B, T] padding mask
     mask = valid[:, None, :] & valid[:, :, None]  # [B, T, T] bidirectional

@@ -1414,9 +1414,10 @@ def _minimax_m3(cfg: ModelConfig, md) -> ModelConfig:
 @register("neo-bert")
 def _neo_bert(cfg: ModelConfig, md) -> ModelConfig:
     """NeoBERT (reference src/models/neo-bert.cpp): pre-norm RMS encoder,
-    NEOX rope, fused gate|up SWIGLU FFN, enc.output_norm final norm."""
+    NORM rope (llama-model.cpp rope-type table), fused gate|up SWIGLU FFN,
+    enc.output_norm final norm."""
     cfg.extra.update(encoder=True, pre_norm_encoder=True)
-    return cfg.with_(rope_type=ROPE_TYPE_NEOX, act="silu")
+    return cfg.with_(rope_type=ROPE_TYPE_NORM, act="silu")
 
 
 @register("eurobert")

@@ -806,3 +806,126 @@ def test_minicpm3_numeric(tmp_path):
     x = rms_norm(x, ws["output_norm.weight"])
     want = (x * (256.0 / E)) @ ws["token_embd.weight"].T
     check(p, want)
+
+
+# --------------------------------------------------------------------------
+# encoder archs: embed() (mean pooling over final hidden) vs numpy oracle
+# --------------------------------------------------------------------------
+
+
+def ours_embed(path, tokens=None):
+    import jax.numpy as jnp
+
+    tokens = tokens or TOKENS[:12]
+    m = load_model(path, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(m, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    return np.asarray(ctx.embed(tokens, pooling="mean"), np.float64)
+
+
+@pytest.mark.parametrize("arch,fused", [("neo-bert", True),
+                                        ("eurobert", False)])
+def test_neobert_eurobert_numeric(tmp_path, arch, fused):
+    # src/models/{neo-bert,eurobert}.cpp: pre-norm RMS encoders with
+    # NON-CAUSAL attention; neo-bert NORM rope + fused SWIGLU, eurobert
+    # NEOX rope + separate silu-PAR; final enc.output_norm
+    w = _writer(arch)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "enc.output_norm.weight", E, ones=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_qkv.weight", H * HD + 2 * HKV * HD, E)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        if fused:
+            emit(w, b + "ffn_up.weight", 2 * FF, E)
+        else:
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    toks = TOKENS[:12]
+    T = len(toks)
+    pos = np.arange(T)
+    mode = "norm" if arch == "neo-bert" else "neox"
+    x = ws["token_embd.weight"][toks]
+    for il in range(L):
+        b = f"blk.{il}."
+        res = x
+        h = orc.rms_norm(x, ws[b + "attn_norm.weight"])
+        q, k, v = qkv(h, ws, b, H, HKV, HD)
+        q = rope(q, pos, HD, mode)
+        k = rope(k, pos, HD, mode)
+        att = attention(q, k, v, scale=HD ** -0.5, n_head_kv=HKV,
+                        causal=False)
+        att = att @ ws[b + "attn_output.weight"].T
+        ffn_inp = res + att
+        h = orc.rms_norm(ffn_inp, ws[b + "ffn_norm.weight"])
+        x = ffn_inp + ffn(h, ws, b, fused=fused)
+    x = orc.rms_norm(x, ws["enc.output_norm.weight"])
+    want = x.mean(axis=0)
+    got = ours_embed(p, toks)
+    np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
+
+
+def test_gemma_embedding_numeric(tmp_path):
+    # src/models/gemma-embedding.cpp: gemma3 stack run bidirectionally with
+    # SYMMETRIC windows on local layers; embd * sqrt(E); per-head qk norm;
+    # Q scaled by 1/sqrt(head_dim) then kq_scale 1.0; GELU-PAR; post-norms
+    w = _writer("gemma-embedding", extra_md={
+        "attention.sliding_window": np.uint32(16),
+        "attention.sliding_window_pattern": np.uint32(2)})
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "attn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_post_norm.weight", E, ones=True)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    toks = TOKENS[:12]
+    T = len(toks)
+    pos = np.arange(T)
+    x = ws["token_embd.weight"][toks] * np.sqrt(E)
+    for il in range(L):
+        b = f"blk.{il}."
+        is_swa = il % 2 < 1
+        res = x
+        h = orc.rms_norm(x, ws[b + "attn_norm.weight"])
+        q, k, v = qkv(h, ws, b, H, HKV, HD)
+        q = orc.rms_norm(q, ws[b + "attn_q_norm.weight"])
+        k = orc.rms_norm(k, ws[b + "attn_k_norm.weight"])
+        q = rope(q, pos, HD, "neox")
+        k = rope(k, pos, HD, "neox")
+        q = q * (HD ** -0.5)
+        # symmetric window (llama-hparams.h:402): |q - k| <= n_swa/2
+        outs = []
+        mask = np.zeros((T, T))
+        if is_swa:
+            d = pos[:, None] - pos[None, :]
+            mask[np.abs(d) > 8] = -np.inf
+        G = H // HKV
+        for hh in range(H):
+            s = q[:, hh] @ k[:, hh // G].T + mask
+            outs.append(orc.softmax(np.where(np.isneginf(s), -1e30, s))
+                        @ v[:, hh // G])
+        att = np.concatenate(outs, -1) @ ws[b + "attn_output.weight"].T
+        att = orc.rms_norm(att, ws[b + "attn_post_norm.weight"])
+        ffn_inp = res + att
+        h = orc.rms_norm(ffn_inp, ws[b + "ffn_norm.weight"])
+        out = orc.gelu(h @ ws[b + "ffn_gate.weight"].T) * (
+            h @ ws[b + "ffn_up.weight"].T) @ ws[b + "ffn_down.weight"].T
+        out = orc.rms_norm(out, ws[b + "ffn_post_norm.weight"])
+        x = ffn_inp + out
+    x = orc.rms_norm(x, ws["output_norm.weight"])
+    want = x.mean(axis=0)
+    got = ours_embed(p, toks)
+    np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
