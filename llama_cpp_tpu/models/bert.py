@@ -171,12 +171,15 @@ def forward(
                            lw.get("layer_output_norm_bias"), eps)
             continue
         if "ffn_up_exps" in lw:
-            # nomic-bert-moe: gelu experts without gate, softmax top-k with
-            # normalized weights (reference nomic-bert-moe.cpp build_moe_ffn)
+            # nomic-bert-moe: gelu experts without gate, softmax top-k;
+            # bert.cpp:179-189 passes norm_w=false, so the selected softmax
+            # weights are used RAW (no top-k renormalization)
             logits = matmul(x, lw["ffn_gate_inp"], dtype=jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
             topw, topi = jax.lax.top_k(probs, cfg.n_expert_used)
-            topw = topw / jnp.clip(topw.sum(-1, keepdims=True), 1e-9, None)
+            if cfg.expert_weights_norm:
+                topw = topw / jnp.clip(topw.sum(-1, keepdims=True),
+                                       1e-9, None)
             y = jnp.zeros_like(x)
             for e in range(cfg.n_expert):
                 w_e = jnp.sum(jnp.where(topi == e, topw, 0.0), -1)  # [B,T]

@@ -929,3 +929,129 @@ def test_gemma_embedding_numeric(tmp_path):
     want = x.mean(axis=0)
     got = ours_embed(p, toks)
     np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
+
+
+def test_jina_bert_v3_numeric(tmp_path):
+    # src/models/jina-bert-v3.cpp + shared bert.cpp graph: post-norm LN
+    # encoder, type-0 embedding + token_embd_norm, NEOX rope, NON-CAUSAL
+    # attention, plain GELU-SEQ FFN (bert.cpp:191-197 — no gate), residual
+    # then attn_output_norm / layer_output_norm (both with bias)
+    w = _writer("jina-bert-v3")
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "token_types.weight", 2, E, scale=0.05)
+    emit(w, "token_embd_norm.weight", E, ones=True)
+    emit(w, "token_embd_norm.bias", E, scale=0.01)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_q.bias", H * HD, scale=0.05)
+        emit(w, b + "attn_k.bias", HKV * HD, scale=0.05)
+        emit(w, b + "attn_v.bias", HKV * HD, scale=0.05)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "attn_output.bias", E, scale=0.05)
+        emit(w, b + "attn_output_norm.weight", E, ones=True)
+        emit(w, b + "attn_output_norm.bias", E, scale=0.01)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_up.bias", FF, scale=0.05)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "ffn_down.bias", E, scale=0.05)
+        emit(w, b + "layer_output_norm.weight", E, ones=True)
+        emit(w, b + "layer_output_norm.bias", E, scale=0.01)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    toks = TOKENS[:12]
+    pos = np.arange(len(toks))
+    x = ws["token_embd.weight"][toks] + ws["token_types.weight"][0]
+    x = orc.layer_norm(x, ws["token_embd_norm.weight"],
+                       ws["token_embd_norm.bias"])
+    for il in range(L):
+        b = f"blk.{il}."
+        q = x @ ws[b + "attn_q.weight"].T + ws[b + "attn_q.bias"]
+        k = x @ ws[b + "attn_k.weight"].T + ws[b + "attn_k.bias"]
+        v = x @ ws[b + "attn_v.weight"].T + ws[b + "attn_v.bias"]
+        q = rope(q.reshape(-1, H, HD), pos, HD, "neox")
+        k = rope(k.reshape(-1, HKV, HD), pos, HD, "neox")
+        v = v.reshape(-1, HKV, HD)
+        att = attention(q, k, v, scale=HD ** -0.5, n_head_kv=HKV,
+                        causal=False)
+        att = att @ ws[b + "attn_output.weight"].T + ws[b + "attn_output.bias"]
+        x = orc.layer_norm(att + x, ws[b + "attn_output_norm.weight"],
+                           ws[b + "attn_output_norm.bias"])
+        ffn_inp = x
+        h = orc.gelu(x @ ws[b + "ffn_up.weight"].T + ws[b + "ffn_up.bias"])
+        y = h @ ws[b + "ffn_down.weight"].T + ws[b + "ffn_down.bias"]
+        x = orc.layer_norm(y + ffn_inp, ws[b + "layer_output_norm.weight"],
+                           ws[b + "layer_output_norm.bias"])
+    want = x.mean(axis=0)
+    got = ours_embed(p, toks)
+    np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
+
+
+def test_nomic_bert_moe_numeric(tmp_path):
+    # src/models/nomic-bert-moe.cpp + bert.cpp: fused qkv+bias, NEOX rope,
+    # every 2nd layer (i % 2 == 1) swaps the FFN for gate-less GELU experts
+    # with softmax routing and RAW top-k weights (bert.cpp:179-189 passes
+    # norm_w=false), dense GELU+bias FFN otherwise
+    NEXP, NUSED = 4, 2
+    w = _writer("nomic-bert-moe", extra_md={
+        "moe_every_n_layers": np.uint32(2),
+        "expert_count": np.uint32(NEXP),
+        "expert_used_count": np.uint32(NUSED)})
+    qkv_n = H * HD + 2 * (HKV * HD)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "token_types.weight", 2, E, scale=0.05)
+    emit(w, "token_embd_norm.weight", E, ones=True)
+    emit(w, "token_embd_norm.bias", E, scale=0.01)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_qkv.weight", qkv_n, E)
+        emit(w, b + "attn_qkv.bias", qkv_n, scale=0.05)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "attn_output.bias", E, scale=0.05)
+        emit(w, b + "attn_output_norm.weight", E, ones=True)
+        emit(w, b + "attn_output_norm.bias", E, scale=0.01)
+        if i % 2 == 1:
+            emit(w, b + "ffn_gate_inp.weight", NEXP, E)
+            emit(w, b + "ffn_up_exps.weight", NEXP, FF, E)
+            emit(w, b + "ffn_down_exps.weight", NEXP, E, FF)
+        else:
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_up.bias", FF, scale=0.05)
+            emit(w, b + "ffn_down.weight", E, FF)
+            emit(w, b + "ffn_down.bias", E, scale=0.05)
+        emit(w, b + "layer_output_norm.weight", E, ones=True)
+        emit(w, b + "layer_output_norm.bias", E, scale=0.01)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    toks = TOKENS[:12]
+    pos = np.arange(len(toks))
+    x = ws["token_embd.weight"][toks] + ws["token_types.weight"][0]
+    x = orc.layer_norm(x, ws["token_embd_norm.weight"],
+                       ws["token_embd_norm.bias"])
+    for il in range(L):
+        b = f"blk.{il}."
+        q, k, v = qkv(x, ws, b, H, HKV, HD)
+        q = rope(q, pos, HD, "neox")
+        k = rope(k, pos, HD, "neox")
+        att = attention(q, k, v, scale=HD ** -0.5, n_head_kv=HKV,
+                        causal=False)
+        att = att @ ws[b + "attn_output.weight"].T + ws[b + "attn_output.bias"]
+        x = orc.layer_norm(att + x, ws[b + "attn_output_norm.weight"],
+                           ws[b + "attn_output_norm.bias"])
+        ffn_inp = x
+        if il % 2 == 1:
+            y = moe(x, ws, b, NEXP, NUSED, act="gelu", gating="softmax",
+                    norm_w=False)
+        else:
+            h = orc.gelu(x @ ws[b + "ffn_up.weight"].T
+                         + ws[b + "ffn_up.bias"])
+            y = h @ ws[b + "ffn_down.weight"].T + ws[b + "ffn_down.bias"]
+        x = orc.layer_norm(y + ffn_inp, ws[b + "layer_output_norm.weight"],
+                           ws[b + "layer_output_norm.bias"])
+    want = x.mean(axis=0)
+    got = ours_embed(p, toks)
+    np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
