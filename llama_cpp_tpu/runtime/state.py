@@ -121,7 +121,11 @@ def load_state(ctx, path: str) -> dict:
 def _rebuild_allocator(ctx):
     """Re-derive host page-allocator state from a restored device table."""
     alloc = ctx.alloc
-    kvp = ctx.kv.full if hasattr(ctx.kv, "full") else ctx.kv
+    kvp = ctx.kv
+    if hasattr(kvp, "full"):      # iSWA
+        kvp = kvp.full
+    elif hasattr(kvp, "rs"):      # hybrid
+        kvp = kvp.kv
     table = np.asarray(kvp.table)
     alloc.table = table.copy()
     used = set()
@@ -259,7 +263,12 @@ def _paged_inject(ctx, seq: int, z, prefix: str, kvc=None):
         ctx.alloc.ensure(seq, int(positions.max()) + 1)
         ctx._sync_table()
     # _sync_table may have rebuilt the pytree: re-fetch the paged cache
-    kvc = ctx.kv.full if nested else ctx.kv
+    if not nested:
+        kvc = ctx.kv
+    elif hasattr(ctx.kv, "full"):   # iSWA full half
+        kvc = ctx.kv.full
+    else:                           # hybrid attention half
+        kvc = ctx.kv.kv
     pg = ctx.alloc.table[seq, positions // kvc.page]
     slots = jnp.asarray(pg * kvc.page + positions % kvc.page, jnp.int32)
     new = replace(
@@ -297,7 +306,8 @@ def _seq_parts(kv) -> list[tuple[str, object, str]]:
     if isinstance(kv, RecurrentState):
         return [("rs", kv, "rs_")]
     if isinstance(kv, HybridMemory):
-        return [("kv", kv.kv, "kv_"), ("rs", kv.rs, "rs_")]
+        kf = "paged" if isinstance(kv.kv, PagedKVCache) else "kv"
+        return [(kf, kv.kv, "kv_"), ("rs", kv.rs, "rs_")]
     if isinstance(kv, DSAMemory):
         return [("kv", kv.kv, "kv_"), ("kv", kv.idx, "idx_")]
     raise ValueError(f"per-sequence state unsupported for {type(kv).__name__}")

@@ -145,3 +145,31 @@ def test_recurrent_state_roundtrip(tmp_path):
     load_seq_state(ctx3, 0, blob)
     assert int(ctx3.seq_len[0]) == len(prompt) + len(part1)
     assert _continue(ctx3, part1, 4) == ref
+
+
+def test_hybrid_paged_state_roundtrip(tmp_path):
+    """Whole-context + per-seq state for HYBRID memory whose attention half
+    is the paged pool (nemotron-h: mamba2 + attention interleave; reference
+    llama-memory-hybrid.cpp state paths)."""
+    from llama_cpp_tpu.runtime.paged_kv import PagedKVCache
+    from llama_cpp_tpu.testing import make_tiny_nemotron_h_gguf
+
+    p = str(tmp_path / "nemh.gguf")
+    make_tiny_nemotron_h_gguf(p)
+    model = load_model(p, prefer_quant=False)
+    ctx = Context(model, n_ctx=64, n_seqs=2)
+    assert isinstance(ctx.kv.kv, PagedKVCache)  # attention half is paged
+    prompt = [3, 5, 7, 9, 11, 13]
+    part1 = ctx.generate(prompt, max_new_tokens=4)
+    save_state(ctx, str(tmp_path / "sess.bin"))
+    blob = save_seq_state(ctx, 0)
+    ref = _continue(ctx, part1, 4)
+
+    ctx2 = Context(model, n_ctx=64, n_seqs=2)
+    load_state(ctx2, str(tmp_path / "sess.bin"))
+    assert _continue(ctx2, part1, 4) == ref
+
+    ctx3 = Context(model, n_ctx=64, n_seqs=2)
+    load_seq_state(ctx3, 0, blob)
+    assert int(ctx3.seq_len[0]) == len(prompt) + len(part1)
+    assert _continue(ctx3, part1, 4) == ref
