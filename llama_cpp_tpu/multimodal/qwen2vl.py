@@ -1,9 +1,14 @@
-"""Qwen2-VL vision tower (ViT + 2x2 patch merger).
+"""Qwen2-VL / Qwen2.5-VL vision towers (ViT + 2x2 patch merger).
 
-TPU analog of the reference's qwen2vl clip graph (tools/mtmd/clip.cpp
-PROJECTOR_TYPE_QWEN2VL "qwen2vl_merger"): patch linear (folded Conv3d),
-blocks with fused qkv + 2D rotary over (h, w) patch grids, quick-gelu MLP,
-and the 4-to-1 merger MLP projecting into the text embedding space.
+TPU analog of the reference's qwen2vl-family clip graphs
+(tools/mtmd/models/qwen2vl.cpp, PROJECTOR_TYPE_QWEN2VL "qwen2vl_merger" and
+PROJECTOR_TYPE_QWEN25VL "qwen2.5vl_merger"): patch linear (folded Conv3d),
+blocks with fused qkv + 2D rotary over (h, w) patch grids, and the 4-to-1
+merger MLP projecting into the text embedding space. Qwen2.5-VL swaps the
+LayerNorms for RMSNorm, the quick-gelu MLP for a SiLU-gated one, and runs
+WINDOW attention: merge-unit cells are reordered window-major, every layer
+except each n_wa_pattern-th attends only within its window
+(qwen2vl.cpp:37-83), and the merger output is restored to raster order.
 Patch rows arrive in the HF processor's merge-window ordering, so the
 merger groups 4 consecutive rows.
 """
@@ -29,6 +34,14 @@ class Qwen2VLVisionConfig:
     out_hidden: int = 3584
     eps: float = 1e-6
     theta: float = 10000.0
+    # qwen2.5-vl (PROJECTOR_TYPE_QWEN25VL "qwen2.5vl_merger",
+    # clip-impl.h:468): RMSNorm blocks, gated SiLU MLP, and window
+    # attention — all layers except `fullatt_idx` attend only within
+    # window_size x window_size pixel windows of reordered patches
+    rms_norm: bool = False
+    gated_mlp: bool = False
+    window_size: int = 0
+    fullatt_idx: tuple = ()
 
 
 def rot_pos_ids(grid_thw, merge: int) -> np.ndarray:
@@ -55,6 +68,49 @@ def _ln(x, w, b, eps):
     return y * w + (b if b is not None else 0.0)
 
 
+def _norm(cfg, x, w, b):
+    if cfg.rms_norm:
+        xf = x.astype(jnp.float32)
+        return xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, -1, keepdims=True) + cfg.eps) * w
+    return _ln(x, w, b, cfg.eps)
+
+
+def window_index(grid_thw, merge: int, window_size: int, patch_size: int):
+    """Transcription of HF Qwen2_5_VisionTransformer.get_window_index:
+    window-major reordering of merge-unit cells + per-window segment ids.
+    Returns (index [S/merge^2], seg_ids [S] int32 window id per patch row,
+    img_ids [S] int32 image id per patch row)."""
+    vw = window_size // merge // patch_size
+    idx_parts, seg_parts, img_parts = [], [], []
+    base = 0
+    seg_base = 0
+    for im, (t, h, w) in enumerate(np.asarray(grid_thw)):
+        lh, lw = h // merge, w // merge
+        index = np.arange(t * lh * lw).reshape(t, lh, lw)
+        pad_h, pad_w = (-lh) % vw, (-lw) % vw
+        nh, nw = (lh + pad_h) // vw, (lw + pad_w) // vw
+        ip = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+        ip[:, :lh, :lw] = index
+        ip = ip.reshape(t, nh, vw, nw, vw).transpose(0, 1, 3, 2, 4)
+        ip = ip.reshape(t * nh * nw, vw * vw)
+        valid = ip != -100
+        flat = ip.reshape(-1)
+        keep = flat[flat != -100]
+        idx_parts.append(keep + base)
+        # window id per kept merge-cell, expanded to patch rows later
+        wid = np.repeat(np.arange(ip.shape[0]) + seg_base, valid.sum(1))
+        seg_parts.append(wid)
+        img_parts.append(np.full(len(keep), im, np.int64))
+        base += t * lh * lw
+        seg_base += ip.shape[0]
+    index = np.concatenate(idx_parts)
+    m2 = merge * merge
+    seg = np.repeat(np.concatenate(seg_parts), m2)
+    img = np.repeat(np.concatenate(img_parts), m2)
+    return index, seg.astype(np.int32), img.astype(np.int32)
+
+
 def vit_forward(params, cfg: Qwen2VLVisionConfig, patches: jnp.ndarray,
                 grid_thw) -> jnp.ndarray:
     """patches [S, C*tp*ps*ps] (HF pixel_values layout) -> [S/merge^2, out]."""
@@ -67,6 +123,24 @@ def vit_forward(params, cfg: Qwen2VLVisionConfig, patches: jnp.ndarray,
 
     # 2D rotary: half-angle vector = [h_pos * invf, w_pos * invf]
     ids = rot_pos_ids(np.asarray(grid_thw), cfg.spatial_merge_size)
+    m2 = cfg.spatial_merge_size ** 2
+
+    # qwen2.5-vl: reorder merge-unit cells window-major; window layers
+    # attend within their window segment, full layers within their image
+    masks = None
+    rev = None
+    if cfg.window_size:
+        widx, seg, img = window_index(
+            np.asarray(grid_thw), cfg.spatial_merge_size, cfg.window_size,
+            cfg.patch_size)
+        rowp = (widx[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
+        x = x[rowp]
+        ids = ids[rowp]
+        full = jnp.asarray(img[:, None] == img[None, :])
+        win = jnp.asarray(seg[:, None] == seg[None, :])
+        masks = {True: full, False: win}
+        rev = np.argsort(widx, kind="stable")
+
     invf = 1.0 / (cfg.theta ** (np.arange(0, hd // 2, 2) / (hd // 2)))
     ang = np.concatenate(
         [ids[:, :1] * invf[None], ids[:, 1:] * invf[None]], axis=-1)
@@ -78,29 +152,38 @@ def vit_forward(params, cfg: Qwen2VLVisionConfig, patches: jnp.ndarray,
         return jnp.concatenate([v0 * cos - v1 * sin, v0 * sin + v1 * cos],
                                axis=-1)
 
-    for lw in params["layers"]:
-        h = _ln(x, lw["ln1"], lw.get("ln1_bias"), cfg.eps)
+    for il, lw in enumerate(params["layers"]):
+        h = _norm(cfg, x, lw["ln1"], lw.get("ln1_bias"))
         qkv = h @ lw["attn_qkv"].T + lw["attn_qkv_bias"]
         q, k, v = jnp.split(qkv.reshape(S, 3, H, hd), 3, axis=1)
         q = rope2d(q[:, 0])
         k = rope2d(k[:, 0])
         v = v[:, 0]
         scores = jnp.einsum("shd,thd->hst", q, k) / hd ** 0.5
+        if masks is not None:
+            m = masks[il in cfg.fullatt_idx]
+            scores = jnp.where(m[None], scores, -jnp.inf)
         p = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("hst,thd->shd", p, v).reshape(S, E)
         x = x + (attn @ lw["attn_out"].T + lw["attn_out_bias"])
-        h = _ln(x, lw["ln2"], lw.get("ln2_bias"), cfg.eps)
-        up = h @ lw["ffn_up"].T + lw["ffn_up_bias"]
-        up = up * jax.nn.sigmoid(1.702 * up)  # quick_gelu
+        h = _norm(cfg, x, lw["ln2"], lw.get("ln2_bias"))
+        if cfg.gated_mlp:  # qwen2.5-vl SiLU-gated MLP
+            up = jax.nn.silu(h @ lw["ffn_gate"].T + lw["ffn_gate_bias"]) * (
+                h @ lw["ffn_up"].T + lw["ffn_up_bias"])
+        else:
+            up = h @ lw["ffn_up"].T + lw["ffn_up_bias"]
+            up = up * jax.nn.sigmoid(1.702 * up)  # quick_gelu
         x = x + (up @ lw["ffn_down"].T + lw["ffn_down_bias"])
 
-    # merger: LN then fold merge^2 consecutive rows, 2-layer MLP
-    m2 = cfg.spatial_merge_size ** 2
-    h = _ln(x, params["merger_ln"], params.get("merger_ln_bias"), cfg.eps)
+    # merger: norm then fold merge^2 consecutive rows, 2-layer MLP
+    h = _norm(cfg, x, params["merger_ln"], params.get("merger_ln_bias"))
     h = h.reshape(S // m2, m2 * E)
     h = h @ params["mm_0"].T + params["mm_0_bias"]
     h = jax.nn.gelu(h, approximate=False)
-    return h @ params["mm_2"].T + params["mm_2_bias"]  # [S/m2, out]
+    out = h @ params["mm_2"].T + params["mm_2_bias"]  # [S/m2, out]
+    if rev is not None:  # undo the window-major cell reordering
+        out = out[rev]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -164,13 +247,76 @@ def convert_hf_qwen2vl_vision(model, out_path: str) -> str:
     return out_path
 
 
+def convert_hf_qwen25vl_vision(model, out_path: str) -> str:
+    """HF Qwen2_5_VLForConditionalGeneration -> vision mmproj GGUF
+    (projector "qwen2.5vl_merger", clip-impl.h:468: RMSNorm blocks, gated
+    SiLU MLP, window attention with full-attention block indexes)."""
+    from ..gguf.constants import GGMLType, Keys
+    from ..gguf.writer import GGUFWriter
+
+    vc = model.config.vision_config
+    sd = {k: v.detach().cpu().float().numpy()
+          for k, v in model.state_dict().items() if "visual" in k}
+    pfx = "model.visual." if any(k.startswith("model.visual.") for k in sd) \
+        else "visual."
+
+    w = GGUFWriter()
+    w.add(Keys.General.ARCHITECTURE, "clip")
+    w.add("clip.projector_type", "qwen2.5vl_merger")
+    w.add("clip.vision.embedding_length", np.uint32(vc.hidden_size))
+    w.add("clip.vision.block_count", np.uint32(vc.depth))
+    w.add("clip.vision.attention.head_count", np.uint32(vc.num_heads))
+    w.add("clip.vision.patch_size", np.uint32(vc.patch_size))
+    w.add("clip.vision.temporal_patch_size", np.uint32(vc.temporal_patch_size))
+    w.add("clip.vision.spatial_merge_size", np.uint32(vc.spatial_merge_size))
+    # reference keys (clip-impl.h:68,71): full attention every n_wa_pattern
+    # layers ((il+1) % n == 0), window extent in pixels
+    fa = list(vc.fullatt_block_indexes)
+    pattern = fa[0] + 1 if fa else 0
+    assert all((i + 1) % pattern == 0 for i in fa), fa
+    w.add("clip.vision.n_wa_pattern", np.uint32(pattern))
+    w.add("clip.vision.window_size", np.uint32(vc.window_size))
+    w.add("clip.vision.projection_dim", np.uint32(vc.out_hidden_size))
+
+    def E(name, arr):
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        w.add_tensor(name, arr.tobytes(), tuple(reversed(arr.shape)),
+                     GGMLType.F32)
+
+    pe = sd[pfx + "patch_embed.proj.weight"]  # [E, C, tp, ps, ps]
+    E("v.patch_embd.weight", pe.reshape(pe.shape[0], -1))
+    for i in range(vc.depth):
+        p, b = f"{pfx}blocks.{i}.", f"v.blk.{i}."
+        E(b + "ln1.weight", sd[p + "norm1.weight"])
+        E(b + "ln2.weight", sd[p + "norm2.weight"])
+        E(b + "attn_qkv.weight", sd[p + "attn.qkv.weight"])
+        E(b + "attn_qkv.bias", sd[p + "attn.qkv.bias"])
+        E(b + "attn_out.weight", sd[p + "attn.proj.weight"])
+        E(b + "attn_out.bias", sd[p + "attn.proj.bias"])
+        E(b + "ffn_gate.weight", sd[p + "mlp.gate_proj.weight"])
+        E(b + "ffn_gate.bias", sd[p + "mlp.gate_proj.bias"])
+        E(b + "ffn_up.weight", sd[p + "mlp.up_proj.weight"])
+        E(b + "ffn_up.bias", sd[p + "mlp.up_proj.bias"])
+        E(b + "ffn_down.weight", sd[p + "mlp.down_proj.weight"])
+        E(b + "ffn_down.bias", sd[p + "mlp.down_proj.bias"])
+    E("v.merger_ln.weight", sd[pfx + "merger.ln_q.weight"])
+    E("mm.0.weight", sd[pfx + "merger.mlp.0.weight"])
+    E("mm.0.bias", sd[pfx + "merger.mlp.0.bias"])
+    E("mm.2.weight", sd[pfx + "merger.mlp.2.weight"])
+    E("mm.2.bias", sd[pfx + "merger.mlp.2.bias"])
+    w.write(out_path)
+    return out_path
+
+
 def load_qwen2vl_mmproj(path: str):
     """-> (params pytree, Qwen2VLVisionConfig)."""
     from ..gguf.reader import read_gguf
 
     f = read_gguf(path)
     md = f.metadata
-    assert md.get("clip.projector_type") == "qwen2vl_merger", "not a qwen2vl mmproj"
+    proj = md.get("clip.projector_type")
+    assert proj in ("qwen2vl_merger", "qwen2.5vl_merger"), \
+        "not a qwen2vl-family mmproj"
 
     def T(name):
         info = f.tensors[name]
@@ -178,6 +324,10 @@ def load_qwen2vl_mmproj(path: str):
             np.asarray(info.data).view(np.float32).reshape(info.shape))
 
     depth = int(md["clip.vision.block_count"])
+    q25 = proj == "qwen2.5vl_merger"
+    pattern = int(md.get("clip.vision.n_wa_pattern", 0))
+    fullatt = [il for il in range(depth)
+               if pattern and (il + 1) % pattern == 0]
     cfg = Qwen2VLVisionConfig(
         embed_dim=int(md["clip.vision.embedding_length"]),
         n_layers=depth,
@@ -186,20 +336,30 @@ def load_qwen2vl_mmproj(path: str):
         temporal_patch_size=int(md.get("clip.vision.temporal_patch_size", 2)),
         spatial_merge_size=int(md.get("clip.vision.spatial_merge_size", 2)),
         out_hidden=int(md["clip.vision.projection_dim"]),
+        rms_norm=q25,
+        gated_mlp=q25,
+        window_size=(int(md.get("clip.vision.window_size", 112))
+                     if q25 else 0),
+        fullatt_idx=tuple(fullatt),
     )
+
+    def opt(name):
+        return T(name) if name in f.tensors else None
+
     params = {
         "patch_embd": T("v.patch_embd.weight"),
         "merger_ln": T("v.merger_ln.weight"),
-        "merger_ln_bias": T("v.merger_ln.bias"),
         "mm_0": T("mm.0.weight"), "mm_0_bias": T("mm.0.bias"),
         "mm_2": T("mm.2.weight"), "mm_2_bias": T("mm.2.bias"),
         "layers": [],
     }
+    if "v.merger_ln.bias" in f.tensors:
+        params["merger_ln_bias"] = T("v.merger_ln.bias")
     for i in range(depth):
         b = f"v.blk.{i}."
-        params["layers"].append({
-            "ln1": T(b + "ln1.weight"), "ln1_bias": T(b + "ln1.bias"),
-            "ln2": T(b + "ln2.weight"), "ln2_bias": T(b + "ln2.bias"),
+        lw = {
+            "ln1": T(b + "ln1.weight"),
+            "ln2": T(b + "ln2.weight"),
             "attn_qkv": T(b + "attn_qkv.weight"),
             "attn_qkv_bias": T(b + "attn_qkv.bias"),
             "attn_out": T(b + "attn_out.weight"),
@@ -208,5 +368,12 @@ def load_qwen2vl_mmproj(path: str):
             "ffn_up_bias": T(b + "ffn_up.bias"),
             "ffn_down": T(b + "ffn_down.weight"),
             "ffn_down_bias": T(b + "ffn_down.bias"),
-        })
+        }
+        for tname, key in (("ln1.bias", "ln1_bias"), ("ln2.bias", "ln2_bias"),
+                           ("ffn_gate.weight", "ffn_gate"),
+                           ("ffn_gate.bias", "ffn_gate_bias")):
+            v = opt(b + tname)
+            if v is not None:
+                lw[key] = v
+        params["layers"].append(lw)
     return params, cfg

@@ -168,6 +168,134 @@ def test_qwen2vl_vision_tower(tmp_path):
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_qwen25vl_vision_tower(tmp_path):
+    """Qwen2.5-VL ViT vs the HF visual forward: RMSNorm blocks, SiLU-gated
+    MLP, and WINDOW attention (window-major cell reorder + per-window
+    masks on non-full layers, raster order restored after the merger)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers.models.qwen2_5_vl import (
+        Qwen2_5_VLConfig, Qwen2_5_VLForConditionalGeneration)
+    from llama_cpp_tpu.multimodal.qwen2vl import (
+        convert_hf_qwen25vl_vision, load_qwen2vl_mmproj, vit_forward)
+
+    vc = dict(depth=4, hidden_size=32, out_hidden_size=48,
+              intermediate_size=64, num_heads=4, patch_size=4,
+              temporal_patch_size=2, spatial_merge_size=2, in_channels=3,
+              window_size=16, fullatt_block_indexes=[1, 3])
+    cfg = Qwen2_5_VLConfig(
+        vocab_size=120, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=vc,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+        pad_token_id=0,
+    )
+    torch.manual_seed(7)
+    hf = Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "q25vl.mmproj.gguf")
+    convert_hf_qwen25vl_vision(hf, path)
+
+    # 8x8 patch grid -> 4x4 merge cells -> 2x2 windows of 2x2 cells:
+    # exercises the window reorder, per-window masks AND full-attn layers
+    grid = np.array([[1, 8, 8]])
+    S = 64
+    rng = np.random.default_rng(5)
+    patches = rng.standard_normal((S, 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.model.visual(torch.tensor(patches),
+                              grid_thw=torch.tensor(grid)).numpy()
+    params, vcfg = load_qwen2vl_mmproj(path)
+    assert vcfg.window_size == 16 and vcfg.fullatt_idx == (1, 3)
+    ours = np.asarray(vit_forward(params, vcfg, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_pixtral_mistral3_vision(tmp_path):
+    """Pixtral tower + Mistral-3.1 patch merger + GELU projector vs HF
+    get_image_features: per-axis 2D rope (even/odd frequency slots),
+    RMSNorm pre-LN ViT, block-diagonal multi-image attention, k x k unfold
+    merger (reference tools/mtmd/models/pixtral.cpp)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers import Mistral3Config, Mistral3ForConditionalGeneration
+    from transformers.models.pixtral import PixtralVisionConfig
+    from llama_cpp_tpu.multimodal.pixtral import (
+        convert_hf_pixtral_vision, extract_patches, load_pixtral_mmproj,
+        vit_forward)
+
+    vc = PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, head_dim=8, patch_size=4, image_size=64,
+        hidden_act="silu")
+    cfg = Mistral3Config(
+        vision_config=vc,
+        text_config=dict(vocab_size=120, hidden_size=48,
+                         intermediate_size=96, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2),
+        spatial_merge_size=2, vision_feature_layer=-1,
+        image_token_index=10, multimodal_projector_bias=False,
+    )
+    torch.manual_seed(3)
+    hf = Mistral3ForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "pixtral.mmproj.gguf")
+    convert_hf_pixtral_vision(hf, path)
+
+    rng = np.random.default_rng(4)
+    pixels = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    sizes = torch.tensor([[16, 16], [16, 16]])
+    with torch.no_grad():
+        ref = hf.get_image_features(torch.tensor(pixels), sizes)
+        if isinstance(ref, (tuple, list)):  # per-image feature chunks
+            ref = torch.cat(list(ref), dim=0)
+        ref = ref.numpy()
+
+    params, pcfg = load_pixtral_mmproj(path)
+    assert pcfg.n_merge == 2 and pcfg.act == "silu"
+    patches = np.concatenate([extract_patches(p, 4) for p in pixels])
+    ours = np.asarray(vit_forward(params, pcfg, jnp.asarray(patches),
+                                  [(4, 4), (4, 4)]))
+    np.testing.assert_allclose(ours, ref.reshape(-1, ref.shape[-1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_llama4_vision_tower(tmp_path):
+    """Llama-4 vision tower vs HF Llama4VisionModel: unfold-conv patches,
+    CLS appended last, learned pos embd, pre/post LN, interleaved-complex
+    2D rope at (coord+1), pixel shuffle + double-GELU adapter (reference
+    tools/mtmd/models/llama4.cpp)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers import Llama4VisionModel
+    from transformers.models.llama4 import Llama4VisionConfig
+    from llama_cpp_tpu.multimodal.llama4 import (
+        convert_hf_llama4_vision, load_llama4_mmproj, vit_forward)
+    from llama_cpp_tpu.multimodal.pixtral import extract_patches
+
+    vc = Llama4VisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=4, image_size=16,
+        pixel_shuffle_ratio=0.5, projector_input_dim=48,
+        projector_output_dim=48, vision_output_dim=48)
+    torch.manual_seed(9)
+    hf = Llama4VisionModel(vc).eval()
+    path = str(tmp_path / "l4.mmproj.gguf")
+    convert_hf_llama4_vision(hf, path)
+
+    rng = np.random.default_rng(6)
+    pixels = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(pixels)).last_hidden_state[0].numpy()
+
+    params, lcfg = load_llama4_mmproj(path)
+    assert lcfg.pixel_shuffle_ratio == 0.5
+    patches = extract_patches(pixels[0], 4)
+    ours = np.asarray(vit_forward(params, lcfg, jnp.asarray(patches)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
 def test_qwen2vl_full_pipeline(tmp_path):
     """Full qwen2-vl image pipeline: vision tower embeddings spliced into the
     text stream with M-RoPE t/h/w positions must match the HF forward with
