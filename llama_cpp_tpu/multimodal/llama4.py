@@ -30,6 +30,9 @@ class Llama4VisionConfig:
     pixel_shuffle_ratio: float = 0.5
     out_hidden: int = 4096
     eps: float = 1e-5
+    image_size: int = 336
+    image_mean: tuple = (0.5, 0.5, 0.5)
+    image_std: tuple = (0.5, 0.5, 0.5)
 
 
 def _ln(x, w, b, eps):
@@ -134,6 +137,9 @@ def convert_hf_llama4_vision(model, out_path: str) -> str:
     w.add("clip.vision.attention.head_count",
           np.uint32(vc.num_attention_heads))
     w.add("clip.vision.patch_size", np.uint32(vc.patch_size))
+    w.add("clip.vision.image_size", np.uint32(vc.image_size))
+    w.add("clip.vision.image_mean", [0.5, 0.5, 0.5])
+    w.add("clip.vision.image_std", [0.5, 0.5, 0.5])
     w.add("clip.vision.rope.freq_base", float(vc.rope_theta))
     # n_merge = 1/ratio (reference hparams.n_merge drives the shuffle)
     w.add("clip.vision.spatial_merge_size",
@@ -199,6 +205,9 @@ def load_llama4_mmproj(path: str):
         pixel_shuffle_ratio=1.0 / int(
             md.get("clip.vision.spatial_merge_size", 2)),
         out_hidden=int(md["clip.vision.projection_dim"]),
+        image_size=int(md.get("clip.vision.image_size", 336)),
+        image_mean=tuple(md.get("clip.vision.image_mean", (0.5, 0.5, 0.5))),
+        image_std=tuple(md.get("clip.vision.image_std", (0.5, 0.5, 0.5))),
     )
     params = {
         "patch_embd": T("v.patch_embd.weight"),

@@ -16,6 +16,18 @@ from .clip import VisionConfig, clip_forward, preprocess_image
 from .mmproj import load_mmproj
 
 
+def _image_hw(image) -> tuple:
+    """(height, width) of a PIL image or HWC array."""
+    try:  # PIL: .size is (w, h)
+        from PIL import Image
+
+        if isinstance(image, Image.Image):
+            return image.size[1], image.size[0]
+    except ImportError:  # pragma: no cover
+        pass
+    return np.asarray(image).shape[:2]
+
+
 @dataclass
 class Chunk:
     kind: str  # "text" | "image" | "audio"
@@ -25,14 +37,28 @@ class Chunk:
 
 class MtmdModel:
     def __init__(self, mmproj_path: str):
-        self.cfg, self.params = load_mmproj(mmproj_path)
+        from ..gguf.reader import read_gguf
+
+        md = read_gguf(mmproj_path).metadata
+        self.proj = str(md.get("clip.projector_type", "mlp"))
+        if self.proj == "pixtral":
+            from .pixtral import load_pixtral_mmproj
+
+            self.params, self.cfg = load_pixtral_mmproj(mmproj_path)
+        elif self.proj == "llama4":
+            from .llama4 import load_llama4_mmproj
+
+            self.params, self.cfg = load_llama4_mmproj(mmproj_path)
+        elif self.proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+            from .qwen2vl import load_qwen2vl_mmproj
+
+            self.params, self.cfg = load_qwen2vl_mmproj(mmproj_path)
+        else:
+            self.cfg, self.params = load_mmproj(mmproj_path)
         # audio tower shares the mmproj file (reference: one clip_ctx per
         # modality, clip.has_audio_encoder)
         self.audio_cfg = None
         self.audio_params = None
-        from ..gguf.reader import read_gguf
-
-        md = read_gguf(mmproj_path).metadata
         if md.get("clip.has_audio_encoder"):
             from .audio import load_audio_mmproj
 
@@ -59,8 +85,89 @@ class MtmdModel:
 
     def encode(self, image) -> np.ndarray:
         """image: PIL / array -> [n_tokens, n_embd_llm] f32."""
+        if self.proj == "pixtral":
+            return self._encode_pixtral(image)
+        if self.proj == "llama4":
+            return self._encode_llama4(image)
+        if self.proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+            return self._encode_qwen2vl(image)
         px = preprocess_image(image, self.cfg)
         return self.encode_pixels(px[None])[0]
+
+    def _resize_chw(self, image, side_h: int, side_w: int) -> np.ndarray:
+        """PIL / array -> normalized [3, H, W] f32."""
+        from PIL import Image
+
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image))
+        image = image.convert("RGB").resize((side_w, side_h), Image.BICUBIC)
+        a = np.asarray(image, np.float32) / 255.0
+        mean = np.asarray(self.cfg.image_mean, np.float32)
+        std = np.asarray(self.cfg.image_std, np.float32)
+        return np.ascontiguousarray(((a - mean) / std).transpose(2, 0, 1))
+
+    def _encode_pixtral(self, image) -> np.ndarray:
+        """Longest side capped at image_size, snapped to patch*merge
+        multiples (mtmd pixtral preprocessing), [IMG_BREAK] rows appended
+        when the token embedding is present."""
+        import jax.numpy as jnp
+
+        from .pixtral import arrange_with_img_break, extract_patches
+        from .pixtral import vit_forward as pixtral_forward
+
+        cfg = self.cfg
+        ps = cfg.patch_size
+        unit = ps * max(cfg.n_merge, 1)
+        h0, w0 = _image_hw(image)
+        scale = min(1.0, cfg.image_size / max(h0, w0))
+        gh = max(1, round(h0 * scale / unit)) * (unit // ps)
+        gw = max(1, round(w0 * scale / unit)) * (unit // ps)
+        px = self._resize_chw(image, gh * ps, gw * ps)
+        patches = extract_patches(px, ps)
+        out = pixtral_forward(self.params, cfg, jnp.asarray(patches),
+                              [(gh, gw)])
+        if "img_break" in self.params:
+            k = max(cfg.n_merge, 1)
+            out = arrange_with_img_break(out, gw // k, gh // k,
+                                         self.params["img_break"])
+        return np.asarray(out, np.float32)
+
+    def _encode_llama4(self, image) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from .llama4 import vit_forward as llama4_forward
+        from .pixtral import extract_patches
+
+        cfg = self.cfg
+        px = self._resize_chw(image, cfg.image_size, cfg.image_size)
+        patches = extract_patches(px, cfg.patch_size)
+        out = llama4_forward(self.params, cfg, jnp.asarray(patches))
+        return np.asarray(out, np.float32)
+
+    def _encode_qwen2vl(self, image) -> np.ndarray:
+        """Snap to patch*merge multiples (capped near 1024px), temporal-dup
+        patches, merge-window row ordering (HF Qwen2VLImageProcessor)."""
+        import jax.numpy as jnp
+
+        from .qwen2vl import vit_forward as qwen_forward
+
+        cfg = self.cfg
+        ps, mg = cfg.patch_size, cfg.spatial_merge_size
+        unit = ps * mg
+        h0, w0 = _image_hw(image)
+        scale = min(1.0, 1024 / max(h0, w0))
+        gh = max(mg, round(h0 * scale / unit) * mg)
+        gw = max(mg, round(w0 * scale / unit) * mg)
+        px = self._resize_chw(image, gh * ps, gw * ps)  # [3, H, W]
+        # [grid_h, grid_w, C, tp, ps, ps] rows in merge-window order
+        C = px.shape[0]
+        g = px.reshape(C, gh, ps, gw, ps).transpose(1, 3, 0, 2, 4)
+        g = np.repeat(g[:, :, :, None], cfg.temporal_patch_size, axis=3)
+        g = g.reshape(gh // mg, mg, gw // mg, mg, -1).transpose(0, 2, 1, 3, 4)
+        patches = g.reshape(gh * gw, -1)
+        out = qwen_forward(self.params, cfg, jnp.asarray(patches),
+                           [(1, gh, gw)])
+        return np.asarray(out, np.float32)
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
         """pixels [B, S, S, 3] normalized -> [B, n_tokens, n_embd_llm]."""
@@ -93,6 +200,14 @@ def prefill_chunks(ctx, mtmd: MtmdModel | None, chunks: list[Chunk],
     Text chunks embed via the LLM's token table; image chunks are encoded
     embeddings. Everything concatenates into one embedding prefill."""
     model = ctx.model
+    if (ctx.cfg.extra.get("mrope_sections")
+            and any(c.kind == "image" for c in chunks)):
+        # qwen2vl-family image tokens need per-stream M-RoPE positions
+        # (and slot/position decoupling in the cache); that path runs
+        # through the dedicated pipeline (multimodal/qwen2vl.py +
+        # qwen2vl_mrope_positions), not the linear-position splice
+        raise NotImplementedError(
+            "M-RoPE image splicing: use the qwen2vl pipeline")
     embeds = []
     for ch in chunks:
         if ch.kind == "text":

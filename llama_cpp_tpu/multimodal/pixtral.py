@@ -31,6 +31,9 @@ class PixtralVisionConfig:
     out_hidden: int = 4096
     n_merge: int = 0  # mistral-3.1 patch merger kernel (0 = absent)
     eps: float = 1e-5
+    image_size: int = 1024
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
 
 def _rms(x, w, eps):
@@ -168,6 +171,10 @@ def convert_hf_pixtral_vision(model, out_path: str) -> str:
     w.add("clip.vision.rope.freq_base", float(vc.rope_theta))
     w.add("clip.vision.feed_forward_length", np.uint32(vc.intermediate_size))
     w.add("clip.use_silu", vc.hidden_act == "silu")
+    w.add("clip.vision.image_size", np.uint32(vc.image_size))
+    # pixtral/mistral processor normalization constants
+    w.add("clip.vision.image_mean", [0.48145466, 0.4578275, 0.40821073])
+    w.add("clip.vision.image_std", [0.26862954, 0.26130258, 0.27577711])
     w.add("clip.vision.projection_dim",
           np.uint32(model.config.text_config.hidden_size))
     merge = int(getattr(model.config, "spatial_merge_size", 0) or 0)
@@ -234,6 +241,11 @@ def load_pixtral_mmproj(path: str):
         rope_theta=float(md.get("clip.vision.rope.freq_base", 10000.0)),
         out_hidden=int(md["clip.vision.projection_dim"]),
         n_merge=int(md.get("clip.vision.spatial_merge_size", 0)),
+        image_size=int(md.get("clip.vision.image_size", 1024)),
+        image_mean=tuple(md.get("clip.vision.image_mean",
+                                (0.48145466, 0.4578275, 0.40821073))),
+        image_std=tuple(md.get("clip.vision.image_std",
+                               (0.26862954, 0.26130258, 0.27577711))),
     )
     params = {
         "patch_embd": T("v.patch_embd.weight"),

@@ -260,6 +260,55 @@ def test_pixtral_mistral3_vision(tmp_path):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_mtmd_pixtral_cli_splice(tmp_path):
+    """MtmdModel dispatches on clip.projector_type: a pixtral mmproj loads
+    through the pixtral tower and splices into a text model via
+    prefill_chunks (linear positions are correct for this family)."""
+    import numpy as np
+    import torch
+    from transformers import Mistral3Config, Mistral3ForConditionalGeneration
+    from transformers.models.pixtral import PixtralVisionConfig
+    from llama_cpp_tpu.multimodal.mtmd import (MtmdModel, prefill_chunks,
+                                               tokenize_chunks)
+    from llama_cpp_tpu.multimodal.pixtral import convert_hf_pixtral_vision
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.runtime.context import Context
+    from llama_cpp_tpu.testing import make_tiny_llama_gguf
+
+    vc = PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, head_dim=8, patch_size=4, image_size=32,
+        hidden_act="silu")
+    cfg = Mistral3Config(
+        vision_config=vc,
+        text_config=dict(vocab_size=120, hidden_size=64,
+                         intermediate_size=96, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2),
+        spatial_merge_size=2, vision_feature_layer=-1,
+        image_token_index=10, multimodal_projector_bias=False,
+    )
+    torch.manual_seed(3)
+    hf = Mistral3ForConditionalGeneration(cfg).eval()
+    mp = str(tmp_path / "pix.mmproj.gguf")
+    convert_hf_pixtral_vision(hf, mp)
+
+    lm = str(tmp_path / "lm.gguf")
+    make_tiny_llama_gguf(lm, vocab_size=128, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128, ftype="f32")
+    model = load_model(lm, prefer_quant=False)
+    ctx = Context(model, n_ctx=128, n_seqs=1)
+
+    mtmd = MtmdModel(mp)
+    assert mtmd.proj == "pixtral"
+    img = (np.random.default_rng(0).integers(
+        0, 255, (24, 24, 3)).astype(np.uint8))
+    emb = mtmd.encode(img)
+    assert emb.shape[-1] == 64 and np.isfinite(emb).all()
+    chunks = tokenize_chunks(model.tokenizer, "hi <__media__> there", [emb])
+    logits = prefill_chunks(ctx, mtmd, chunks)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_llama4_vision_tower(tmp_path):
     """Llama-4 vision tower vs HF Llama4VisionModel: unfold-conv patches,
     CLS appended last, learned pos embd, pre/post LN, interleaved-complex
