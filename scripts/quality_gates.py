@@ -90,11 +90,15 @@ def save_llama_f32_gguf(model, path: str, src_md: dict):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=900)
     ap.add_argument("--n-ctx", type=int, default=128)
-    ap.add_argument("--tiers", default="q8_0,q4_k_m,q2_k")
+    ap.add_argument(
+        "--tiers",
+        default="q8_0,q4_k_m,iq4_xs,q3_k_m,iq3_s,q2_k,iq2_xs")
     ap.add_argument("--out", default="docs/quality_gates.md")
     ap.add_argument("--tmp", default="/tmp/quality_gates")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip train/quantize when tier files already exist")
     args = ap.parse_args()
 
     import jax
@@ -121,34 +125,41 @@ def main():
 
     os.makedirs(args.tmp, exist_ok=True)
     base = os.path.join(args.tmp, "base_f32.gguf")
-    make_tiny_llama_gguf(base, vocab_size=512, n_layers=4, n_embd=256,
-                         n_heads=8, n_kv_heads=4, n_ff=512, ftype="f32",
-                         n_ctx=1024, seed=11)
-    model = load_model(base, prefer_quant=False, dense_dtype=jnp.float32,
-                       fuse=False)  # keep separate q/k/v for the GGUF saver
-    tok = model.tokenizer
+    trained = os.path.join(args.tmp, "trained_f32.gguf")
+    reuse = args.reuse and os.path.exists(trained)
+    if not reuse:
+        # dims must stay 256-divisible or the role heuristics keep tensors
+        # f32; depth matters more than width: low-bit error has to COMPOUND
+        # through layers for the 2-bit tiers to show a real ΔPPL signal
+        make_tiny_llama_gguf(base, vocab_size=512, n_layers=10, n_embd=256,
+                             n_heads=8, n_kv_heads=4, n_ff=1024, ftype="f32",
+                             n_ctx=1024, seed=11)
+        model = load_model(base, prefer_quant=False, dense_dtype=jnp.float32,
+                           fuse=False)  # separate q/k/v for the GGUF saver
+        tok = model.tokenizer
+    else:
+        tok = load_model(trained, prefer_quant=False).tokenizer
 
-    corpus = gen_corpus(240_000, seed=0)
+    corpus = gen_corpus(420_000, seed=0)
     ids = tok.encode(corpus, add_special=False, parse_special=False)
     split = int(len(ids) * 0.9)
-    train_ids, test_ids = ids[:split], ids[split : split + 6000]
+    train_ids, test_ids = ids[:split], ids[split : split + 12000]
     print(f"# corpus: {len(ids)} tokens ({len(set(ids))} distinct)",
           file=sys.stderr)
 
-    n = args.n_ctx
-    chunks = []
-    for off in range(0, len(train_ids) - n - 1, n):
-        c = train_ids[off : off + n + 1]
-        chunks.append((c[:-1], c[1:]))
-    rng = np.random.default_rng(1)
-    order = rng.permutation(len(chunks))
-    dataset = [chunks[i] for i in order[: args.steps]]
-    losses = train_epoch(model, dataset, lr=3e-3, n_ctx=n)
-    print(f"# train loss {losses[0]:.3f} -> {np.mean(losses[-20:]):.3f}",
-          file=sys.stderr)
-
-    trained = os.path.join(args.tmp, "trained_f32.gguf")
-    save_llama_f32_gguf(model, trained, read_gguf(base).metadata)
+    if not reuse:
+        n = args.n_ctx
+        chunks = []
+        for off in range(0, len(train_ids) - n - 1, n):
+            c = train_ids[off : off + n + 1]
+            chunks.append((c[:-1], c[1:]))
+        rng = np.random.default_rng(1)
+        order = rng.permutation(len(chunks))
+        dataset = [chunks[i] for i in order[: args.steps]]
+        losses = train_epoch(model, dataset, lr=3e-3, n_ctx=n)
+        print(f"# train loss {losses[0]:.3f} -> {np.mean(losses[-20:]):.3f}",
+              file=sys.stderr)
+        save_llama_f32_gguf(model, trained, read_gguf(base).metadata)
 
     tiers = ["f32"] + [t.strip() for t in args.tiers.split(",")]
     results = {}
@@ -158,25 +169,27 @@ def main():
             path = trained
         else:
             path = os.path.join(args.tmp, f"trained_{tier}.gguf")
-            quantize_main([trained, path, tier])
+            if not (reuse and os.path.exists(path)):
+                quantize_main([trained, path, tier])
         m = load_model(path, dense_dtype=jnp.float32,
                        prefer_quant=False if tier == "f32" else True)
         m.cfg.compute_dtype = jnp.float32  # isolate WEIGHT quant error
         ctx = Context(m, n_ctx=256, n_seqs=1)
         ppl = perplexity(ctx, tokens=test_ids, n_ctx=256)
-        row = {"ppl": float(ppl.ppl), "bytes": os.path.getsize(path)}
+        row = {"ppl": float(ppl.ppl), "ppl_err": float(ppl.ppl_err),
+               "bytes": os.path.getsize(path)}
         if tier == "f32":
             from llama_cpp_tpu.tools.perplexity import eval_chunk_logits
 
             f32_logits = [
                 eval_chunk_logits(ctx, test_ids[o : o + 256])
-                for o in range(0, 2048, 256)
+                for o in range(0, 8192, 256)
             ]
         else:
             from llama_cpp_tpu.tools.perplexity import eval_chunk_logits
 
             kls = []
-            for j, o in enumerate(range(0, 2048, 256)):
+            for j, o in enumerate(range(0, 8192, 256)):
                 q = eval_chunk_logits(ctx, test_ids[o : o + 256])
                 pe_ = f32_logits[j]
                 # mean token KL(p_f32 || p_tier)
@@ -196,33 +209,56 @@ def main():
         results[t]["delta_ppl"] = results[t]["ppl"] - base_ppl
 
     # ---- gates: reference tier ordering (BASELINE.md ladder) ----
+    # The reference's own ladder is monotone WITHIN a quant family, not
+    # across families at equal size: BASELINE.md has IQ2_M (+2.3692, 2.7
+    # bpw) BETTER than the larger Q2_K (+2.4207) and IQ4_XS (+0.2281)
+    # worse than the larger Q4_K_S (+0.1781).  So the shape we assert is
+    # per-family: K-quants ordered by bits, IQ tiers ordered by bits, with
+    # KL(f32‖tier) as the strict instrument; ΔPPL comparisons carry the
+    # measurement's own +/- standard error (the reference reports PPL the
+    # same way, tools/perplexity/README.md) plus one coarse separation
+    # gate at the 2-bit end.
     ordered = [t for t in tiers if t != "f32"]
-    deltas = [results[t]["delta_ppl"] for t in ordered]
-    kls = [results[t]["kl_mean"] for t in ordered]
+    families = {
+        "k": [t for t in ordered if not t.startswith("iq")],
+        "iq": [t for t in ordered if t.startswith("iq")],
+    }
+
+    def monotone(ts, key, eps=None):
+        vals = [results[t][key] for t in ts]
+        for i in range(len(vals) - 1):
+            band = eps if eps is not None else 2.0 * (
+                results[ts[i]]["ppl_err"] + results[ts[i + 1]]["ppl_err"])
+            if vals[i] > vals[i + 1] + band:
+                return False
+        return True
+
     gates = {
         "q8_near_lossless": abs(results.get("q8_0", {}).get("delta_ppl", 0))
         < 0.05 * base_ppl,
-        # dPPL on a small model is noisy at high-bit tiers; allow 0.5% of
-        # base PPL slack while requiring monotonicity in trend (KL is the
-        # strict gate)
-        "delta_ppl_ordering": all(
-            deltas[i] <= deltas[i + 1] + 0.005 * base_ppl
-            for i in range(len(deltas) - 1)),
-        "kl_ordering": all(kls[i] <= kls[i + 1] + 1e-4
-                           for i in range(len(kls) - 1)),
+        "kl_ordering_k": monotone(families["k"], "kl_mean", 1e-4),
+        "kl_ordering_iq": monotone(families["iq"], "kl_mean", 1e-4)
+        if families["iq"] else True,
+        "delta_ppl_ordering_k": monotone(families["k"], "delta_ppl"),
+        "delta_ppl_ordering_iq": monotone(families["iq"], "delta_ppl")
+        if families["iq"] else True,
     }
+    if "q2_k" in results and "q4_k_m" in results:
+        gates["low_bit_separation"] = (
+            results["q2_k"]["delta_ppl"]
+            > results["q4_k_m"]["delta_ppl"] + 0.01 * base_ppl)
     ok = all(gates.values())
 
     lines = ["# Quantization quality gates", "",
              "Same trained weights, requantized per tier through the "
              "quantize tool; PPL on held-out synthetic corpus; KL vs f32 "
              "logits (methodology: reference tools/perplexity/README.md).", "",
-             "| tier | file bytes | PPL | ΔPPL | KL(f32‖tier) |",
+             "| tier | file bytes | PPL (± se) | ΔPPL | KL(f32‖tier) |",
              "|---|---|---|---|---|"]
     for t in tiers:
         r = results[t]
-        lines.append(f"| {t} | {r['bytes']} | {r['ppl']:.4f} | "
-                     f"{r['delta_ppl']:+.4f} | "
+        lines.append(f"| {t} | {r['bytes']} | {r['ppl']:.4f} ± "
+                     f"{r['ppl_err']:.4f} | {r['delta_ppl']:+.4f} | "
                      f"{r.get('kl_mean', 0.0):.5f} |")
     lines += ["", f"Gates: {json.dumps(gates)} -> "
               f"{'PASS' if ok else 'FAIL'}", ""]
