@@ -33,6 +33,7 @@ class Chunk:
     kind: str  # "text" | "image" | "audio"
     tokens: list | None = None
     embeds: np.ndarray | None = None  # [n, n_embd_llm]
+    grid: tuple | None = None  # (t, h, w) raw patch grid (mrope families)
 
 
 class MtmdModel:
@@ -167,7 +168,9 @@ class MtmdModel:
         patches = g.reshape(gh * gw, -1)
         out = qwen_forward(self.params, cfg, jnp.asarray(patches),
                            [(1, gh, gw)])
-        return np.asarray(out, np.float32)
+        # (embeds, raw patch grid): the grid rides along so prefill_chunks
+        # can compute the M-RoPE position streams
+        return np.asarray(out, np.float32), (1, gh, gw)
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
         """pixels [B, S, S, 3] normalized -> [B, n_tokens, n_embd_llm]."""
@@ -189,7 +192,11 @@ def tokenize_chunks(tokenizer, text: str, images: list,
             ids = tokenizer.encode(part, add_special=i == 0, parse_special=True)
             chunks.append(Chunk("text", tokens=ids))
         if i < len(images):
-            chunks.append(Chunk("image", embeds=images[i]))
+            im = images[i]
+            if isinstance(im, tuple):  # (embeds, raw patch grid)
+                chunks.append(Chunk("image", embeds=im[0], grid=im[1]))
+            else:
+                chunks.append(Chunk("image", embeds=im))
     return chunks
 
 
@@ -200,14 +207,26 @@ def prefill_chunks(ctx, mtmd: MtmdModel | None, chunks: list[Chunk],
     Text chunks embed via the LLM's token table; image chunks are encoded
     embeddings. Everything concatenates into one embedding prefill."""
     model = ctx.model
+    mrope = None
     if (ctx.cfg.extra.get("mrope_sections")
             and any(c.kind == "image" for c in chunks)):
-        # qwen2vl-family image tokens need per-stream M-RoPE positions
-        # (and slot/position decoupling in the cache); that path runs
-        # through the dedicated pipeline (multimodal/qwen2vl.py +
-        # qwen2vl_mrope_positions), not the linear-position splice
-        raise NotImplementedError(
-            "M-RoPE image splicing: use the qwen2vl pipeline")
+        # qwen2vl-family: image rows carry per-stream t/h/w rope positions
+        # (HF get_rope_index); cache slots + causal masking stay row-major,
+        # only the rotation reads the streams. After the prefill the
+        # context records the rope-vs-row delta for text continuation.
+        merge = getattr(mtmd.cfg, "spatial_merge_size", 2) if mtmd else 2
+        segs = []
+        for ch in chunks:
+            if ch.kind == "text":
+                segs.append(("text", len(ch.tokens)))
+            else:
+                if ch.grid is None:
+                    raise ValueError(
+                        "mrope image chunk missing its patch grid")
+                segs.append(("image", ch.grid))
+        mrope = qwen2vl_mrope_positions(segs, merge=merge)
+        # continue from the sequence's current rope position
+        mrope = mrope + int(ctx.seq_len[seq] + ctx.mrope_delta[seq])
     embeds = []
     for ch in chunks:
         if ch.kind == "text":
@@ -220,7 +239,7 @@ def prefill_chunks(ctx, mtmd: MtmdModel | None, chunks: list[Chunk],
                 raise ValueError("image chunk missing embeddings")
         embeds.append(np.asarray(e, np.float32))
     full = np.concatenate(embeds, axis=0)  # [N, E]
-    return ctx.prefill_embeds(full, seq=seq)
+    return ctx.prefill_embeds(full, seq=seq, mrope=mrope)
 
 
 def qwen2vl_mrope_positions(segments, merge: int = 2):

@@ -42,6 +42,9 @@ class Qwen2VLVisionConfig:
     gated_mlp: bool = False
     window_size: int = 0
     fullatt_idx: tuple = ()
+    # Qwen2VLImageProcessor normalization (OpenAI CLIP constants)
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
 
 
 def rot_pos_ids(grid_thw, merge: int) -> np.ndarray:

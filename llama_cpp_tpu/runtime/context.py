@@ -172,6 +172,11 @@ class Context:
                              capacity_factor=ep_capacity)
         self.trash_slot = self.n_slots - 1
         self.seq_len = np.zeros(n_seqs, dtype=np.int64)  # host-side lengths
+        # M-RoPE rope-position offset per sequence: after a multimodal
+        # prefill the next rope position is max(t,h,w-extent)-compressed,
+        # so rope pos = row index + delta (HF get_rope_index semantics;
+        # cache slots/causal masking keep using the row index)
+        self.mrope_delta = np.zeros(n_seqs, dtype=np.int64)
         self.perf = PerfCounters()
         self.prefill_buckets = [b for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048) if b <= max(n_ubatch, 8)]
         if not self.prefill_buckets:
@@ -332,6 +337,14 @@ class Context:
                                     positions=positions)
                 return fwd(params, cfg, tokens, inputs, kv, output_rows,
                            cross=cross, cross_pos=cross_pos)
+        elif shape and shape[0] == "mrope":
+            @partial(jax.jit, donate_argnums=(2,))
+            def step(params, tokens, kv, seq_idx, slots, positions,
+                     output_rows, mrope):
+                inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
+                                    positions=positions,
+                                    mrope_positions=mrope)
+                return fwd(params, cfg, tokens, inputs, kv, output_rows)
         else:
             @partial(jax.jit, donate_argnums=(2,))
             def step(params, tokens, kv, seq_idx, slots, positions, output_rows):
@@ -479,6 +492,19 @@ class Context:
                 jnp.asarray(out_rows),
             )
             return np.asarray(logits[:m]), feats[:B, :T]
+        if (self.cfg.extra.get("mrope_sections")
+                and np.any(self.mrope_delta[sidx[:B]] != 0)):
+            # text continuation after a multimodal prefill: rope position =
+            # row + per-seq delta on all three streams (equal for text)
+            mr = pos + self.mrope_delta[sidx][:, None]
+            mr = np.where(pos >= 0, mr, 0)
+            mrope = np.broadcast_to(mr, (3, Bb, Tb)).astype(np.int32)
+            step = self._step_fn(("mrope", Bb, Tb))
+            logits, self.kv = step(
+                self.model.params, jnp.asarray(toks), self.kv,
+                jnp.asarray(sidx), jnp.asarray(slots), jnp.asarray(pos),
+                jnp.asarray(out_rows), jnp.asarray(mrope))
+            return np.asarray(logits[:m])
         step = self._step_fn(shape_key)
         logits, self.kv = step(
             self.model.params,
@@ -493,9 +519,12 @@ class Context:
         return np.asarray(logits[:m])
 
     # ------------------------------------------------------------------
-    def prefill_embeds(self, embeds: np.ndarray, seq: int = 0) -> np.ndarray:
+    def prefill_embeds(self, embeds: np.ndarray, seq: int = 0,
+                       mrope: np.ndarray | None = None) -> np.ndarray:
         """Feed pre-computed input embeddings [N, n_embd] (multimodal
-        chunks); returns last-position logits [vocab]."""
+        chunks); returns last-position logits [vocab]. `mrope` [3, N] gives
+        per-stream rope positions (qwen2vl-family image splicing); cache
+        slots and causal masking keep using row order."""
         cfg = self.cfg
         pos0 = int(self.seq_len[seq])
         N, E = embeds.shape
@@ -504,18 +533,32 @@ class Context:
             chunk = embeds[off : off + self.n_ubatch]
             T = len(chunk)
             Tb = T if self.recurrent else _bucket(T, self.prefill_buckets)
-            key = ("embstep", 1, Tb)
+            key = ("embstep", 1, Tb, mrope is not None)
             fn = self._steps.get(key)
             if fn is None:
                 fwd = self._fwd
 
-                @partial(jax.jit, donate_argnums=(2,))
-                def fn(params, emb, kv, seq_idx, slots, positions, output_rows):
-                    inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
-                                        positions=positions)
-                    return fwd(params, cfg,
-                               jnp.zeros(emb.shape[:2], jnp.int32), inputs,
-                               kv, output_rows, inputs_embeds=emb)
+                if mrope is not None:
+                    @partial(jax.jit, donate_argnums=(2,))
+                    def fn(params, emb, kv, seq_idx, slots, positions,
+                           output_rows, mr):
+                        inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
+                                            positions=positions,
+                                            mrope_positions=mr)
+                        return fwd(params, cfg,
+                                   jnp.zeros(emb.shape[:2], jnp.int32),
+                                   inputs, kv, output_rows,
+                                   inputs_embeds=emb)
+                else:
+                    @partial(jax.jit, donate_argnums=(2,))
+                    def fn(params, emb, kv, seq_idx, slots, positions,
+                           output_rows):
+                        inputs = AttnInputs(seq_idx=seq_idx, slots=slots,
+                                            positions=positions)
+                        return fwd(params, cfg,
+                                   jnp.zeros(emb.shape[:2], jnp.int32),
+                                   inputs, kv, output_rows,
+                                   inputs_embeds=emb)
 
                 self._steps[key] = fn
             emb = np.zeros((1, Tb, E), np.float32)
@@ -525,12 +568,21 @@ class Context:
             slots = np.where(pos >= 0, np.minimum(pos, self.n_ctx - 1),
                              self.trash_slot).astype(np.int32)
             self._ensure_pages([seq], pos)
+            args = ()
+            if mrope is not None:
+                mr = np.zeros((3, 1, Tb), np.int32)
+                mr[:, 0, :T] = mrope[:, off : off + T]
+                args = (jnp.asarray(mr),)
             logits, self.kv = fn(
                 self.model.params, jnp.asarray(emb), self.kv,
                 jnp.zeros(1, jnp.int32) + seq, jnp.asarray(slots),
-                jnp.asarray(pos), jnp.asarray([T - 1]),
+                jnp.asarray(pos), jnp.asarray([T - 1]), *args,
             )
         self.seq_len[seq] = pos0 + N
+        if mrope is not None:
+            # next rope position continues at max(streams)+1 (HF
+            # get_rope_index): record the offset vs the row counter
+            self.mrope_delta[seq] = int(mrope.max()) + 1 - (pos0 + N)
         self.perf.n_prefill += N
         return np.asarray(logits)[0]
 
@@ -798,6 +850,7 @@ class Context:
         if p0 == 0:
             self._cross.pop(seq, None)
             self.seq_len[seq] = 0
+            self.mrope_delta[seq] = 0
         else:
             self.seq_len[seq] = min(self.seq_len[seq], p0)
         if self.alloc is not None and p1 >= int(1e9):
@@ -828,6 +881,7 @@ class Context:
         else:
             self.kv = self.kv.seq_cp(dst, src)
         self.seq_len[dst] = self.seq_len[src]
+        self.mrope_delta[dst] = self.mrope_delta[src]
 
     def reset(self):
         if self.alloc is not None:
@@ -837,6 +891,7 @@ class Context:
                                        self.alloc.max_pages, self.page)
         self.kv = self._make_memory()
         self.seq_len[:] = 0
+        self.mrope_delta[:] = 0
 
     # ------------------------------------------------------------------
     # On-device decode loop: K tokens per dispatch via lax.scan with

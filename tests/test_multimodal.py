@@ -418,6 +418,82 @@ def test_qwen2vl_full_pipeline(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
 
 
+def test_qwen2vl_mtmd_serving(tmp_path):
+    """qwen2vl image serving through the PRODUCT path (MtmdModel +
+    prefill_chunks + decode_one): M-RoPE streams drive the rotation while
+    cache slots/causal mask stay row-major, and the per-seq rope delta
+    carries text continuation past the image (HF get_rope_index)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers.models.qwen2_vl import (
+        Qwen2VLConfig, Qwen2VLForConditionalGeneration)
+    from llama_cpp_tpu.convert.hf_to_gguf import convert_hf_model
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.multimodal.mtmd import (MtmdModel, prefill_chunks,
+                                               tokenize_chunks)
+    from llama_cpp_tpu.multimodal.qwen2vl import (
+        convert_hf_qwen2vl_vision, vit_forward)
+    from llama_cpp_tpu.runtime.context import Context
+
+    vc = dict(depth=2, embed_dim=32, hidden_size=48, mlp_ratio=2,
+              num_heads=4, patch_size=4, temporal_patch_size=2,
+              spatial_merge_size=2, in_channels=3)
+    cfg = Qwen2VLConfig(
+        vocab_size=150, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=vc,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+        image_token_id=140, vision_start_token_id=141,
+        vision_end_token_id=142, pad_token_id=0,
+    )
+    torch.manual_seed(101)
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    tpath = str(tmp_path / "q2vl.gguf")
+    vpath = str(tmp_path / "q2vl.mmproj.gguf")
+    convert_hf_model(hf, tpath, ftype="f32")
+    convert_hf_qwen2vl_vision(hf, vpath)
+
+    grid = np.array([[1, 4, 4]])
+    rng = np.random.default_rng(1)
+    patches = rng.standard_normal((16, 3 * 2 * 4 * 4)).astype(np.float32)
+    pre = [3, 17, 141]
+    img = [140] * 4
+    post = [142, 9, 11]
+    ids = pre + img + post
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]),
+                 pixel_values=torch.tensor(patches),
+                 image_grid_thw=torch.tensor(grid)).logits[0].numpy()
+
+    m = load_model(tpath, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(m, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    mtmd = MtmdModel(vpath)
+    emb = np.asarray(vit_forward(mtmd.params, mtmd.cfg,
+                                 jnp.asarray(patches), grid), np.float32)
+
+    # build chunks manually (the tokenizer here is a test vocab, so text
+    # chunks carry the exact reference ids)
+    from llama_cpp_tpu.multimodal.mtmd import Chunk
+
+    chunks = [Chunk("text", tokens=pre),
+              Chunk("image", embeds=emb, grid=(1, 4, 4)),
+              Chunk("text", tokens=post)]
+    logits = prefill_chunks(ctx, mtmd, chunks)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1],
+                               rtol=2e-3, atol=2e-3)
+    assert int(ctx.mrope_delta[0]) == -2  # 4 image rows -> extent 2
+
+    # text continuation past the image must use rope pos = row + delta
+    nxt = 7
+    with torch.no_grad():
+        ref2 = hf(input_ids=torch.tensor([ids + [nxt]]),
+                  pixel_values=torch.tensor(patches),
+                  image_grid_thw=torch.tensor(grid)).logits[0, -1].numpy()
+    got2 = ctx.decode_one(nxt)
+    np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-3, atol=2e-3)
+
+
 def test_gemma3_projector_matches_hf():
     """apply_projector("gemma3") vs the HF Gemma3MultiModalProjector on the
     same tower features (avg-pool + soft-emb rmsnorm + input projection;
