@@ -318,19 +318,32 @@ def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _grid_moments(a: np.ndarray, w: np.ndarray, grid: np.ndarray):
+    """den[g,c] = sum_n w*grid^2, num[g,c] = sum_n w*a*grid — the only
+    O(G*C*n) work of the codeword search; eff-dependent picks reuse them
+    (err(eff) = eff^2*den - 2*eff*num up to a codeword-free constant)."""
+    den = np.einsum("gn,cn->gc", w, grid * grid, dtype=np.float32)
+    num = np.einsum("gn,cn->gc", w * a, grid, dtype=np.float32)
+    return num, den
+
+
 def _best_grid_rows(a: np.ndarray, w: np.ndarray, grid: np.ndarray,
-                    eff: np.ndarray | None = None) -> np.ndarray:
+                    eff: np.ndarray | None = None, moments=None) -> np.ndarray:
     """Best codebook row per group. a/w: [G, n] magnitudes / importance;
     grid: [C, n] unsigned codewords. eff=None -> scale-free (argmax of
     weighted corr^2); else minimize true weighted L2 at that scale."""
-    den = np.einsum("gn,cn->gc", w, grid * grid)
-    num = np.einsum("gn,cn->gc", w * a, grid)
+    num, den = moments if moments is not None else _grid_moments(a, w, grid)
     if eff is None:
         score = np.where(den > 0,
                          num * np.maximum(num, 0.0) / np.where(den == 0, 1, den),
                          -1.0)
         return np.argmin(-score, axis=1)
-    err = den * (eff * eff)[:, None] - 2.0 * eff[:, None] * num
+    # err = eff^2*den - 2*eff*num = eff*(eff*den - 2*num); the group
+    # scales are strictly positive here, so the eff factor drops out of
+    # the argmin (saves two [G, C] temporaries)
+    eff = np.asarray(eff, np.float32)
+    err = den * eff[:, None]
+    err -= 2.0 * num
     return np.argmin(err, axis=1)
 
 
@@ -351,6 +364,20 @@ def _iq_weights(x2d: np.ndarray, qw) -> np.ndarray:
     return w + 1e-12
 
 
+def _chunk_superblocks(fn, x, qw, limit=2048):
+    """Run an IQ encoder in superblock chunks: bounds the [G, C] moment
+    buffers (the per-256-block math is independent)."""
+    x = x.reshape(-1, QK_K)
+    if len(x) <= limit:
+        return None
+    outs = []
+    for off in range(0, len(x), limit):
+        q = None if qw is None else \
+            np.asarray(qw).reshape(-1, QK_K)[off : off + limit]
+        outs.append(fn(x[off : off + limit], q))
+    return np.concatenate(outs)
+
+
 def quant_iq2_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     """IQ2_XS (layout: dequant.dequant_iq2_xs): 32 uint16 per 256-block,
     each = 9-bit grid row | 7-bit ksigns index over a group of 8; one
@@ -359,6 +386,9 @@ def quant_iq2_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     other half flips the least-important element."""
     from .dequant import IQ2XS_GRID, KSIGNS_IQ2XS
 
+    out = _chunk_superblocks(quant_iq2_xs, x, qw)
+    if out is not None:
+        return out
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = len(x)
     w = _iq_weights(x, qw)
@@ -373,24 +403,26 @@ def quant_iq2_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     sbyte = np.where(ok, sbyte, sbyte ^ (1 << flip))
     sign_idx = (sbyte & 0x7F).astype(np.uint16)
 
-    rows = _best_grid_rows(a, wg, grid)
+    moments = _grid_moments(a, wg, grid)
+    rows = _best_grid_rows(a, wg, grid, moments=moments)
     g = grid[rows]
     ap, wp, gp = (v.reshape(-1, 16) for v in (a, wg, g))
     e = np.maximum(_ls_scale(ap, wp, gp), 0.0).reshape(nb, 16)
     d0 = e.max(-1) / (0.25 * 15.5)
 
     def _fit(d):
-        dn = np.where(d > 0, d, 1.0)
+        dn = np.where(d > 0, d, 1.0).astype(np.float32)
         ei = e
         for _ in range(3):  # alternate rows <-> per-pair level refit
-            ls = np.clip(_nearest_int(ei / (0.25 * dn[:, None]) - 0.5), 0, 15)
+            ls = np.clip(_nearest_int(ei / (0.25 * dn[:, None]) - 0.5),
+                         0, 15).astype(np.float32)
             eff = (dn[:, None] * 0.25 * (0.5 + ls)).repeat(2, axis=1).reshape(-1)
-            rows = _best_grid_rows(a, wg, grid, eff=eff)
+            rows = _best_grid_rows(a, wg, grid, eff=eff, moments=moments)
             g = grid[rows]
             ei = np.maximum(_ls_scale(*(v.reshape(-1, 16) for v in (a, wg, g))),
                             0.0).reshape(nb, 16)
         err = (wg * (eff[:, None] * g - a) ** 2).sum(-1).reshape(nb, -1).sum(-1)
-        return ls, rows, err
+        return ls.astype(np.int64), rows, err
 
     # super-scale search (make_qx_quants role): the max-pair anchor is
     # rarely the best trade against the 4-bit level grid
@@ -421,6 +453,9 @@ def quant_iq3_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     sign bits, one 4-bit level per ib32; v = d*(1+2*ls)*grid*sign."""
     from .dequant import IQ3S_GRID
 
+    out = _chunk_superblocks(quant_iq3_s, x, qw)
+    if out is not None:
+        return out
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = len(x)
     w = _iq_weights(x, qw)
@@ -428,24 +463,26 @@ def quant_iq3_s(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     a = np.abs(xg)
     grid = IQ3S_GRID.astype(np.float32)  # [512, 4]
 
-    rows = _best_grid_rows(a, wg, grid)
+    moments = _grid_moments(a, wg, grid)
+    rows = _best_grid_rows(a, wg, grid, moments=moments)
     g = grid[rows]
     a32, w32, g32 = (v.reshape(-1, 32) for v in (a, wg, g))
     e = np.maximum(_ls_scale(a32, w32, g32), 0.0).reshape(nb, 8)
     d0 = e.max(-1) / 31.0
 
     def _fit(d):
-        dn = np.where(d > 0, d, 1.0)
+        dn = np.where(d > 0, d, 1.0).astype(np.float32)
         ei = e
         for _ in range(3):  # alternate rows <-> per-ib32 level refit
-            ls = np.clip(_nearest_int((ei / dn[:, None] - 1.0) / 2.0), 0, 15)
+            ls = np.clip(_nearest_int((ei / dn[:, None] - 1.0) / 2.0),
+                         0, 15).astype(np.float32)
             eff = (dn[:, None] * (1.0 + 2.0 * ls)).repeat(8, axis=1).reshape(-1)
-            rows = _best_grid_rows(a, wg, grid, eff=eff)
+            rows = _best_grid_rows(a, wg, grid, eff=eff, moments=moments)
             g = grid[rows]
             ei = np.maximum(_ls_scale(*(v.reshape(-1, 32) for v in (a, wg, g))),
                             0.0).reshape(nb, 8)
         err = (wg * (eff[:, None] * g - a) ** 2).sum(-1).reshape(nb, -1).sum(-1)
-        return ls, rows, err
+        return ls.astype(np.int64), rows, err
 
     best = None
     for f in (0.7, 0.8, 0.9, 1.0, 1.1, 1.25, 1.45):
