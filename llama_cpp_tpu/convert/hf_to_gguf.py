@@ -104,6 +104,13 @@ def convert_hf_model(
 ) -> str:
     cfg = model.config
     mtype = cfg.model_type
+    n_deepstack = 0
+    if mtype == "qwen3_vl":
+        # text stack nested under text_config; deepstack width from the
+        # vision tower (registry reads qwen3vl.n_deepstack_layers)
+        n_deepstack = len(getattr(cfg.vision_config,
+                                  "deepstack_visual_indexes", ()) or ())
+        cfg = cfg.text_config
     arch = {
         "llama": "llama",
         "llama4_text": "llama4",
@@ -165,6 +172,8 @@ def convert_hf_model(
         "modernbert": "modern-bert",
         "qwen2_vl": "qwen2vl",
         "qwen2_5_vl": "qwen2vl",
+        "qwen3_vl": "qwen3vl",
+        "qwen3_vl_text": "qwen3vl",
         "gemma3n_text": "gemma3n",
     }.get(mtype)
     if arch is None:
@@ -362,11 +371,13 @@ def convert_hf_model(
         hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // cfg.num_attention_heads
         # overwrite rope dims for partial rotary
         w.add(P + "rope.dimension_count", np.uint32(int(hd * prf)))
-    if mtype in ("qwen2_vl", "qwen2_5_vl"):
+    if mtype in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl"):
         sec = list((getattr(cfg, "rope_scaling", None) or {}).get(
             "mrope_section", [16, 24, 24]))
         w.add(P + "rope.dimension_sections",
               [int(x) for x in (sec + [0] * (4 - len(sec)))[:4]])
+    if mtype == "qwen3_vl" and n_deepstack:
+        w.add(P + "n_deepstack_layers", np.uint32(n_deepstack))
     if mtype in ("starcoder2", "nemotron"):
         w.add(P + "attention.layer_norm_epsilon",
               float(getattr(cfg, "norm_eps", getattr(cfg, "layer_norm_epsilon", 1e-5))))
@@ -377,7 +388,7 @@ def convert_hf_model(
         w.add_all(vocab_override)
 
     sd = {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
-    if mtype in ("qwen2_vl", "qwen2_5_vl"):
+    if mtype in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl"):
         # text stack lives under model.language_model.*; vision is exported
         # separately via convert_mmproj
         sd = {k.replace("model.language_model.", "model."): v

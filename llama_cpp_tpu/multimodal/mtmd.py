@@ -54,6 +54,10 @@ class MtmdModel:
             from .qwen2vl import load_qwen2vl_mmproj
 
             self.params, self.cfg = load_qwen2vl_mmproj(mmproj_path)
+        elif self.proj == "qwen3vl_merger":
+            from .qwen2vl import load_qwen3vl_mmproj
+
+            self.params, self.cfg = load_qwen3vl_mmproj(mmproj_path)
         else:
             self.cfg, self.params = load_mmproj(mmproj_path)
         # audio tower shares the mmproj file (reference: one clip_ctx per
@@ -90,7 +94,8 @@ class MtmdModel:
             return self._encode_pixtral(image)
         if self.proj == "llama4":
             return self._encode_llama4(image)
-        if self.proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+        if self.proj in ("qwen2vl_merger", "qwen2.5vl_merger",
+                         "qwen3vl_merger"):
             return self._encode_qwen2vl(image)
         px = preprocess_image(image, self.cfg)
         return self.encode_pixels(px[None])[0]
@@ -166,8 +171,16 @@ class MtmdModel:
         g = np.repeat(g[:, :, :, None], cfg.temporal_patch_size, axis=3)
         g = g.reshape(gh // mg, mg, gw // mg, mg, -1).transpose(0, 2, 1, 3, 4)
         patches = g.reshape(gh * gw, -1)
-        out = qwen_forward(self.params, cfg, jnp.asarray(patches),
-                           [(1, gh, gw)])
+        if self.proj == "qwen3vl_merger":
+            from .qwen2vl import qwen3vl_forward
+
+            out, ds = qwen3vl_forward(self.params, cfg,
+                                      jnp.asarray(patches), [(1, gh, gw)])
+            if ds is not None:  # wide rows: [out | deepstack taps]
+                out = jnp.concatenate([out, ds], axis=-1)
+        else:
+            out = qwen_forward(self.params, cfg, jnp.asarray(patches),
+                               [(1, gh, gw)])
         # (embeds, raw patch grid): the grid rides along so prefill_chunks
         # can compute the M-RoPE position streams
         return np.asarray(out, np.float32), (1, gh, gw)
@@ -238,7 +251,14 @@ def prefill_chunks(ctx, mtmd: MtmdModel | None, chunks: list[Chunk],
             if e is None:
                 raise ValueError("image chunk missing embeddings")
         embeds.append(np.asarray(e, np.float32))
-    full = np.concatenate(embeds, axis=0)  # [N, E]
+    # qwen3vl deepstack: image rows are [E | taps]-wide; text rows widen
+    # with zero tap slices (the forward adds slice il to layer il's output)
+    width = max(e.shape[-1] for e in embeds)
+    for i, e in enumerate(embeds):
+        if e.shape[-1] < width:
+            pad = np.zeros((e.shape[0], width - e.shape[-1]), np.float32)
+            embeds[i] = np.concatenate([e, pad], axis=-1)
+    full = np.concatenate(embeds, axis=0)  # [N, E or (1+n_ds)*E]
     return ctx.prefill_embeds(full, seq=seq, mrope=mrope)
 
 

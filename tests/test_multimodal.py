@@ -494,6 +494,130 @@ def test_qwen2vl_mtmd_serving(tmp_path):
     np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-3, atol=2e-3)
 
 
+def test_qwen3vl_vision_tower(tmp_path):
+    """Qwen3-VL deepstack ViT vs HF Qwen3VLVisionModel: biased patch embed,
+    bilinearly interpolated learned positions (merge-window order), LN
+    blocks with gelu-tanh MLP, per-tap postshuffle-norm deepstack mergers,
+    pre-shuffle-norm final merger (reference tools/mtmd/models/
+    qwen3vl.cpp)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLVisionConfig as HFVC)
+    from transformers.models.qwen3_vl.modeling_qwen3_vl import (
+        Qwen3VLVisionModel)
+    from llama_cpp_tpu.multimodal.qwen2vl import (
+        convert_hf_qwen3vl_vision, load_qwen3vl_mmproj, qwen3vl_forward)
+
+    vc = HFVC(depth=4, hidden_size=32, intermediate_size=64, num_heads=4,
+              patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+              num_position_embeddings=16, out_hidden_size=48,
+              deepstack_visual_indexes=[1, 3])
+    torch.manual_seed(12)
+    hf = Qwen3VLVisionModel(vc).eval()
+
+    class _Shim:  # converter expects .config.vision_config + visual prefix
+        config = type("C", (), {"vision_config": vc})
+
+        def state_dict(self):
+            return {"visual." + k: v for k, v in hf.state_dict().items()}
+
+    path = str(tmp_path / "q3vl.mmproj.gguf")
+    convert_hf_qwen3vl_vision(_Shim(), path)
+
+    grid = np.array([[1, 8, 8]])
+    S = 64
+    rng = np.random.default_rng(8)
+    patches = rng.standard_normal((S, 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref, ref_ds = hf(torch.tensor(patches), grid_thw=torch.tensor(grid))
+    params, qcfg = load_qwen3vl_mmproj(path)
+    assert qcfg.deepstack_idx == (1, 3)
+    ours, ours_ds = qwen3vl_forward(params, qcfg, jnp.asarray(patches), grid)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    ref_cat = torch.cat(list(ref_ds), dim=-1).numpy()
+    np.testing.assert_allclose(np.asarray(ours_ds), ref_cat,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_qwen3vl_mtmd_serving(tmp_path):
+    """qwen3vl image serving through the product path: deepstack-wide
+    embeds (image rows carry [E | taps], text rows zero-padded), IMROPE
+    position streams, HF-forward parity incl. continuation."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers import Qwen3VLForConditionalGeneration
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLConfig)
+    from llama_cpp_tpu.convert.hf_to_gguf import convert_hf_model
+    from llama_cpp_tpu.models.loader import load_model
+    from llama_cpp_tpu.multimodal.mtmd import (Chunk, MtmdModel,
+                                               prefill_chunks)
+    from llama_cpp_tpu.multimodal.qwen2vl import (
+        convert_hf_qwen3vl_vision, load_qwen3vl_mmproj, qwen3vl_forward)
+    from llama_cpp_tpu.runtime.context import Context
+
+    vc = dict(depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+              patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+              num_position_embeddings=16, out_hidden_size=48,
+              deepstack_visual_indexes=[1])
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=150, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            rope_scaling={"rope_type": "default", "mrope_section": [4, 2, 2],
+                          "mrope_interleaved": True},
+        ),
+        vision_config=vc,
+        image_token_id=140, vision_start_token_id=141,
+        vision_end_token_id=142,
+    )
+    torch.manual_seed(23)
+    hf = Qwen3VLForConditionalGeneration(cfg).eval()
+    tpath = str(tmp_path / "q3vl.gguf")
+    vpath = str(tmp_path / "q3vl.mmproj.gguf")
+    convert_hf_model(hf, tpath, ftype="f32")
+    convert_hf_qwen3vl_vision(hf, vpath)
+
+    grid = np.array([[1, 4, 4]])
+    rng = np.random.default_rng(2)
+    patches = rng.standard_normal((16, 3 * 2 * 4 * 4)).astype(np.float32)
+    pre = [3, 17, 141]
+    img = [140] * 4
+    post = [142, 9, 11]
+    ids = pre + img + post
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]),
+                 pixel_values=torch.tensor(patches),
+                 image_grid_thw=torch.tensor(grid)).logits[0].numpy()
+
+    m = load_model(tpath, prefer_quant=False, dense_dtype=jnp.float32)
+    assert int(m.cfg.extra.get("n_deepstack", 0)) == 1
+    ctx = Context(m, n_ctx=64, n_seqs=1, kv_dtype=jnp.float32)
+    mtmd = MtmdModel(vpath)
+    out, ds = qwen3vl_forward(mtmd.params, mtmd.cfg, jnp.asarray(patches),
+                              grid)
+    emb = np.concatenate([np.asarray(out), np.asarray(ds)], -1)
+    chunks = [Chunk("text", tokens=pre),
+              Chunk("image", embeds=emb.astype(np.float32), grid=(1, 4, 4)),
+              Chunk("text", tokens=post)]
+    logits = prefill_chunks(ctx, mtmd, chunks)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1],
+                               rtol=2e-3, atol=2e-3)
+
+    nxt = 7
+    with torch.no_grad():
+        ref2 = hf(input_ids=torch.tensor([ids + [nxt]]),
+                  pixel_values=torch.tensor(patches),
+                  image_grid_thw=torch.tensor(grid)).logits[0, -1].numpy()
+    got2 = ctx.decode_one(nxt)
+    np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-3, atol=2e-3)
+
+
 def test_gemma3_projector_matches_hf():
     """apply_projector("gemma3") vs the HF Gemma3MultiModalProjector on the
     same tower features (avg-pool + soft-emb rmsnorm + input projection;
