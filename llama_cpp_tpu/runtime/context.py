@@ -666,6 +666,15 @@ class Context:
         host link."""
         t0 = time.perf_counter()
         B = len(seqs)
+        if (self.cfg.extra.get("mrope_sections")
+                and np.any(self.mrope_delta[np.asarray(seqs)] != 0)):
+            # post-image M-RoPE offsets: take the stream-threading path
+            pos = self.seq_len[seqs][:, None]
+            logits = self.decode(np.asarray(tokens)[:, None], seqs,
+                                 np.asarray(pos), np.arange(B))
+            self.seq_len[seqs] += 1
+            self.perf.n_decode += B
+            return np.argmax(logits, axis=-1).astype(np.int32)
         Bb = min(max(_bucket(B, [1, 2, 4, 8, 16, 32, 64, self.n_seqs]), B),
                  self.n_seqs)
         toks = np.zeros((Bb, 1), np.int32)
@@ -708,6 +717,16 @@ class Context:
         discard its tail (and seq_rm the overrun positions)."""
         t0 = time.perf_counter()
         B = len(seqs)
+        if (self.cfg.extra.get("mrope_sections")
+                and np.any(self.mrope_delta[np.asarray(seqs)] != 0)):
+            # post-image M-RoPE offsets: step through the stream-threading
+            # path (one dispatch per step)
+            cur = np.asarray(tokens, np.int32)
+            outs = []
+            for _ in range(n_steps):
+                cur = self.decode_step_greedy(cur, seqs)
+                outs.append(cur)
+            return np.stack(outs, axis=1)
         Bb = min(max(_bucket(B, [1, 2, 4, 8, 16, 32, 64, self.n_seqs]), B),
                  self.n_seqs)
         if self.alloc is not None:

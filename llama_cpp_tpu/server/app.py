@@ -137,6 +137,40 @@ class ServerApp:
         self.sched.submit(task)
         return done
 
+    def _extract_media(self, messages: list) -> tuple:
+        """OpenAI/Anthropic content arrays -> (messages with <__media__>
+        markers, decoded PIL images). Accepts image_url parts carrying
+        data: URLs or raw base64 (reference server multimodal chat)."""
+        import base64
+        import io
+
+        images = []
+        out = []
+        for m in messages:
+            c = m.get("content")
+            if not isinstance(c, list):
+                out.append(m)
+                continue
+            parts = []
+            for part in c:
+                t = part.get("type")
+                if t in ("text", "input_text"):
+                    parts.append(part.get("text", ""))
+                elif t in ("image_url", "input_image", "image"):
+                    url = part.get("image_url")
+                    if isinstance(url, dict):
+                        url = url.get("url", "")
+                    url = (url or part.get("url", "")
+                           or (part.get("source") or {}).get("data", ""))
+                    b64 = url.split("base64,", 1)[-1]
+                    from PIL import Image
+
+                    images.append(Image.open(io.BytesIO(
+                        base64.b64decode(b64))))
+                    parts.append("<__media__>")
+            out.append({**m, "content": "".join(parts)})
+        return out, images
+
     def _prompt_from_chat(self, body: dict) -> str:
         template = body.get("chat_template") or (
             self.tok.vocab.chat_template if self.tok else None
@@ -403,8 +437,30 @@ class ServerApp:
 
     async def chat_completions(self, req):
         body = await req.json()
-        prompt = self._prompt_from_chat(body)
-        task = self._make_task(body, prompt)
+        messages, images = self._extract_media(body.get("messages", []))
+        if images:
+            if self.sched.mtmd is None:
+                return web.json_response(
+                    {"error": "server started without --mmproj"}, status=400)
+            from ..multimodal.mtmd import tokenize_chunks
+
+            body = {**body, "messages": messages}
+            prompt = self._prompt_from_chat(body)
+            mtmd = self.sched.mtmd
+            # encode on the inference thread (owns the device), without
+            # blocking the event loop
+            loop = asyncio.get_running_loop()
+            encoded = await loop.run_in_executor(
+                None, lambda: self.sched.run_sync(
+                    lambda: [mtmd.encode(im) for im in images]))
+            chunks = tokenize_chunks(self.tok, prompt, encoded)
+            text_ids = [t for ch in chunks if ch.kind == "text"
+                        for t in ch.tokens]
+            task = self._make_task(body, text_ids)
+            task.chunks = chunks
+        else:
+            prompt = self._prompt_from_chat(body)
+            task = self._make_task(body, prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
         fmt = self._chat_parse_format(body)
         if body.get("stream"):
@@ -668,6 +724,12 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
     spec_mode = ctx_kw.pop("spec", "")
     n_draft = ctx_kw.pop("n_draft", 8)
     mcp_cmds = ctx_kw.pop("mcp", None)
+    mmproj = ctx_kw.pop("mmproj", None)
+    mtmd = None
+    if mmproj:
+        from ..multimodal.mtmd import MtmdModel
+
+        mtmd = MtmdModel(mmproj)
     mcp_mgr = None
     if mcp_cmds:
         from .mcp import McpManager
@@ -722,7 +784,7 @@ def run_server(model_path, host="0.0.0.0", port=8080, **ctx_kw):
     model = load_model(model_path)
     ctx = Context(model, n_seqs=n_seqs, **ctx_kw)
     sched = Scheduler(ctx, spec_factory=make_spec_factory(ctx),
-                      n_draft=n_draft)
+                      n_draft=n_draft, mtmd=mtmd)
     sched.start()
     app = ServerApp(sched, model_name=model.cfg.name or "model")
     app.mcp = mcp_mgr
@@ -745,6 +807,8 @@ def main(argv=None):
                     "pool size; default: parallel * ctx-size)")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8-quantized KV cache (type_k/type_v q8_0 analog)")
+    ap.add_argument("--mmproj", default=None,
+                    help="vision/audio mmproj GGUF (multimodal chat)")
     ap.add_argument("-md", "--model-draft", default=None,
                     help="draft model for speculative decoding")
     ap.add_argument("--spec", default="", choices=["", "ngram"],
@@ -797,7 +861,7 @@ def main(argv=None):
                quantized_kv=args.kv_quant,
                draft_model=args.model_draft, spec=args.spec,
                n_draft=args.draft_max, mcp=args.mcp,
-               mesh=mesh, ep=args.ep)
+               mesh=mesh, ep=args.ep, mmproj=args.mmproj)
 
 
 if __name__ == "__main__":

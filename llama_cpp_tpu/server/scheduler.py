@@ -52,6 +52,10 @@ class GenTask:
     n_probs: int = 0
     cache_prompt: bool = True  # reuse common KV prefix (reference default)
     cancelled: bool = False
+    # multimodal: mtmd chunks (text tokens + encoded image embeds); when
+    # set the prompt prefills through prefill_chunks (embedding splice +
+    # M-RoPE streams) and prompt caching is disabled for the slot
+    chunks: list | None = None
 
 
 @dataclass
@@ -90,8 +94,9 @@ class Scheduler:
     def __init__(self, ctx: Context, n_slots: int | None = None,
                  enable_ctx_shift: bool = True,
                  spec_factory: Callable[[int], Any] | None = None,
-                 n_draft: int = 8):
+                 n_draft: int = 8, mtmd=None):
         self.ctx = ctx
+        self.mtmd = mtmd  # MtmdModel for multimodal tasks (server --mmproj)
         self.enable_ctx_shift = enable_ctx_shift
         self.n_slots = n_slots or ctx.n_seqs
         assert self.n_slots <= ctx.n_seqs
@@ -175,6 +180,9 @@ class Scheduler:
         # KV already holds; re-decode only the divergent tail (at least the
         # final token, whose logits we need)
         n_keep = 0
+        if task.chunks is not None:
+            # multimodal: image embeds are not cacheable tokens
+            task.cache_prompt = False
         if task.cache_prompt:
             limit = min(len(slot.cache_tokens), len(task.prompt_ids) - 1)
             while n_keep < limit and slot.cache_tokens[n_keep] == task.prompt_ids[n_keep]:
@@ -304,6 +312,26 @@ class Scheduler:
             if task.cancelled:
                 self._finish(slot, "cancelled")
                 continue
+            if task.chunks is not None:
+                # multimodal prompt: one embedding-splice prefill (text +
+                # image chunks, M-RoPE streams handled by prefill_chunks)
+                from ..multimodal.mtmd import prefill_chunks
+
+                try:
+                    logits = prefill_chunks(self.ctx, self.mtmd, task.chunks,
+                                            seq=slot.idx)
+                except KVCacheFull:
+                    self.ctx.seq_rm(slot.idx)
+                    slot.cache_tokens = []
+                    self._finish(slot, "error_kv_cache_full")
+                    continue
+                slot.prompt_pos = len(task.prompt_ids)
+                self.metrics["tokens_prompt_total"] += int(
+                    self.ctx.seq_len[slot.idx])
+                slot.state = SlotState.GENERATING
+                self._emit_token(slot, logits)
+                did_prompt = True
+                break
             remaining = task.prompt_ids[slot.prompt_pos :]
             chunk = remaining[: self.ctx.n_ubatch]
             is_last = len(chunk) == len(remaining)

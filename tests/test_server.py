@@ -493,3 +493,76 @@ def test_stream_matches_nonstream_content(served):
             await client.close()
 
     _run(go())
+
+
+def test_chat_vision_mmproj(tmp_path):
+    """Multimodal chat through the HTTP server (reference
+    tools/server/tests/unit/test_vision_api.py): a pixtral mmproj +
+    base64 image_url content prefills via embedding splice and generates."""
+    import base64
+    import io
+
+    import torch
+    from transformers import Mistral3Config, Mistral3ForConditionalGeneration
+    from transformers.models.pixtral import PixtralVisionConfig
+
+    from llama_cpp_tpu.multimodal.mtmd import MtmdModel
+    from llama_cpp_tpu.multimodal.pixtral import convert_hf_pixtral_vision
+
+    vc = PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, head_dim=8, patch_size=4, image_size=32,
+        hidden_act="silu")
+    cfg = Mistral3Config(
+        vision_config=vc,
+        text_config=dict(vocab_size=120, hidden_size=64,
+                         intermediate_size=96, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2),
+        spatial_merge_size=2, vision_feature_layer=-1,
+        image_token_index=10, multimodal_projector_bias=False,
+    )
+    torch.manual_seed(3)
+    hf = Mistral3ForConditionalGeneration(cfg).eval()
+    mp = str(tmp_path / "pix.mmproj.gguf")
+    convert_hf_pixtral_vision(hf, mp)
+
+    lm = str(tmp_path / "lm.gguf")
+    make_tiny_llama_gguf(lm, vocab_size=128, n_layers=2, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128)
+    model = load_model(lm, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(model, n_ctx=128, n_seqs=2, n_ubatch=32)
+    sched = Scheduler(ctx, mtmd=MtmdModel(mp))
+    sched.start()
+    try:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (24, 24), (120, 30, 200)).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+
+        async def go():
+            client = TestClient(TestServer(
+                ServerApp(sched, model_name="tiny").app))
+            await client.start_server()
+            try:
+                req = {
+                    "messages": [{"role": "user", "content": [
+                        {"type": "text", "text": "describe "},
+                        {"type": "image_url", "image_url": {
+                            "url": f"data:image/png;base64,{b64}"}},
+                    ]}],
+                    "max_tokens": 6,
+                    "temperature": 0.0,
+                }
+                r = await client.post("/v1/chat/completions", json=req)
+                assert r.status == 200, await r.text()
+                out = await r.json()
+                assert out["usage"]["completion_tokens"] >= 1
+                # prompt accounting includes the spliced image rows
+                assert out["usage"]["prompt_tokens"] >= 4
+            finally:
+                await client.close()
+
+        _run(go())
+    finally:
+        sched.stop()
