@@ -165,11 +165,46 @@ class ServerApp:
                     b64 = url.split("base64,", 1)[-1]
                     from PIL import Image
 
-                    images.append(Image.open(io.BytesIO(
-                        base64.b64decode(b64))))
+                    images.append(("image", Image.open(io.BytesIO(
+                        base64.b64decode(b64)))))
+                    parts.append("<__media__>")
+                elif t == "input_audio":
+                    import wave
+
+                    import numpy as np
+
+                    raw = base64.b64decode(
+                        (part.get("input_audio") or {}).get("data", ""))
+                    with wave.open(io.BytesIO(raw)) as wf:
+                        pcm = np.frombuffer(
+                            wf.readframes(wf.getnframes()), np.int16)
+                        if wf.getnchannels() > 1:
+                            pcm = pcm.reshape(
+                                -1, wf.getnchannels()).mean(-1)
+                    images.append(("audio",
+                                   pcm.astype(np.float32) / 32768.0))
                     parts.append("<__media__>")
             out.append({**m, "content": "".join(parts)})
         return out, images
+
+    async def _encode_chunks(self, prompt: str, images: list) -> tuple:
+        """Encode images on the inference thread and split the templated
+        prompt into mtmd chunks; returns (chunks, text token ids)."""
+        from ..multimodal.mtmd import tokenize_chunks
+
+        mtmd = self.sched.mtmd
+
+        def encode_all():
+            return [mtmd.encode(v) if kind == "image"
+                    else mtmd.encode_audio(v) for kind, v in images]
+
+        loop = asyncio.get_running_loop()
+        encoded = await loop.run_in_executor(
+            None, lambda: self.sched.run_sync(encode_all))
+        chunks = tokenize_chunks(self.tok, prompt, encoded)
+        text_ids = [t for ch in chunks if ch.kind == "text"
+                    for t in ch.tokens]
+        return chunks, text_ids
 
     def _prompt_from_chat(self, body: dict) -> str:
         template = body.get("chat_template") or (
@@ -442,20 +477,9 @@ class ServerApp:
             if self.sched.mtmd is None:
                 return web.json_response(
                     {"error": "server started without --mmproj"}, status=400)
-            from ..multimodal.mtmd import tokenize_chunks
-
             body = {**body, "messages": messages}
             prompt = self._prompt_from_chat(body)
-            mtmd = self.sched.mtmd
-            # encode on the inference thread (owns the device), without
-            # blocking the event loop
-            loop = asyncio.get_running_loop()
-            encoded = await loop.run_in_executor(
-                None, lambda: self.sched.run_sync(
-                    lambda: [mtmd.encode(im) for im in images]))
-            chunks = tokenize_chunks(self.tok, prompt, encoded)
-            text_ids = [t for ch in chunks if ch.kind == "text"
-                        for t in ch.tokens]
+            chunks, text_ids = await self._encode_chunks(prompt, images)
             task = self._make_task(body, text_ids)
             task.chunks = chunks
         else:
@@ -661,18 +685,26 @@ class ServerApp:
         messages = list(body.get("messages", []))
         if body.get("system"):
             messages.insert(0, {"role": "system", "content": body["system"]})
+        # anthropic image blocks ({"type": "image", "source": {...}})
+        messages, images = self._extract_media(messages)
         template = self.tok.vocab.chat_template if self.tok else None
         prompt = apply_chat_template(messages, template, "", "", True)
-        task = self._make_task(
-            {
-                "temperature": body.get("temperature", 1.0),
-                "top_p": body.get("top_p", 0.95),
-                "top_k": body.get("top_k", 40),
-                "max_tokens": body.get("max_tokens", 256),
-                "stop": body.get("stop_sequences", []),
-            },
-            prompt,
-        )
+        params = {
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 0.95),
+            "top_k": body.get("top_k", 40),
+            "max_tokens": body.get("max_tokens", 256),
+            "stop": body.get("stop_sequences", []),
+        }
+        if images:
+            if self.sched.mtmd is None:
+                return web.json_response(
+                    {"error": "server started without --mmproj"}, status=400)
+            chunks, text_ids = await self._encode_chunks(prompt, images)
+            task = self._make_task(params, text_ids)
+            task.chunks = chunks
+        else:
+            task = self._make_task(params, prompt)
         rid = f"msg_{uuid.uuid4().hex[:24]}"
         done = await self._run_task(task)
         result = await done

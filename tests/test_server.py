@@ -566,3 +566,82 @@ def test_chat_vision_mmproj(tmp_path):
         _run(go())
     finally:
         sched.stop()
+
+
+def test_chat_audio_mmproj(tmp_path):
+    """input_audio chat content through the HTTP server: WAV base64 ->
+    log-mel -> whisper tower -> ultravox projector -> embedding-splice
+    prefill (reference server mtmd audio path)."""
+    import base64
+    import io
+    import sys
+    import wave
+
+    import torch
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_audio import _hf_whisper_encoder
+
+    from llama_cpp_tpu.multimodal.audio import convert_hf_whisper_to_mmproj
+    from llama_cpp_tpu.multimodal.mtmd import MtmdModel
+
+    enc = _hf_whisper_encoder(n_mel=80, d=64, layers=1, heads=4, ff=128)
+
+    class Proj(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_pre = torch.nn.LayerNorm(64 * 8, elementwise_affine=True)
+            self.linear_1 = torch.nn.Linear(64 * 8, 2 * 64, bias=False)
+            self.ln_mid = torch.nn.LayerNorm(64, elementwise_affine=True)
+            self.linear_2 = torch.nn.Linear(64, 64, bias=False)
+
+    torch.manual_seed(3)
+    mm_path = str(tmp_path / "mmproj-audio.gguf")
+    convert_hf_whisper_to_mmproj(enc, Proj(), mm_path, "ultravox",
+                                 n_embd_out=64, stack_factor=8)
+
+    lm = str(tmp_path / "lm.gguf")
+    make_tiny_llama_gguf(lm, vocab_size=128, n_layers=1, n_embd=64,
+                         n_heads=4, n_kv_heads=2, n_ff=128)
+    model = load_model(lm, prefer_quant=False, dense_dtype=jnp.float32)
+    ctx = Context(model, n_ctx=512, n_seqs=2, n_ubatch=64)
+    sched = Scheduler(ctx, mtmd=MtmdModel(mm_path))
+    sched.start()
+    try:
+        rng = np.random.default_rng(5)
+        pcm = (rng.standard_normal(8000) * 2000).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(pcm.tobytes())
+        b64 = base64.b64encode(buf.getvalue()).decode()
+
+        async def go():
+            client = TestClient(TestServer(
+                ServerApp(sched, model_name="tiny").app))
+            await client.start_server()
+            try:
+                req = {
+                    "messages": [{"role": "user", "content": [
+                        {"type": "text", "text": "transcribe "},
+                        {"type": "input_audio", "input_audio": {
+                            "data": b64, "format": "wav"}},
+                    ]}],
+                    "max_tokens": 4,
+                    "temperature": 0.0,
+                }
+                r = await client.post("/v1/chat/completions", json=req)
+                assert r.status == 200, await r.text()
+                out = await r.json()
+                # prompt accounting includes the spliced audio rows
+                # (far more rows than the handful of text tokens)
+                assert out["usage"]["prompt_tokens"] >= 30
+                assert out["usage"]["completion_tokens"] >= 1
+            finally:
+                await client.close()
+
+        _run(go())
+    finally:
+        sched.stop()
