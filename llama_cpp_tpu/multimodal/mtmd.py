@@ -58,6 +58,10 @@ class MtmdModel:
             from .qwen2vl import load_qwen3vl_mmproj
 
             self.params, self.cfg = load_qwen3vl_mmproj(mmproj_path)
+        elif self.proj == "glm4v":
+            from .glm4v import load_glm4v_mmproj
+
+            self.params, self.cfg = load_glm4v_mmproj(mmproj_path)
         else:
             self.cfg, self.params = load_mmproj(mmproj_path)
         # audio tower shares the mmproj file (reference: one clip_ctx per
@@ -95,7 +99,7 @@ class MtmdModel:
         if self.proj == "llama4":
             return self._encode_llama4(image)
         if self.proj in ("qwen2vl_merger", "qwen2.5vl_merger",
-                         "qwen3vl_merger"):
+                         "qwen3vl_merger", "glm4v"):
             return self._encode_qwen2vl(image)
         px = preprocess_image(image, self.cfg)
         return self.encode_pixels(px[None])[0]
@@ -171,7 +175,12 @@ class MtmdModel:
         g = np.repeat(g[:, :, :, None], cfg.temporal_patch_size, axis=3)
         g = g.reshape(gh // mg, mg, gw // mg, mg, -1).transpose(0, 2, 1, 3, 4)
         patches = g.reshape(gh * gw, -1)
-        if self.proj == "qwen3vl_merger":
+        if self.proj == "glm4v":
+            from .glm4v import vit_forward as glm4v_forward
+
+            out = glm4v_forward(self.params, cfg, jnp.asarray(patches),
+                                [(1, gh, gw)])
+        elif self.proj == "qwen3vl_merger":
             from .qwen2vl import qwen3vl_forward
 
             out, ds = qwen3vl_forward(self.params, cfg,

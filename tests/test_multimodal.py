@@ -618,6 +618,46 @@ def test_qwen3vl_mtmd_serving(tmp_path):
     np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-3, atol=2e-3)
 
 
+def test_glm4v_vision_tower(tmp_path):
+    """GLM-4V ViT vs HF Glm4vVisionModel: post-conv RMSNorm, BICUBIC
+    grid-sampled learned positions, RMS blocks with SiLU-gated MLP,
+    spatial-merge downsample conv, GLM projector (fc -> LN -> GELU ->
+    gated FFN) — reference tools/mtmd/models/glm4v.cpp."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers.models.glm4v.configuration_glm4v import (
+        Glm4vVisionConfig as HFVC)
+    from transformers.models.glm4v.modeling_glm4v import Glm4vVisionModel
+    from llama_cpp_tpu.multimodal.glm4v import (convert_hf_glm4v_vision,
+                                                load_glm4v_mmproj,
+                                                vit_forward)
+
+    vc = HFVC(depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+              patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+              image_size=16, out_hidden_size=48, attention_bias=True)
+    torch.manual_seed(15)
+    hf = Glm4vVisionModel(vc).eval()
+
+    class _Shim:
+        config = type("C", (), {"vision_config": vc})
+
+        def state_dict(self):
+            return {"visual." + k: v for k, v in hf.state_dict().items()}
+
+    path = str(tmp_path / "glm4v.mmproj.gguf")
+    convert_hf_glm4v_vision(_Shim(), path)
+
+    grid = np.array([[1, 8, 8]])
+    rng = np.random.default_rng(3)
+    patches = rng.standard_normal((64, 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(patches), grid_thw=torch.tensor(grid)).numpy()
+    params, gcfg = load_glm4v_mmproj(path)
+    ours = np.asarray(vit_forward(params, gcfg, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_gemma3_projector_matches_hf():
     """apply_projector("gemma3") vs the HF Gemma3MultiModalProjector on the
     same tower features (avg-pool + soft-emb rmsnorm + input projection;
