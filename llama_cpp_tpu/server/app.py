@@ -870,7 +870,9 @@ def main(argv=None):
     from ..utils.logging import add_log_args, apply_log_args
 
     add_log_args(ap)
-    args = ap.parse_args(argv)
+    from ..tools.args import apply_env_and_preset
+
+    args = apply_env_and_preset(ap, argv)
     apply_log_args(args)
 
     mesh = None

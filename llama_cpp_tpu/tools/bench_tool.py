@@ -85,7 +85,9 @@ def main(argv=None):
     ap.add_argument("-b", "--batch-sizes", default="1,2,4,8")
     ap.add_argument("-o", "--output", choices=("md", "json"), default="md")
     ap.add_argument("--no-quant", action="store_true")
-    args = ap.parse_args(argv)
+    from .args import apply_env_and_preset
+
+    args = apply_env_and_preset(ap, argv)
 
     from ..models.loader import load_model
     from ..runtime.context import Context

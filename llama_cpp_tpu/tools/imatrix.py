@@ -111,7 +111,9 @@ def main(argv=None):
     ap.add_argument("-f", "--file", required=True, help="calibration text")
     ap.add_argument("-o", "--output", default="imatrix.npz")
     ap.add_argument("-c", "--n-ctx", type=int, default=512)
-    args = ap.parse_args(argv)
+    from .args import apply_env_and_preset
+
+    args = apply_env_and_preset(ap, argv)
 
     model = load_model(args.model, fuse=False)  # per-tensor taps need unfused projections
     text = open(args.file, encoding="utf-8").read()

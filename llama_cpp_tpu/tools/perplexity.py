@@ -197,7 +197,9 @@ def main(argv=None):
     ap.add_argument("--winogrande", action="store_true",
                     help="JSONL: {sentence, option1, option2, answer}")
     ap.add_argument("--tasks", type=int, default=0, help="limit task count")
-    args = ap.parse_args(argv)
+    from .args import apply_env_and_preset
+
+    args = apply_env_and_preset(ap, argv)
 
     model = load_model(args.model, prefer_quant=not args.no_quant)
     ctx = Context(model, n_ctx=args.n_ctx, n_seqs=1)

@@ -104,7 +104,9 @@ def main(argv=None):
                     help="first audio-code token id in the backbone vocab")
     ap.add_argument("--temp", type=float, default=0.7)
     ap.add_argument("--sample-rate", type=int, default=24000)
-    args = ap.parse_args(argv)
+    from .args import apply_env_and_preset
+
+    args = apply_env_and_preset(ap, argv)
 
     model = load_model(args.model)
     ctx = Context(model, n_ctx=4096, n_seqs=1)
