@@ -181,6 +181,29 @@ def apply_projector(cfg: "VisionConfig", params, x):
             x = jnp.dot(x, params["mm_1"].T) + params.get("mm_1_bias", 0.0)
             x = jax.nn.gelu(x, approximate=False)
             x = jnp.dot(x, params["mm_3"].T) + params.get("mm_3_bias", 0.0)
+    elif cfg.projector == "lfm2":
+        # LFM2-VL (reference models/siglip.cpp:47-68): idefics3-style pixel
+        # unshuffle, optional LayerNorm, then GELU MLP (mm_1 -> mm_2)
+        B, N, E = x.shape
+        side = int(N ** 0.5)
+        s = int(cfg.extra.get("proj_scale_factor", 2) or 2)
+        g = x.reshape(B, side, side, E)
+        g = g.reshape(B, side, side // s, s * E)
+        g = g.transpose(0, 2, 1, 3).reshape(B, side // s, side // s,
+                                            s * s * E)
+        g = g.transpose(0, 2, 1, 3)
+        x = g.reshape(B, (side // s) ** 2, s * s * E)
+        if "mm_input_norm" in params:
+            x = _ln(x, params["mm_input_norm"],
+                    params.get("mm_input_norm_bias"), 1e-5)
+        x = jnp.dot(x, params["mm_1"].T) + params.get("mm_1_bias", 0.0)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.dot(x, params["mm_2"].T) + params.get("mm_2_bias", 0.0)
+    elif cfg.projector == "janus_pro":
+        # Janus-Pro aligner (models/siglip.cpp:69-76): plain GELU MLP
+        x = jnp.dot(x, params["mm_0"].T) + params.get("mm_0_bias", 0.0)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.dot(x, params["mm_1"].T) + params.get("mm_1_bias", 0.0)
     else:  # pragma: no cover
         raise NotImplementedError(f"projector {cfg.projector!r}")
     return x

@@ -47,6 +47,9 @@ _GLOBAL_MAP = {
     "mm.input_projection.weight": "mm_input_proj",
     "mm.soft_emb_norm.weight": "mm_soft_emb_norm",
     "mm.model.fc.weight": "mm_fc",
+    # lfm2 optional input norm (clip-impl.h:139-140)
+    "mm.input_norm.weight": "mm_input_norm",
+    "mm.input_norm.bias": "mm_input_norm_bias",
 }
 
 
@@ -136,7 +139,8 @@ def load_mmproj(path: str):
     sf = md.get(P + "projector.scale_factor")  # clip-impl.h:60
     if sf is not None:
         cfg.extra["proj_scale_factor"] = int(sf)
-    if cfg.projector in ("gemma3", "idefics3", "internvl"):
+    if cfg.projector in ("gemma3", "idefics3", "internvl", "lfm2",
+                         "janus_pro"):
         # siglip towers: no CLS token (gemma3/idefics3); internvl keeps a
         # CLS it drops before the shuffle (internvl.cpp:6-23)
         cfg.use_cls = cfg.projector == "internvl"

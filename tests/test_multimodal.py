@@ -618,6 +618,69 @@ def test_qwen3vl_mtmd_serving(tmp_path):
     np.testing.assert_allclose(np.asarray(got2), ref2, rtol=2e-3, atol=2e-3)
 
 
+def test_lfm2_and_janus_projectors():
+    """LFM2-VL projector (pixel unshuffle + LN + GELU MLP) vs the HF
+    Lfm2VlMultiModalProjector on the same tower features; Janus-Pro plain
+    GELU aligner (reference models/siglip.cpp:47-76)."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers import Lfm2VlConfig
+    from transformers.models.lfm2_vl.modeling_lfm2_vl import (
+        Lfm2VlMultiModalProjector)
+
+    from llama_cpp_tpu.multimodal.clip import VisionConfig, apply_projector
+
+    cfg_hf = Lfm2VlConfig(
+        vision_config=dict(hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=4, intermediate_size=64,
+                           patch_size=4),
+        text_config=dict(vocab_size=64, hidden_size=48,
+                         intermediate_size=96, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         block_multiple_of=8),
+        downsample_factor=2, projector_hidden_size=40, projector_bias=True,
+    )
+    torch.manual_seed(4)
+    proj = Lfm2VlMultiModalProjector(cfg_hf).eval()
+    side = 6
+    feats = torch.randn(1, side, side, 32)
+    with torch.no_grad():
+        ref = proj(feats).numpy()
+
+    cfg = VisionConfig(projector="lfm2", n_embd=32)
+    cfg.extra["proj_scale_factor"] = 2
+    params = {
+        "mm_input_norm": jnp.asarray(proj.layer_norm.weight.detach().numpy()),
+        "mm_input_norm_bias": jnp.asarray(
+            proj.layer_norm.bias.detach().numpy()),
+        "mm_1": jnp.asarray(proj.linear_1.weight.detach().numpy()),
+        "mm_1_bias": jnp.asarray(proj.linear_1.bias.detach().numpy()),
+        "mm_2": jnp.asarray(proj.linear_2.weight.detach().numpy()),
+        "mm_2_bias": jnp.asarray(proj.linear_2.bias.detach().numpy()),
+    }
+    ours = np.asarray(apply_projector(
+        cfg, params, jnp.asarray(feats.numpy().reshape(1, side * side, 32))))
+    np.testing.assert_allclose(ours.reshape(-1, ours.shape[-1]),
+                               ref.reshape(-1, ref.shape[-1]),
+                               rtol=1e-4, atol=1e-4)
+
+    # janus_pro: plain 2-layer GELU MLP
+    cfg_j = VisionConfig(projector="janus_pro", n_embd=32)
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((40, 32)).astype(np.float32) * 0.1
+    w1 = rng.standard_normal((48, 40)).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, 9, 32)).astype(np.float32)
+    got = np.asarray(apply_projector(
+        cfg_j, {"mm_0": jnp.asarray(w0), "mm_1": jnp.asarray(w1)},
+        jnp.asarray(x)))
+    import scipy.special as _sc  # erf gelu oracle
+
+    h = x @ w0.T
+    want = (0.5 * h * (1 + _sc.erf(h / np.sqrt(2)))) @ w1.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_glm4v_vision_tower(tmp_path):
     """GLM-4V ViT vs HF Glm4vVisionModel: post-conv RMSNorm, BICUBIC
     grid-sampled learned positions, RMS blocks with SiLU-gated MLP,
