@@ -863,6 +863,23 @@ class Context:
             self._sync_table()
         return n_discard
 
+    def memory_breakdown(self) -> dict:
+        """Device-memory byte counts per component (the reference's
+        llama_memory_breakdown, src/llama-context.cpp:3235): model weights,
+        KV/recurrent memory, and their total."""
+        import jax
+
+        def nbytes(tree):
+            return int(sum(
+                getattr(leaf, "nbytes", 0)
+                for leaf in jax.tree_util.tree_leaves(tree)
+                if hasattr(leaf, "nbytes")))
+
+        model = nbytes(self.model.params)
+        memory = nbytes(self.kv)
+        return {"model_bytes": model, "memory_bytes": memory,
+                "total_bytes": model + memory}
+
     # -- sequence management (llama_memory seq API analog) ---------------
     def seq_rm(self, seq: int, p0: int = 0, p1: int = 1 << 30):
         self.kv = self.kv.seq_rm(seq, p0, p1)

@@ -273,6 +273,8 @@ class ServerApp:
                 "vocab_size": cfg.vocab_size,
                 "chat_template": (self.tok.vocab.chat_template if self.tok else None)
                 or "",
+                # reference memory-breakdown reporting (llama-context.cpp:3235)
+                "memory_breakdown": self.ctx.memory_breakdown(),
             }
         )
 

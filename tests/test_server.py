@@ -145,7 +145,11 @@ def test_http_endpoints(served):
             assert "llamacpp_tpu_requests_total" in text
 
             r = await client.get("/props")
-            assert (await r.json())["n_ctx"] == 128
+            props = await r.json()
+            assert props["n_ctx"] == 128
+            mb = props["memory_breakdown"]  # llama-context.cpp:3235 analog
+            assert mb["model_bytes"] > 0 and mb["memory_bytes"] > 0
+            assert mb["total_bytes"] == mb["model_bytes"] + mb["memory_bytes"]
         finally:
             await client.close()
 
