@@ -268,6 +268,8 @@ def dense_forward(md, ws, tokens, spec):
                         ws.get(wname + ".bias"))
 
     x = ws["token_embd.weight"][tokens] * spec.get("embd_scale", 1.0)
+    if spec.get("pos_embd"):  # learned absolute positions (starcoder.cpp)
+        x = x + ws["position_embd.weight"][pos]
     for il in range(L):
         b = f"blk.{il}."
         res = x

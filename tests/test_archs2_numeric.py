@@ -808,6 +808,126 @@ def test_minicpm3_numeric(tmp_path):
     check(p, want)
 
 
+def test_plm_numeric(tmp_path):
+    # src/models/plm.cpp: MLA WITHOUT q-lora (direct q proj), NEOX rope on
+    # the pe slices, kq_scale 1/sqrt(hd_k), non-gated relu^2 FFN, tied head
+    n_rot, nope, dv, kvr = 8, 8, 16, 16
+    hd_k = n_rot + nope
+    w = _writer("plm", n_rot=n_rot, extra_md={
+        "attention.kv_lora_rank": np.uint32(kvr),
+        "attention.key_length": np.uint32(hd_k),
+        "attention.value_length": np.uint32(dv),
+    })
+    _common(w, tie=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q.weight", H * hd_k, E)
+        emit(w, b + "attn_kv_a_mqa.weight", kvr + n_rot, E)
+        emit(w, b + "attn_kv_a_norm.weight", kvr, ones=True)
+        emit(w, b + "attn_kv_b.weight", H * (nope + dv), kvr)
+        emit(w, b + "attn_output.weight", E, H * dv)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    T = len(TOKENS)
+    pos = np.arange(T)
+    x = ws["token_embd.weight"][TOKENS]
+    for il in range(L):
+        b = f"blk.{il}."
+        res = x
+        h = rms_norm(x, ws[b + "attn_norm.weight"])
+        qfull = (h @ ws[b + "attn_q.weight"].T).reshape(T, H, hd_k)
+        q_nope, q_pe = qfull[..., :nope], qfull[..., nope:]
+        kv_pe = h @ ws[b + "attn_kv_a_mqa.weight"].T
+        kv_c = rms_norm(kv_pe[:, :kvr], ws[b + "attn_kv_a_norm.weight"])
+        k_pe = kv_pe[:, kvr:].reshape(T, 1, n_rot)
+        kv = (kv_c @ ws[b + "attn_kv_b.weight"].T).reshape(T, H, nope + dv)
+        k_nope, v = kv[..., :nope], kv[..., nope:]
+        q_pe = rope(q_pe, pos, n_rot, "neox")
+        k_pe = rope(k_pe, pos, n_rot, "neox")
+        q = np.concatenate([q_nope, q_pe], -1)
+        k = np.concatenate([k_nope, np.repeat(k_pe, H, axis=1)], -1)
+        att = attention(q, k, v, scale=hd_k ** -0.5, n_head_kv=H)
+        att = att @ ws[b + "attn_output.weight"].T
+        ffn_inp = res + att
+        h = rms_norm(ffn_inp, ws[b + "ffn_norm.weight"])
+        out = ffn(h, ws, b, act="relu2")
+        x = ffn_inp + out
+    x = rms_norm(x, ws["output_norm.weight"])
+    check(p, x @ ws["token_embd.weight"].T)
+
+
+def test_starcoder_numeric(tmp_path):
+    # src/models/starcoder.cpp: learned positions + LN+bias norms + fused
+    # biased GQA qkv + gelu SEQ FFN with biases, no rope
+    w = _writer("starcoder")
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "position_embd.weight", 256, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output_norm.bias", E, scale=0.02)
+    qkv_n = E + 2 * (HKV * HD)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_norm.bias", E, scale=0.02)
+        emit(w, b + "attn_qkv.weight", qkv_n, E)
+        emit(w, b + "attn_qkv.bias", qkv_n, scale=0.05)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "attn_output.bias", E, scale=0.02)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.bias", E, scale=0.02)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_up.bias", FF, scale=0.02)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "ffn_down.bias", E, scale=0.02)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    want = dense_forward(md, ws, TOKENS,
+                         {"norm": "ln", "rope": "none", "pos_embd": True,
+                          "ffn_act": "gelu", "ffn_bias": True})
+    check(p, want)
+
+
+def test_jais2_numeric(tmp_path):
+    # src/models/jais2.cpp: LN+bias blocks, separate biased q/k/v, NEOX
+    # rope, relu^2 SEQ FFN with biases
+    w = _writer("jais2")
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "output_norm.weight", E, ones=True)
+    emit(w, "output_norm.bias", E, scale=0.02)
+    emit(w, "output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_norm.bias", E, scale=0.02)
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_q.bias", H * HD, scale=0.05)
+        emit(w, b + "attn_k.bias", HKV * HD, scale=0.05)
+        emit(w, b + "attn_v.bias", HKV * HD, scale=0.05)
+        emit(w, b + "attn_output.weight", E, E)
+        emit(w, b + "attn_output.bias", E, scale=0.02)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_norm.bias", E, scale=0.02)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_up.bias", FF, scale=0.02)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "ffn_down.bias", E, scale=0.02)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    want = dense_forward(md, ws, TOKENS,
+                         {"norm": "ln", "rope": "neox",
+                          "ffn_act": "relu2", "ffn_bias": True})
+    check(p, want)
+
+
 # --------------------------------------------------------------------------
 # encoder archs: embed() (mean pooling over final hidden) vs numpy oracle
 # --------------------------------------------------------------------------
