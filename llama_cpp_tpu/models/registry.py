@@ -1365,11 +1365,12 @@ def _cohere2moe(cfg: ModelConfig, md) -> ModelConfig:
 @register("llada-moe")
 def _llada_moe(cfg: ModelConfig, md) -> ModelConfig:
     """LLaDA-MoE diffusion LM (reference src/models/llada-moe.cpp): full
-    bidirectional attention, per-head qk rmsnorm, softmax MoE."""
+    bidirectional attention, per-head qk rmsnorm, softmax MoE with RAW
+    top-k weights (build_moe_ffn norm_w=false, llada-moe.cpp:133)."""
     cfg.extra.update(non_causal=True, diffusion=True,
                      diffusion_shift_logits=False)
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, qk_norm=True,
-                     expert_weights_norm=True)
+                     expert_weights_norm=False)
 
 
 @register("rnd1")

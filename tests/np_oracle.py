@@ -294,6 +294,7 @@ def dense_forward(md, ws, tokens, spec):
         window = spec.get("swa", 0) if spec.get("is_swa", [True] * L)[il] else 0
         att = attention(q, k, v, scale=spec.get("attn_scale", HD ** -0.5),
                         n_head_kv=HKV, window=window,
+                        causal=spec.get("causal", True),
                         alibi=spec.get("alibi", 0.0))
         att = att @ ws[b + "attn_output.weight"].T
         if b + "attn_output.bias" in ws:
@@ -305,6 +306,10 @@ def dense_forward(md, ws, tokens, spec):
         ffn_inp = res + att
         h = norm(ffn_inp, b + "ffn_norm")
         m = spec.get("moe")
+        # dense-lead layers (bailingmoe2.cpp n_layer_dense_lead) carry a
+        # plain FFN instead of the router
+        if m and b + "ffn_gate_inp.weight" not in ws:
+            m = None
         if m:
             probs_in = None
             if m.get("raw_router"):  # smallthinker.cpp: router on pre-norm x

@@ -928,6 +928,93 @@ def test_jais2_numeric(tmp_path):
     check(p, want)
 
 
+def test_bailingmoe2_numeric(tmp_path):
+    # src/models/bailingmoe2.cpp: per-head qk rmsnorm before NEOX rope,
+    # dense-lead layers (il < n_layer_dense_lead get a plain SiLU FFN),
+    # sigmoid gating + exp_probs_b selection bias + weights_norm + scale,
+    # ungated shared expert added to the MoE output
+    w = _writer("bailingmoe2", extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "expert_shared_count": np.uint32(1),
+        "expert_gating_func": np.uint32(2),
+        "expert_weights_norm": True,
+        "expert_weights_scale": np.float32(1.5),
+        "leading_dense_block_count": np.uint32(1)})
+    _common(w)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        if i == 0:  # dense lead
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        else:
+            _emit_moe(w, b, 4, FF, shexp=1)
+            emit(w, b + "exp_probs_b.bias", 4, scale=1.0)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    spec = {"rope": "neox", "qk_norm": "head",
+            "moe": {"n_exp": 4, "n_used": 2, "gating": "sigmoid",
+                    "norm_w": True, "w_scale": 1.5}}
+    check(p, dense_forward(md, ws, TOKENS, spec))
+
+
+def test_hy_v3_numeric(tmp_path):
+    # src/models/hy-v3.cpp: per-head qk rmsnorm before NEOX rope, kq_scale
+    # 1/sqrt(n_embd_head), dense-lead layers, sigmoid MoE with exp_probs_b
+    # selection bias + weights_norm/scale, ungated shared expert, tied head
+    w = _writer("hy_v3", extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2),
+        "expert_shared_count": np.uint32(1),
+        "expert_gating_func": np.uint32(2),
+        "expert_weights_norm": True,
+        "expert_weights_scale": np.float32(1.25)})
+    _common(w, tie=True)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        if i == 0:  # leading dense
+            emit(w, b + "ffn_gate.weight", FF, E)
+            emit(w, b + "ffn_up.weight", FF, E)
+            emit(w, b + "ffn_down.weight", E, FF)
+        else:
+            _emit_moe(w, b, 4, FF, shexp=1)
+            emit(w, b + "exp_probs_b.bias", 4, scale=1.0)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    spec = {"rope": "neox", "qk_norm": "head",
+            "moe": {"n_exp": 4, "n_used": 2, "gating": "sigmoid",
+                    "norm_w": True, "w_scale": 1.25}}
+    check(p, dense_forward(md, ws, TOKENS, spec))
+
+
+@pytest.mark.parametrize("arch,norm_w", [("llada-moe", False), ("rnd1", True)])
+def test_diffusion_moe_numeric(tmp_path, arch, norm_w):
+    # src/models/llada-moe.cpp / rnd1.cpp: NON-CAUSAL attention (diffusion
+    # LMs, hparams.causal_attn=false), per-head qk rmsnorm before NEOX
+    # rope, softmax MoE — llada-moe keeps RAW top-k weights (norm_w=false,
+    # llada-moe.cpp:133), rnd1 normalizes them (rnd1.cpp:146)
+    w = _writer(arch, extra_md={
+        "expert_count": np.uint32(4), "expert_used_count": np.uint32(2)})
+    _common(w)
+    for i in range(L):
+        b = f"blk.{i}."
+        _std_attn(w, b, qk_norm=True)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        _emit_moe(w, b, 4, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    spec = {"rope": "neox", "qk_norm": "head", "causal": False,
+            "moe": {"n_exp": 4, "n_used": 2, "gating": "softmax",
+                    "norm_w": norm_w}}
+    check(p, dense_forward(md, ws, TOKENS, spec))
+
+
 # --------------------------------------------------------------------------
 # encoder archs: embed() (mean pooling over final hidden) vs numpy oracle
 # --------------------------------------------------------------------------
