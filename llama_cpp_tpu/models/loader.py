@@ -272,6 +272,12 @@ GLOBAL_TENSORS = {
     "nextn.pre_projection.weight": "nextn_proj_pre",
     "nextn.post_projection.weight": "nextn_proj_post",
     "fc.weight": "fc",  # EAGLE3 feature-fusion encoder (llama-arch.cpp:618)
+    # DSpark semi-autoregressive Markov + confidence heads on a DFlash
+    # drafter (llama-arch.cpp:620-622, src/models/dflash.cpp:86-96)
+    "markov_w1.weight": "markov_w1",
+    "markov_w2.weight": "markov_w2",
+    "conf_proj.weight": "conf_proj",
+    "conf_proj.bias": "conf_proj_bias",
     # DeepSeek-V4 hyper-connection head (llama-arch.cpp:469-471)
     "output_hc_fn.weight": "hc_head_fn",
     "output_hc_base.weight": "hc_head_base",
