@@ -136,6 +136,13 @@ class DflashSpeculator:
         self.mask_id = int(cfg.extra.get("mask_token_id", 0))
         self.p_min = p_min
         self.n_min = n_min
+        if self.params.get("markov_w1") is not None:
+            # legacy DSpark: the reference also runs the Markov/confidence
+            # head on the plain DFlash decode whenever markov_w1 exists
+            # (dflash.cpp:496-498); drafting without it silently diverges
+            raise NotImplementedError(
+                "DSpark Markov-head dflash checkpoints are not supported "
+                "yet (markov_w1 present)")
         self.tok_embd = self.params.get(
             "token_embd", target_model.params.get("token_embd"))
         self.out_w = self.params.get("output")

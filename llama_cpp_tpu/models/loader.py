@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.reader import GGUFFile, read_gguf
-from ..ops.qtensor import Weight, load_weight
+from ..ops.qtensor import QuantTensor, Weight, load_weight
 from ..tokenizer import Tokenizer
 from .config import ModelConfig
 from .registry import apply_arch
@@ -449,10 +449,12 @@ def load_model(
         key = cfg.extra.get("tensor_remap", {}).get(key, key)
         dense = key in _DENSE_KEYS or len(info.shape) == 1
         # matmul weights store transposed planes (TPU kernel layout);
-        # the embedding table stays row-major for gather
+        # the embedding table stays row-major for gather, and markov_w1 is
+        # a GET_ROWS gather table in the reference (dflash.cpp conf head
+        # gathers markov_w1[prev]) — keep it row-major too
         transpose = (not dense
                      and key not in ("token_embd", "pos_embd",
-                                     "per_layer_token_embd")
+                                     "per_layer_token_embd", "markov_w1")
                      and len(info.shape) >= 2)
         w = None
         if device_put is None:
@@ -566,6 +568,17 @@ def load_model(
         # same dict objects, no weight copies; each logical layer still owns
         # its KV lines since caches allocate cfg.n_layers (logical) entries
         params["layers"] = list(layers) * n_loops
+    # vocab-head O padding: 128256-style widths have no wide mult-of-128
+    # divisors, which starves the GEMV tiles (scripts/bench_qmm.py); pad to
+    # a 4096 multiple once at load, matmul slices via out_dim
+    from ..ops.qtensor import pad_out_features
+
+    for hk in ("output", "cls_out"):
+        hw = params.get(hk)
+        if (isinstance(hw, QuantTensor) and hw.transposed
+                and hw.q.ndim == 2 and hw.q.shape[1] % 1024
+                and hw.q.shape[1] >= 16384):
+            params[hk] = pad_out_features(hw)
     return Model(cfg, params, tokenizer, f)
 
 
@@ -582,7 +595,10 @@ def _split_gateup_exps(w):
                 q=w.q[..., sl], scales=w.scales[..., sl],
                 mins=None if w.mins is None else w.mins[..., sl],
                 group=w.group, ggml_type=w.ggml_type,
-                transposed=w.transposed, packed=w.packed)
+                transposed=w.transposed, packed=w.packed,
+                d=None if w.d is None else w.d[..., sl],
+                dmin=None if w.dmin is None else w.dmin[..., sl],
+                sgroup=w.sgroup)
 
         return mk(slice(None, F)), mk(slice(F, None))
     F = w.shape[-2] // 2
@@ -651,8 +667,12 @@ def _fold_scalar_scales(lw: dict) -> None:
         if w is None or s == 1.0:
             continue
         if isinstance(w, QuantTensor):
-            lw[base] = _rp(w, scales=w.scales * s,
-                           mins=None if w.mins is None else w.mins * s)
+            if w.d is not None:
+                lw[base] = _rp(w, d=w.d * s,
+                               dmin=None if w.dmin is None else w.dmin * s)
+            else:
+                lw[base] = _rp(w, scales=w.scales * s,
+                               mins=None if w.mins is None else w.mins * s)
         else:
             lw[base] = w * s
 
@@ -662,7 +682,8 @@ def _concat_weights(ws: list) -> Any | None:
     from ..ops.qtensor import QuantTensor
 
     if all(isinstance(w, QuantTensor) for w in ws):
-        if len({(w.group, w.ggml_type, w.transposed, w.packed) for w in ws}) != 1:
+        if len({(w.group, w.ggml_type, w.transposed, w.packed, w.hier,
+                 w.sgroup) for w in ws}) != 1:
             return None
         if not ws[0].transposed or any(w.q.ndim != 2 for w in ws):
             return None
@@ -678,6 +699,11 @@ def _concat_weights(ws: list) -> Any | None:
             if all(have_mins) else None,
             group=ws[0].group, ggml_type=ws[0].ggml_type, transposed=True,
             packed=ws[0].packed,
+            d=jnp.concatenate([w.d for w in ws], axis=-1)
+            if ws[0].hier else None,
+            dmin=jnp.concatenate([w.dmin for w in ws], axis=-1)
+            if ws[0].hier and ws[0].dmin is not None else None,
+            sgroup=ws[0].sgroup,
         )
     if all(isinstance(w, jnp.ndarray) for w in ws):
         if len({w.dtype for w in ws}) != 1 or any(w.ndim != 2 for w in ws):

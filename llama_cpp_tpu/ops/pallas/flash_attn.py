@@ -412,12 +412,13 @@ def _fa_kernel_allheads(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "window", "softcap", "page", "interpret"),
+    static_argnames=("sm_scale", "window", "softcap", "page", "interpret",
+                     "layer"),
 )
 def flash_attention_paged(
     q: jnp.ndarray,  # [B, Hkv, R, D]
-    k4: jnp.ndarray,  # [Hkv, P, page, D] page pool
-    v4: jnp.ndarray,  # [Hkv, P, page, Dv]
+    k4: jnp.ndarray,  # [Hkv, P, page, D] page pool, or [L, Hkv, P, page, D]
+    v4: jnp.ndarray,  # [Hkv, P, page, Dv]      (with layer= the static index)
     row_pos: jnp.ndarray,  # [B, R] int32
     pos3: jnp.ndarray,  # [P, 1, page] int32 per-row position labels
     table_b: jnp.ndarray,  # [B, MP] int32 page ids per batch row
@@ -430,16 +431,26 @@ def flash_attention_paged(
     softcap: float = 0.0,
     page: int,
     interpret: bool = False,
+    layer: int | None = None,
 ) -> jnp.ndarray:
     """Flash attention straight off the paged pool (runtime/paged_kv.py):
     the KV tile for grid step s of batch row b is page table_b[b, s] — the
     page table rides scalar prefetch and drives the K/V index_maps, so no
     gathered per-sequence KV copy is ever materialized (the paged analog of
     the reference reading the unified cell buffer in place). KV tile size ==
-    page size. -> [B, Hkv, R, Dv] f32."""
-    B, Hkv, R, D = q.shape
+    page size. With layer= the WHOLE [L, ...] pool is passed and the static
+    layer index rides the index_map — slicing k[layer] outside the kernel
+    would materialize an ~pool-sized copy per layer per step (r4 trace:
+    ~17 us x 32 layers/token). -> [B, Hkv, R, Dv] f32."""
+    layered = layer is not None
+    if layered:
+        _, Hkv, P_, page_, D = k4.shape
+        Dv = v4.shape[4]
+    else:
+        Hkv, P_, page_, D = k4.shape
+        Dv = v4.shape[3]
+    B, _, R, _ = q.shape
     MP = table_b.shape[1]
-    Dv = v4.shape[3]
     assert page % LANES == 0
 
     br = min(128, _round_up(R, 16))
@@ -467,23 +478,35 @@ def flash_attention_paged(
     if fold:
         grid = (B, Rp // br, MP)
 
-        def kv_map(b, r, s, lim, tab):
-            return (0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+        if layered:
+            def kv_map(b, r, s, lim, tab):
+                return (layer, 0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+            kv_spec = pl.BlockSpec((1, Hkv, 1, page, D), kv_map)
+            vv_spec = pl.BlockSpec((1, Hkv, 1, page, Dv), kv_map)
+            ks_spec = pl.BlockSpec((1, Hkv, 1, 1, page), kv_map)
+        else:
+            def kv_map(b, r, s, lim, tab):
+                return (0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+            kv_spec = pl.BlockSpec((Hkv, 1, page, D), kv_map)
+            vv_spec = pl.BlockSpec((Hkv, 1, page, Dv), kv_map)
+            ks_spec = pl.BlockSpec((Hkv, 1, 1, page), kv_map)
 
         def cp_map(b, r, s, lim, tab):
             return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
 
         in_specs = [
             pl.BlockSpec((1, Hkv, br, D), lambda b, r, s, lim, tab: (b, 0, r, 0)),
-            pl.BlockSpec((Hkv, 1, page, D), kv_map),
-            pl.BlockSpec((Hkv, 1, page, Dv), kv_map),
+            kv_spec,
+            vv_spec,
             pl.BlockSpec((1, br, 1), lambda b, r, s, lim, tab: (b, r, 0)),
             pl.BlockSpec((1, 1, page), cp_map),
         ]
         args = [q, k4, v4, rp3, pos3]
         if quantized:
-            in_specs.append(pl.BlockSpec((Hkv, 1, 1, page), kv_map))
-            in_specs.append(pl.BlockSpec((Hkv, 1, 1, page), kv_map))
+            in_specs.append(ks_spec)
+            in_specs.append(ks_spec)
             args.append(k_scale4)
             args.append(v_scale4)
         if has_sinks:
@@ -505,6 +528,15 @@ def flash_attention_paged(
         )
 
         def body(lim_ref, tab_ref, *refs):
+            if layered:
+                # strip the leading layer-block axis from the pool refs
+                if quantized:
+                    q_r, k_r, v_r, rp_r, cp_r, ks_r, vs_r, *rest = refs
+                    refs = (q_r, k_r.at[0], v_r.at[0], rp_r, cp_r,
+                            ks_r.at[0], vs_r.at[0], *rest)
+                else:
+                    q_r, k_r, v_r, *rest = refs
+                    refs = (q_r, k_r.at[0], v_r.at[0], *rest)
             _fa_kernel_allheads(
                 lim_ref, *refs,
                 sm_scale=float(sm_scale), window=int(window),
@@ -515,23 +547,35 @@ def flash_attention_paged(
     else:
         grid = (B, Hkv, Rp // br, MP)
 
-        def kv_map(b, h, r, s, lim, tab):
-            return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+        if layered:
+            def kv_map(b, h, r, s, lim, tab):
+                return (layer, h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+            kv_spec = pl.BlockSpec((1, 1, 1, page, D), kv_map)
+            vv_spec = pl.BlockSpec((1, 1, 1, page, Dv), kv_map)
+            ks_spec = pl.BlockSpec((1, 1, 1, 1, page), kv_map)
+        else:
+            def kv_map(b, h, r, s, lim, tab):
+                return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+
+            kv_spec = pl.BlockSpec((1, 1, page, D), kv_map)
+            vv_spec = pl.BlockSpec((1, 1, page, Dv), kv_map)
+            ks_spec = pl.BlockSpec((1, 1, 1, page), kv_map)
 
         def cp_map(b, h, r, s, lim, tab):
             return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
 
         in_specs = [
             pl.BlockSpec((1, 1, br, D), lambda b, h, r, s, lim, tab: (b, h, r, 0)),
-            pl.BlockSpec((1, 1, page, D), kv_map),
-            pl.BlockSpec((1, 1, page, Dv), kv_map),
+            kv_spec,
+            vv_spec,
             pl.BlockSpec((1, br, 1), lambda b, h, r, s, lim, tab: (b, r, 0)),
             pl.BlockSpec((1, 1, page), cp_map),
         ]
         args = [q, k4, v4, rp3, pos3]
         if quantized:
-            in_specs.append(pl.BlockSpec((1, 1, 1, page), kv_map))
-            in_specs.append(pl.BlockSpec((1, 1, 1, page), kv_map))
+            in_specs.append(ks_spec)
+            in_specs.append(ks_spec)
             args.append(k_scale4)
             args.append(v_scale4)
         if has_sinks:
@@ -553,6 +597,14 @@ def flash_attention_paged(
         )
 
         def body(lim_ref, tab_ref, *refs):
+            if layered:
+                if quantized:
+                    q_r, k_r, v_r, rp_r, cp_r, ks_r, vs_r, *rest = refs
+                    refs = (q_r, k_r.at[0], v_r.at[0], rp_r, cp_r,
+                            ks_r.at[0], vs_r.at[0], *rest)
+                else:
+                    q_r, k_r, v_r, *rest = refs
+                    refs = (q_r, k_r.at[0], v_r.at[0], *rest)
             _fa_kernel(lim_ref, *refs,
                        sm_scale=float(sm_scale), window=int(window),
                        softcap=float(softcap), quantized=quantized,
@@ -593,19 +645,37 @@ def mha_flash_paged(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """GQA fold + pool views for the paged kernel -> [B, T, H*Dv]."""
+    import os
+
     B, T, H, Dk = q.shape
+    L = kvc.k.shape[0]
     Hkv = kvc.k.shape[1]
     Dv = kvc.v.shape[3]
     G = H // Hkv
     page, P = kvc.page, kvc.n_pages
-    k4 = kvc.k[li].reshape(Hkv, P, page, Dk)
-    v4 = kvc.v[li].reshape(Hkv, P, page, Dv)
+    # whole-pool + static layer index avoids the per-layer pool slice, but
+    # measured on v5e it degrades B>1 batched decode ~10x (XLA copy-insertion
+    # around the donated pool); keep the per-layer slice default until that
+    # is understood — opt in with LLAMA_TPU_LAYERED_FA=1
+    layered = os.environ.get("LLAMA_TPU_LAYERED_FA", "0") == "1"
+    if layered:
+        # whole-pool reshape views + static layer index into the kernel:
+        # slicing kvc.k[li] here materializes a copy per layer per step
+        k4 = kvc.k.reshape(L, Hkv, P, page, Dk)
+        v4 = kvc.v.reshape(L, Hkv, P, page, Dv)
+    else:
+        k4 = kvc.k[li].reshape(Hkv, P, page, Dk)
+        v4 = kvc.v[li].reshape(Hkv, P, page, Dv)
     pos3 = kvc.pos.reshape(P, 1, page)
     table_b = kvc.table[seq_idx]
     ks = vs = None
     if kvc.quantized:
-        ks = kvc.k_scale[li].reshape(Hkv, P, 1, page)
-        vs = kvc.v_scale[li].reshape(Hkv, P, 1, page)
+        if layered:
+            ks = kvc.k_scale.reshape(L, Hkv, P, 1, page)
+            vs = kvc.v_scale.reshape(L, Hkv, P, 1, page)
+        else:
+            ks = kvc.k_scale[li].reshape(Hkv, P, 1, page)
+            vs = kvc.v_scale[li].reshape(Hkv, P, 1, page)
     qr = (q.reshape(B, T, Hkv, G, Dk).transpose(0, 2, 3, 1, 4)
           .reshape(B, Hkv, G * T, Dk))
     row_pos = jnp.tile(positions, (1, G))
@@ -616,7 +686,7 @@ def mha_flash_paged(
         qr, k4, v4, row_pos, pos3, table_b,
         sinks=sink_rows, k_scale4=ks, v_scale4=vs,
         sm_scale=sm_scale, window=window, softcap=softcap,
-        page=page, interpret=interpret,
+        page=page, interpret=interpret, layer=int(li) if layered else None,
     )  # [B, Hkv, G*T, Dv]
     return (out.reshape(B, Hkv, G, T, Dv).transpose(0, 3, 1, 2, 4)
             .reshape(B, T, H * Dv))

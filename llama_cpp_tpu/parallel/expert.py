@@ -81,7 +81,10 @@ def ep_moe(
             return QuantTensor(q=spec, scales=spec,
                                mins=None if w.mins is None else spec,
                                group=w.group, ggml_type=w.ggml_type,
-                               transposed=w.transposed)
+                               transposed=w.transposed,
+                               d=None if w.d is None else spec,
+                               dmin=None if w.dmin is None else spec,
+                               sgroup=w.sgroup)
         return spec
 
     def local(x_l, topi_l, topw_l, gw, uw, dw):

@@ -100,6 +100,10 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
                 ggml_type=w.ggml_type,
                 transposed=w.transposed,
                 packed=w.packed,
+                d=None if w.d is None else _shard_leaf(mesh, sspec, w.d),
+                dmin=None if w.dmin is None else _shard_leaf(mesh, sspec, w.dmin),
+                sgroup=w.sgroup,
+                out_dim=w.out_dim,
             )
         spec = weight_pspec(key, getattr(w, "ndim", 0))
         return _shard_leaf(mesh, spec, w)

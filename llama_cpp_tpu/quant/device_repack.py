@@ -112,6 +112,15 @@ def _x_q4_K(b):
     return q, scales, mins, 32
 
 
+def _h_q4_K(b):
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _k4_scale_min(b[:, 4:16])
+    qs = _i32(b[:, 16:144]).reshape(-1, 4, 32)
+    q = jnp.stack([qs & 0xF, qs >> 4], axis=2).reshape(-1, 8 * 32)
+    return q, sc, d[:, None], mn, -dmin[:, None], 32
+
+
 def _x_q5_K(b):
     d = _f16(b[:, 0:2])
     dmin = _f16(b[:, 2:4])
@@ -129,6 +138,14 @@ def _x_q5_K(b):
     return q.reshape(-1, 8 * 32), scales, mins, 32
 
 
+def _h_q5_K(b):
+    q, _, _, g = _x_q5_K(b)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _k4_scale_min(b[:, 4:16])
+    return q, sc, d[:, None], mn, -dmin[:, None], 32
+
+
 def _x_q6_K(b):
     ql = _i32(b[:, 0:128]).reshape(-1, 2, 2, 32)
     qh = _i32(b[:, 128:192]).reshape(-1, 2, 32)
@@ -144,6 +161,14 @@ def _x_q6_K(b):
     return q.reshape(-1, 256), scales, None, 16
 
 
+def _h_q6_K(b):
+    q, _, _, g = _x_q6_K(b)
+    sc8 = b[:, 192:208].astype(jnp.int32)
+    sc = jnp.where(sc8 > 127, sc8 - 256, sc8)
+    d = _f16(b[:, 208:210])
+    return q, sc, d[:, None], None, None, 16
+
+
 def _x_q2_K(b):
     scales = _i32(b[:, 0:16])
     qs = _i32(b[:, 16:80]).reshape(-1, 2, 32)
@@ -155,6 +180,15 @@ def _x_q2_K(b):
     dl = d[:, None, None, None] * (sc & 0xF).astype(jnp.float32)
     ml = -(dmin[:, None, None, None] * (sc >> 4).astype(jnp.float32))
     return (q.reshape(-1, 256), dl.reshape(-1, 16), ml.reshape(-1, 16), 16)
+
+
+def _h_q2_K(b):
+    q, _, _, g = _x_q2_K(b)
+    scales = _i32(b[:, 0:16])
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+    return (q, (scales & 0xF).reshape(-1, 16), d[:, None],
+            (scales >> 4).reshape(-1, 16), -dmin[:, None], 16)
 
 
 def _q3_scales(s12):
@@ -189,6 +223,13 @@ def _x_q3_K(b):
     return q.reshape(-1, 256), scales, None, 16
 
 
+def _h_q3_K(b):
+    q, _, _, g = _x_q3_K(b)
+    sc = _q3_scales(b[:, 96:108]) - 32
+    d = _f16(b[:, 108:110])
+    return q, sc.reshape(-1, 16), d[:, None], None, None, 16
+
+
 _EXTRACT = {
     GGMLType.Q4_0: _x_q4_0,
     GGMLType.Q4_1: _x_q4_1,
@@ -205,9 +246,52 @@ _EXTRACT = {
 _GROUP = {t: (16 if t in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K) else 32)
           for t in _EXTRACT}
 
+# superblock-factored extractors (scale bytes /4; see qtensor.QuantTensor.d)
+_EXTRACT_H = {
+    GGMLType.Q2_K: _h_q2_K,
+    GGMLType.Q3_K: _h_q3_K,
+    GGMLType.Q4_K: _h_q4_K,
+    GGMLType.Q5_K: _h_q5_K,
+    GGMLType.Q6_K: _h_q6_K,
+}
+
 DEVICE_QUANT_TYPES = frozenset(_EXTRACT)
 DEVICE_DENSE_TYPES = frozenset(
     {GGMLType.F32, GGMLType.F16, GGMLType.BF16} | DEVICE_QUANT_TYPES)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "shape", "pack4"),
+)
+def _extract_hier_jit(raw: jnp.ndarray, *, dtype: GGMLType, shape: tuple,
+                      pack4: bool):
+    """Device-side superblock-factored extraction (transposed 2-D planes):
+    -> (qT [K, O] int8 (or packed [K/2, O]), subT int8 [K/g, O],
+        dT f32 [K/256, O], submT | None, dmT | None)."""
+    layout = GGML_BLOCK_LAYOUT[dtype]
+    O, K = shape
+    n = O * K
+    nb = n // layout.block_size
+    b = raw[: nb * layout.type_size].reshape(nb, layout.type_size)
+    q, sub, d, subm, dm = _EXTRACT_H[dtype](b)[:5]
+    g = _GROUP[dtype]
+    qT = q.reshape(O, K).astype(jnp.int8).T
+    subT = sub.reshape(O, K // g).astype(jnp.int8).T
+    dT = jnp.broadcast_to(d.reshape(nb, 1), (nb, 1)).reshape(O, K // 256).T
+    submT = None if subm is None else subm.reshape(O, K // g).astype(jnp.int8).T
+    dmT = None if dm is None else dm.reshape(O, K // 256).T
+    packed = False
+    if pack4 and dtype in _PACK_OFF and K % 512 == 0:
+        off = _PACK_OFF[dtype]
+        u = (qT + off).astype(jnp.uint8) if off else qT.astype(jnp.uint8)
+        half = u.shape[0] // 2  # half-split pairing
+        qT = jax.lax.bitcast_convert_type(
+            (u[:half] | (u[half:] << 4)).astype(jnp.uint8), jnp.int8)
+        if off:
+            submT = subT
+            dmT = -float(off) * dT
+        packed = True
+    return qT, subT, dT, submT, dmT, packed
 
 
 @functools.partial(
@@ -242,7 +326,8 @@ def _extract_jit(raw: jnp.ndarray, *, dtype: GGMLType, shape: tuple,
     if pack4:
         off = _PACK_OFF[dtype]
         u = (qT + off).astype(jnp.uint8) if off else qT.astype(jnp.uint8)
-        packed = (u[0::2] | (u[1::2] << 4)).astype(jnp.uint8)
+        half = u.shape[0] // 2  # half-split pairing (see qtensor.QuantTensor)
+        packed = (u[:half] | (u[half:] << 4)).astype(jnp.uint8)
         qT = jax.lax.bitcast_convert_type(packed, jnp.int8)
         if off:
             base = mnT if mnT is not None else 0.0
@@ -276,6 +361,14 @@ def device_load_weight(raw: np.ndarray, ggml_dtype: GGMLType,
     dtype = GGMLType(ggml_dtype)
     quant_ok = (prefer_quant and dtype in DEVICE_QUANT_TYPES
                 and shape[-1] % 256 == 0)
+    if (quant_ok and transpose and len(shape) == 2
+            and shape[-1] % 512 == 0 and dtype in _EXTRACT_H):
+        raw_d = jax.device_put(np.frombuffer(raw, dtype=np.uint8))
+        q, sub, d, subm, dm, packed = _extract_hier_jit(
+            raw_d, dtype=dtype, shape=tuple(shape), pack4=pack4)
+        return QuantTensor(q=q, scales=sub, mins=subm, group=_GROUP[dtype],
+                           ggml_type=int(dtype), transposed=True,
+                           packed=bool(packed), d=d, dmin=dm, sgroup=256)
     if quant_ok:
         do_pack = (pack4 and transpose and len(shape) == 2
                    and dtype in _PACK_OFF and shape[-1] % 2 == 0)

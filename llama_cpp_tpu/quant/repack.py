@@ -361,3 +361,97 @@ def extract_planes(raw, dtype: GGMLType, n: int):
     if fn is None:
         raise NotImplementedError(f"extract_planes: {dtype.name}")
     return fn(raw, n)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (superblock-factored) extraction: K-quant scales are
+# d(fp16, per 256) x small-int sub-scale (ggml-common.h:327-376); storing the
+# factors instead of the f32 product cuts scale-plane HBM bytes 4x. dmin is
+# returned pre-negated so min_eff = subm * dm (a pure product, matching the
+# flat planes' mins = -(dmin * m) bit for bit).
+# ---------------------------------------------------------------------------
+
+
+def hier_q4_K(raw, n):
+    b = _nb(raw, GGMLType.Q4_K, n)
+    d = D._f16(b[:, 0:2]).astype(np.float32).reshape(-1)
+    dmin = D._f16(b[:, 2:4]).astype(np.float32).reshape(-1)
+    sc, mn = D._k4_scale_min(b[:, 4:16])
+    qs = b[:, 16:144].reshape(-1, 4, 32)
+    lo = (qs & 0xF).astype(np.int8)
+    hi = (qs >> 4).astype(np.int8)
+    q = np.stack([lo, hi], axis=2).reshape(-1, 8, 32)
+    return (q.reshape(-1), sc.astype(np.int8).reshape(-1), d,
+            mn.astype(np.int8).reshape(-1), -dmin, 32)
+
+
+def hier_q5_K(raw, n):
+    q, sc, mn, g = planes_q5_K(raw, n)  # reuse bit parse, re-derive factors
+    b = _nb(raw, GGMLType.Q5_K, n)
+    d = D._f16(b[:, 0:2]).astype(np.float32).reshape(-1)
+    dmin = D._f16(b[:, 2:4]).astype(np.float32).reshape(-1)
+    sc6, mn6 = D._k4_scale_min(b[:, 4:16])
+    return (q, sc6.astype(np.int8).reshape(-1), d,
+            mn6.astype(np.int8).reshape(-1), -dmin, 32)
+
+
+def hier_q6_K(raw, n):
+    q, _, _, g = planes_q6_K(raw, n)
+    b = _nb(raw, GGMLType.Q6_K, n)
+    sc = b[:, 192:208].view(np.int8).reshape(-1, 16)
+    d = D._f16(b[:, 208:210]).astype(np.float32).reshape(-1)
+    return q, sc.reshape(-1).copy(), d, None, None, 16
+
+
+def hier_q2_K(raw, n):
+    q, _, _, g = planes_q2_K(raw, n)
+    b = _nb(raw, GGMLType.Q2_K, n)
+    scales = b[:, 0:16]
+    d = D._f16(b[:, 80:82]).astype(np.float32).reshape(-1)
+    dmin = D._f16(b[:, 82:84]).astype(np.float32).reshape(-1)
+    return (q, (scales & 0xF).astype(np.int8).reshape(-1), d,
+            (scales >> 4).astype(np.int8).reshape(-1), -dmin, 16)
+
+
+def hier_q3_K(raw, n):
+    q, _, _, g = planes_q3_K(raw, n)
+    b = _nb(raw, GGMLType.Q3_K, n)
+    sc = (D._q3_scales(b[:, 96:108]).astype(np.int16) - 32).astype(np.int8)
+    d = D._f16(b[:, 108:110]).astype(np.float32).reshape(-1)
+    return q, sc.reshape(-1), d, None, None, 16
+
+
+def hier_iq4_xs(raw, n):
+    q, _, _, g = planes_iq4_xs(raw, n)
+    b = _nb(raw, GGMLType.IQ4_XS, n)
+    d = D._f16(b[:, 0:2]).astype(np.float32).reshape(-1)
+    scales_h = np.ascontiguousarray(b[:, 2:4]).view(np.uint16).astype(np.int32)
+    scales_l = b[:, 4:8].astype(np.int32)
+    ib = np.arange(8)
+    ls_l = (scales_l[:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0xF
+    ls_h = (scales_h >> (2 * ib)[None, :]) & 3
+    ls = ((ls_l | (ls_h << 4)) - 32).astype(np.int8)
+    return q, ls.reshape(-1), d, None, None, 32
+
+
+_HIER = {
+    GGMLType.Q2_K: hier_q2_K,
+    GGMLType.Q3_K: hier_q3_K,
+    GGMLType.Q4_K: hier_q4_K,
+    GGMLType.Q5_K: hier_q5_K,
+    GGMLType.Q6_K: hier_q6_K,
+    GGMLType.IQ4_XS: hier_iq4_xs,
+}
+
+HIER_TYPES = frozenset(_HIER)
+SUPERBLOCK = 256
+
+
+def extract_planes_hier(raw, dtype: GGMLType, n: int):
+    """-> (q int8 [n], sub int8 [n//g], d f32 [n//256],
+           subm int8 [n//g] | None, dm f32 [n//256] | None, g)
+    with effective scale = sub * d-expanded, min = subm * dm-expanded."""
+    fn = _HIER.get(dtype)
+    if fn is None:
+        raise NotImplementedError(f"extract_planes_hier: {dtype.name}")
+    return fn(raw, n)

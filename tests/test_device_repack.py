@@ -30,6 +30,24 @@ def test_device_matches_host(dtype, transpose):
     host = load_weight(raw, dtype, SHAPE, prefer_quant=True,
                        transpose=transpose)
     pack = transpose and GGMLType(dtype) in _PACK_OFF
+    if host.hier:
+        # hierarchical host planes: compare the DEVICE hier extractor
+        from llama_cpp_tpu.quant.device_repack import _extract_hier_jit
+
+        q, sub, d, subm, dm, packed = _extract_hier_jit(
+            raw, dtype=GGMLType(dtype), shape=SHAPE, pack4=True)
+        assert host.packed == bool(packed)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(host.q))
+        np.testing.assert_array_equal(np.asarray(sub), np.asarray(host.scales))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(host.d), rtol=1e-6)
+        if host.mins is None:
+            assert subm is None
+        else:
+            np.testing.assert_array_equal(np.asarray(subm),
+                                          np.asarray(host.mins))
+            np.testing.assert_allclose(np.asarray(dm), np.asarray(host.dmin),
+                                       rtol=1e-6, atol=1e-7)
+        return
     q, sc, mn = _extract_jit(raw, dtype=GGMLType(dtype), shape=SHAPE,
                              transpose=transpose, pack4=pack)
     assert host.packed == pack

@@ -101,7 +101,8 @@ def test_qmm4_packed_matches_dense():
     u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
     sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
     mn = rng.uniform(-0.1, 0.0, size=(K // g, O)).astype(np.float32)
-    packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+    # half-split pairing: row k low nibble, row k + K/2 high
+    packed = (u[: K // 2] | (u[K // 2:] << 4)).astype(np.uint8)
     x = rng.standard_normal((N, K)).astype(np.float32)
     got = np.asarray(qmm4_planes(
         jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed), jnp.asarray(sc),
@@ -163,18 +164,17 @@ def test_qmm_prefill_matches_decode_kernel(qtype, O, K):
     N = qmm_mod.PREFILL_MIN_N
     x = jnp.asarray((rng.standard_normal((N, K)) * 0.5), jnp.bfloat16)
 
-    sc = qt.scales.astype(jnp.float32)
-    mn = None if qt.mins is None else qt.mins.astype(jnp.float32)
+    sc = qt.scales if qt.hier else qt.scales.astype(jnp.float32)
+    mn = qt.mins if qt.hier or qt.mins is None else qt.mins.astype(jnp.float32)
+    kw = dict(group=qt.group, interpret=True)
+    if qt.hier:
+        kw.update(dT=qt.d, dminT=qt.dmin, sgroup=qt.sgroup)
     if qt.packed:
-        ref = qmm_mod.qmm4_planes(x, qt.q, sc, mn, group=qt.group,
-                                  interpret=True)
-        got = qmm_mod.qmm4_planes_prefill(x, qt.q, sc, mn, group=qt.group,
-                                          interpret=True)
+        ref = qmm_mod.qmm4_planes(x, qt.q, sc, mn, **kw)
+        got = qmm_mod.qmm4_planes_prefill(x, qt.q, sc, mn, **kw)
     else:
-        ref = qmm_mod.qmm_planes(x, qt.q, sc, mn, group=qt.group,
-                                 interpret=True)
-        got = qmm_mod.qmm_planes_prefill(x, qt.q, sc, mn, group=qt.group,
-                                         interpret=True)
+        ref = qmm_mod.qmm_planes(x, qt.q, sc, mn, **kw)
+        got = qmm_mod.qmm_planes_prefill(x, qt.q, sc, mn, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
     # and the public entry dispatches to the prefill variant at this N
