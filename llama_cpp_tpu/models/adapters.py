@@ -121,6 +121,15 @@ def _remap_for_fusion(model: Model, tensors: dict) -> dict:
                         cfg.n_kv_heads * cfg.head_dim_v]
                 out[("layer", il, "attn_qkv")] = _fuse_pairs(
                     qkv, ["attn_q", "attn_k", "attn_v"], dims)
+            elif "attn_qk" in lw:
+                dims = [cfg.n_heads * cfg.head_dim_k,
+                        cfg.n_kv_heads * cfg.head_dim_k]
+                qk = {k: v for k, v in qkv.items() if k != "attn_v"}
+                if qk:
+                    out[("layer", il, "attn_qk")] = _fuse_pairs(
+                        qk, ["attn_q", "attn_k"], dims)
+                if "attn_v" in qkv:
+                    out[("layer", il, "attn_v")] = qkv["attn_v"]
             else:
                 for k, v in qkv.items():
                     out[("layer", il, k)] = v

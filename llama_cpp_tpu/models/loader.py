@@ -732,6 +732,19 @@ def _fuse_projections(lw: dict, fuse_qkv: bool = True) -> None:
                      lw.pop("attn_v_bias")])
             for k in ("attn_q", "attn_k", "attn_v"):
                 del lw[k]
+        elif fused is None:
+            # mixed-type v (Q4_K_M stores attn_v as Q6_K, reference
+            # llama_tensor_get_type src/llama-quant.cpp:424): fuse q+k
+            # (same type) and keep v standalone — still drops one GEMV
+            # dispatch per layer from the decode chain
+            qk_bias = [f"{k}_bias" in lw for k in ("attn_q", "attn_k")]
+            fused = _concat_weights([lw["attn_q"], lw["attn_k"]])
+            if fused is not None and (all(qk_bias) or not any(qk_bias)):
+                lw["attn_qk"] = fused
+                if all(qk_bias):
+                    lw["attn_qk_bias"] = jnp.concatenate(
+                        [lw.pop("attn_q_bias"), lw.pop("attn_k_bias")])
+                del lw["attn_q"], lw["attn_k"]
     if all(k in lw for k in ("ffn_gate", "ffn_up")) and "ffn_gateup" not in lw:
         if "ffn_gate_bias" not in lw and "ffn_up_bias" not in lw:
             fused = _concat_weights([lw["ffn_gate"], lw["ffn_up"]])

@@ -187,6 +187,19 @@ def attention_block(
         q = qkv[..., : H * Dk]
         k = qkv[..., H * Dk : H * Dk + Hkv * Dk]
         v = qkv[..., H * Dk + Hkv * Dk :]
+    elif "attn_qk" in lw:  # q+k fused, v standalone (mixed-type v, e.g.
+        # Q4_K_M's Q6_K attn_v — loader._fuse_projections partial fuse)
+        _tap(il, "attn_q", x)
+        _tap(il, "attn_k", x)
+        _tap(il, "attn_v", x)
+        qk = matmul(x, lw["attn_qk"])
+        if "attn_qk_bias" in lw:
+            qk = qk + lw["attn_qk_bias"]
+        q = qk[..., : H * Dk]
+        k = qk[..., H * Dk:]
+        v = matmul(x, lw["attn_v"])
+        if "attn_v_bias" in lw:
+            v = v + lw["attn_v_bias"]
     else:
         _tap(il, "attn_q", x)
         _tap(il, "attn_k", x)

@@ -412,13 +412,12 @@ def _fa_kernel_allheads(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "window", "softcap", "page", "interpret",
-                     "layer"),
+    static_argnames=("sm_scale", "window", "softcap", "page", "interpret"),
 )
 def flash_attention_paged(
     q: jnp.ndarray,  # [B, Hkv, R, D]
-    k4: jnp.ndarray,  # [Hkv, P, page, D] page pool, or [L, Hkv, P, page, D]
-    v4: jnp.ndarray,  # [Hkv, P, page, Dv]      (with layer= the static index)
+    k4: jnp.ndarray,  # [Hkv, P, page, D] page pool (this layer's)
+    v4: jnp.ndarray,  # [Hkv, P, page, Dv]
     row_pos: jnp.ndarray,  # [B, R] int32
     pos3: jnp.ndarray,  # [P, 1, page] int32 per-row position labels
     table_b: jnp.ndarray,  # [B, MP] int32 page ids per batch row
@@ -431,24 +430,15 @@ def flash_attention_paged(
     softcap: float = 0.0,
     page: int,
     interpret: bool = False,
-    layer: int | None = None,
 ) -> jnp.ndarray:
     """Flash attention straight off the paged pool (runtime/paged_kv.py):
     the KV tile for grid step s of batch row b is page table_b[b, s] — the
     page table rides scalar prefetch and drives the K/V index_maps, so no
     gathered per-sequence KV copy is ever materialized (the paged analog of
     the reference reading the unified cell buffer in place). KV tile size ==
-    page size. With layer= the WHOLE [L, ...] pool is passed and the static
-    layer index rides the index_map — slicing k[layer] outside the kernel
-    would materialize an ~pool-sized copy per layer per step (r4 trace:
-    ~17 us x 32 layers/token). -> [B, Hkv, R, Dv] f32."""
-    layered = layer is not None
-    if layered:
-        _, Hkv, P_, page_, D = k4.shape
-        Dv = v4.shape[4]
-    else:
-        Hkv, P_, page_, D = k4.shape
-        Dv = v4.shape[3]
+    page size. -> [B, Hkv, R, Dv] f32."""
+    Hkv, P_, page_, D = k4.shape
+    Dv = v4.shape[3]
     B, _, R, _ = q.shape
     MP = table_b.shape[1]
     assert page % LANES == 0
@@ -478,20 +468,12 @@ def flash_attention_paged(
     if fold:
         grid = (B, Rp // br, MP)
 
-        if layered:
-            def kv_map(b, r, s, lim, tab):
-                return (layer, 0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+        def kv_map(b, r, s, lim, tab):
+            return (0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
 
-            kv_spec = pl.BlockSpec((1, Hkv, 1, page, D), kv_map)
-            vv_spec = pl.BlockSpec((1, Hkv, 1, page, Dv), kv_map)
-            ks_spec = pl.BlockSpec((1, Hkv, 1, 1, page), kv_map)
-        else:
-            def kv_map(b, r, s, lim, tab):
-                return (0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
-
-            kv_spec = pl.BlockSpec((Hkv, 1, page, D), kv_map)
-            vv_spec = pl.BlockSpec((Hkv, 1, page, Dv), kv_map)
-            ks_spec = pl.BlockSpec((Hkv, 1, 1, page), kv_map)
+        kv_spec = pl.BlockSpec((Hkv, 1, page, D), kv_map)
+        vv_spec = pl.BlockSpec((Hkv, 1, page, Dv), kv_map)
+        ks_spec = pl.BlockSpec((Hkv, 1, 1, page), kv_map)
 
         def cp_map(b, r, s, lim, tab):
             return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
@@ -528,15 +510,6 @@ def flash_attention_paged(
         )
 
         def body(lim_ref, tab_ref, *refs):
-            if layered:
-                # strip the leading layer-block axis from the pool refs
-                if quantized:
-                    q_r, k_r, v_r, rp_r, cp_r, ks_r, vs_r, *rest = refs
-                    refs = (q_r, k_r.at[0], v_r.at[0], rp_r, cp_r,
-                            ks_r.at[0], vs_r.at[0], *rest)
-                else:
-                    q_r, k_r, v_r, *rest = refs
-                    refs = (q_r, k_r.at[0], v_r.at[0], *rest)
             _fa_kernel_allheads(
                 lim_ref, *refs,
                 sm_scale=float(sm_scale), window=int(window),
@@ -547,20 +520,12 @@ def flash_attention_paged(
     else:
         grid = (B, Hkv, Rp // br, MP)
 
-        if layered:
-            def kv_map(b, h, r, s, lim, tab):
-                return (layer, h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
+        def kv_map(b, h, r, s, lim, tab):
+            return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
 
-            kv_spec = pl.BlockSpec((1, 1, 1, page, D), kv_map)
-            vv_spec = pl.BlockSpec((1, 1, 1, page, Dv), kv_map)
-            ks_spec = pl.BlockSpec((1, 1, 1, 1, page), kv_map)
-        else:
-            def kv_map(b, h, r, s, lim, tab):
-                return (h, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
-
-            kv_spec = pl.BlockSpec((1, 1, page, D), kv_map)
-            vv_spec = pl.BlockSpec((1, 1, page, Dv), kv_map)
-            ks_spec = pl.BlockSpec((1, 1, 1, page), kv_map)
+        kv_spec = pl.BlockSpec((1, 1, page, D), kv_map)
+        vv_spec = pl.BlockSpec((1, 1, page, Dv), kv_map)
+        ks_spec = pl.BlockSpec((1, 1, 1, page), kv_map)
 
         def cp_map(b, h, r, s, lim, tab):
             return (tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
@@ -597,14 +562,6 @@ def flash_attention_paged(
         )
 
         def body(lim_ref, tab_ref, *refs):
-            if layered:
-                if quantized:
-                    q_r, k_r, v_r, rp_r, cp_r, ks_r, vs_r, *rest = refs
-                    refs = (q_r, k_r.at[0], v_r.at[0], rp_r, cp_r,
-                            ks_r.at[0], vs_r.at[0], *rest)
-                else:
-                    q_r, k_r, v_r, *rest = refs
-                    refs = (q_r, k_r.at[0], v_r.at[0], *rest)
             _fa_kernel(lim_ref, *refs,
                        sm_scale=float(sm_scale), window=int(window),
                        softcap=float(softcap), quantized=quantized,
@@ -645,37 +602,22 @@ def mha_flash_paged(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """GQA fold + pool views for the paged kernel -> [B, T, H*Dv]."""
-    import os
-
     B, T, H, Dk = q.shape
-    L = kvc.k.shape[0]
-    Hkv = kvc.k.shape[1]
-    Dv = kvc.v.shape[3]
+    Hkv = kvc.k[0].shape[0]
+    Dv = kvc.v[0].shape[2]
     G = H // Hkv
     page, P = kvc.page, kvc.n_pages
-    # whole-pool + static layer index avoids the per-layer pool slice, but
-    # measured on v5e it degrades B>1 batched decode ~10x (XLA copy-insertion
-    # around the donated pool); keep the per-layer slice default until that
-    # is understood — opt in with LLAMA_TPU_LAYERED_FA=1
-    layered = os.environ.get("LLAMA_TPU_LAYERED_FA", "0") == "1"
-    if layered:
-        # whole-pool reshape views + static layer index into the kernel:
-        # slicing kvc.k[li] here materializes a copy per layer per step
-        k4 = kvc.k.reshape(L, Hkv, P, page, Dk)
-        v4 = kvc.v.reshape(L, Hkv, P, page, Dv)
-    else:
-        k4 = kvc.k[li].reshape(Hkv, P, page, Dk)
-        v4 = kvc.v[li].reshape(Hkv, P, page, Dv)
+    # per-layer pool arrays: kvc.k[li] is a plain buffer reference (a
+    # stacked [L, ...] pool would materialize a pool-slice copy per layer
+    # per step here — r4 trace, ~27 us x 2 x n_layers/token)
+    k4 = kvc.k[li].reshape(Hkv, P, page, Dk)
+    v4 = kvc.v[li].reshape(Hkv, P, page, Dv)
     pos3 = kvc.pos.reshape(P, 1, page)
     table_b = kvc.table[seq_idx]
     ks = vs = None
     if kvc.quantized:
-        if layered:
-            ks = kvc.k_scale.reshape(L, Hkv, P, 1, page)
-            vs = kvc.v_scale.reshape(L, Hkv, P, 1, page)
-        else:
-            ks = kvc.k_scale[li].reshape(Hkv, P, 1, page)
-            vs = kvc.v_scale[li].reshape(Hkv, P, 1, page)
+        ks = kvc.k_scale[li].reshape(Hkv, P, 1, page)
+        vs = kvc.v_scale[li].reshape(Hkv, P, 1, page)
     qr = (q.reshape(B, T, Hkv, G, Dk).transpose(0, 2, 3, 1, 4)
           .reshape(B, Hkv, G * T, Dk))
     row_pos = jnp.tile(positions, (1, G))
@@ -686,7 +628,7 @@ def mha_flash_paged(
         qr, k4, v4, row_pos, pos3, table_b,
         sinks=sink_rows, k_scale4=ks, v_scale4=vs,
         sm_scale=sm_scale, window=window, softcap=softcap,
-        page=page, interpret=interpret, layer=int(li) if layered else None,
+        page=page, interpret=interpret,
     )  # [B, Hkv, G*T, Dv]
     return (out.reshape(B, Hkv, G, T, Dv).transpose(0, 3, 1, 2, 4)
             .reshape(B, T, H * Dv))

@@ -49,7 +49,7 @@ def make_mesh(dp: int = 1, tp: int | None = None, devices=None,
 
 _ROW_SHARD = {  # shard output dim (column-parallel in Megatron terms)
     "attn_q", "attn_k", "attn_v", "ffn_gate", "ffn_up", "output",
-    "ffn_gate_shexp", "ffn_up_shexp", "attn_qkv", "ffn_gateup",
+    "ffn_gate_shexp", "ffn_up_shexp", "attn_qkv", "attn_qk", "ffn_gateup",
     "attn_q_b", "attn_kv_b",
 }
 _COL_SHARD = {  # shard input dim (row-parallel: outputs partial, XLA all-reduces)
@@ -148,18 +148,20 @@ def shard_paged_kv(kv, mesh: Mesh):
     from dataclasses import replace as _rp
 
     tp = mesh.shape.get("tp", 1)
-    head_ax = "tp" if kv.k.shape[1] % max(tp, 1) == 0 else None
-    spec = NamedSharding(mesh, P(None, head_ax, None, None))
-    sc_spec = NamedSharding(mesh, P(None, head_ax, None))
+    head_ax = "tp" if kv.k[0].shape[0] % max(tp, 1) == 0 else None
+    spec = NamedSharding(mesh, P(head_ax, None, None))
+    sc_spec = NamedSharding(mesh, P(head_ax, None))
     rep = NamedSharding(mesh, P())
     return _rp(
         kv,
-        k=jax.device_put(kv.k, spec),
-        v=jax.device_put(kv.v, spec),
+        k=tuple(jax.device_put(b, spec) for b in kv.k),
+        v=tuple(jax.device_put(b, spec) for b in kv.v),
         pos=jax.device_put(kv.pos, rep),
         table=jax.device_put(kv.table, rep),
-        k_scale=None if kv.k_scale is None else jax.device_put(kv.k_scale, sc_spec),
-        v_scale=None if kv.v_scale is None else jax.device_put(kv.v_scale, sc_spec),
+        k_scale=None if kv.k_scale is None
+        else tuple(jax.device_put(b, sc_spec) for b in kv.k_scale),
+        v_scale=None if kv.v_scale is None
+        else tuple(jax.device_put(b, sc_spec) for b in kv.v_scale),
     )
 
 

@@ -43,18 +43,23 @@ class KVCacheFull(RuntimeError):
 class PagedKVCache:
     """Page-pool KV storage.
 
-    k, v:      [L, Hkv, S_pool, D]  (S_pool = n_pages * page; int8 if quantized)
+    k, v:      tuple of L arrays [Hkv, S_pool, D] (int8 if quantized;
+               S_pool = n_pages * page). PER-LAYER arrays, not one stacked
+               [L, ...] buffer: every decode layer reads its pool with a
+               static index, and `stacked[il]` in XLA materializes an
+               ~pool-slice copy per layer per step (r4 trace: ~27 us x 2 x
+               32 layers/token); a tuple element is just a buffer reference
     pos:       [S_pool] int32 position label per pool row (-1 = empty)
     table:     [n_seqs, max_pages] int32 page id per (seq, pos // page)
-    k_scale:   [L, Hkv, S_pool] f32 per-row int8 scales (quantized only)
+    k_scale:   tuple of L arrays [Hkv, S_pool] f32 int8 row scales (quantized)
     """
 
-    k: jnp.ndarray
-    v: jnp.ndarray
+    k: tuple
+    v: tuple
     pos: jnp.ndarray
     table: jnp.ndarray
-    k_scale: jnp.ndarray | None = None
-    v_scale: jnp.ndarray | None = None
+    k_scale: tuple | None = None
+    v_scale: tuple | None = None
     page: int = 512
 
     ring = False  # interface parity with KVCache (paged pools never wrap)
@@ -85,22 +90,29 @@ class PagedKVCache:
         head_dim_v = head_dim_v or head_dim_k
         kd = jnp.int8 if quantized else dtype
         s_pool = n_pages * page
+        L = n_layers
         return cls(
-            k=jnp.zeros((n_layers, n_kv_heads, s_pool, head_dim_k), kd),
-            v=jnp.zeros((n_layers, n_kv_heads, s_pool, head_dim_v), kd),
+            k=tuple(jnp.zeros((n_kv_heads, s_pool, head_dim_k), kd)
+                    for _ in range(L)),
+            v=tuple(jnp.zeros((n_kv_heads, s_pool, head_dim_v), kd)
+                    for _ in range(L)),
             pos=jnp.full((s_pool,), -1, jnp.int32),
             table=jnp.full((n_seqs, max_pages), n_pages - 1, jnp.int32),
-            k_scale=jnp.zeros((n_layers, n_kv_heads, s_pool), jnp.float32)
-            if quantized else None,
-            v_scale=jnp.zeros((n_layers, n_kv_heads, s_pool), jnp.float32)
-            if quantized else None,
+            k_scale=tuple(jnp.zeros((n_kv_heads, s_pool), jnp.float32)
+                          for _ in range(L)) if quantized else None,
+            v_scale=tuple(jnp.zeros((n_kv_heads, s_pool), jnp.float32)
+                          for _ in range(L)) if quantized else None,
             page=page,
         )
 
     # ------------------------------------------------------------------
     @property
+    def n_layers(self) -> int:
+        return len(self.k)
+
+    @property
     def n_pages(self) -> int:
-        return self.k.shape[2] // self.page
+        return self.k[0].shape[1] // self.page
 
     @property
     def max_pages(self) -> int:
@@ -113,11 +125,11 @@ class PagedKVCache:
 
     @property
     def trash_slot(self) -> int:
-        return self.k.shape[2] - 1  # last row of the trash page
+        return self.k[0].shape[1] - 1  # last row of the trash page
 
     @property
     def quantized(self) -> bool:
-        return self.k.dtype == jnp.int8
+        return self.k[0].dtype == jnp.int8
 
     def layer_view(self, il: int):
         return self, il
@@ -138,19 +150,28 @@ class PagedKVCache:
         slots = self.slot_of(seq_idx, positions)
         single = int(slots.shape[0]) == 1
 
-        def put(buf, rows):  # rows [N, H, D]; buf [L, Hkv, S_pool, D]
-            if single:
-                upd = rows[0].astype(buf.dtype)[None, :, None]  # [1, H, 1, D]
-                return jax.lax.dynamic_update_slice(
-                    buf, upd, (il, 0, slots[0], 0))
-            return buf.at[il, :, slots].set(rows.astype(buf.dtype))
+        def upd_l(bufs, new_l):  # replace one tuple element (static il)
+            return bufs[:il] + (new_l,) + bufs[il + 1:]
 
-        def put_scale(buf, s):  # s [N, H]; buf [L, Hkv, S_pool]
+        def put(bufs, rows):  # rows [N, H, D]; bufs[il] [Hkv, S_pool, D]
+            buf = bufs[il]
             if single:
-                return jax.lax.dynamic_update_slice(
-                    buf, s[0].astype(buf.dtype)[None, :, None],
-                    (il, 0, slots[0]))
-            return buf.at[il, :, slots].set(s)
+                upd = rows[0].astype(buf.dtype)[:, None]  # [H, 1, D]
+                new_l = jax.lax.dynamic_update_slice(buf, upd, (0, slots[0], 0))
+            else:
+                # buf[:, slots] keeps dims in place -> [H, N, D]
+                new_l = buf.at[:, slots].set(
+                    rows.astype(buf.dtype).swapaxes(0, 1))
+            return upd_l(bufs, new_l)
+
+        def put_scale(bufs, s):  # s [N, H]; bufs[il] [Hkv, S_pool]
+            buf = bufs[il]
+            if single:
+                new_l = jax.lax.dynamic_update_slice(
+                    buf, s[0].astype(buf.dtype)[:, None], (0, slots[0]))
+            else:
+                new_l = buf.at[:, slots].set(s.swapaxes(0, 1))
+            return upd_l(bufs, new_l)
 
         if self.quantized:
             k_q, k_s = _quant_rows(k_new)
@@ -192,15 +213,15 @@ class PagedKVCache:
         -> (k [B, Hkv, S, Dk], v [B, Hkv, S, Dv], slot_pos [B, S])."""
         B = seq_idx.shape[0]
         tb = self.table[seq_idx]  # [B, MP]
-        H = self.k.shape[1]
+        H = self.k[0].shape[0]
 
         def view(buf, d):
             b4 = buf[layer].reshape(H, self.n_pages, self.page, d)
             return (b4[:, tb].transpose(1, 0, 2, 3, 4)
                     .reshape(B, H, -1, d))
 
-        k = view(self.k, self.k.shape[3])
-        v = view(self.v, self.v.shape[3])
+        k = view(self.k, self.k[0].shape[2])
+        v = view(self.v, self.v[0].shape[2])
         if self.quantized:
             def sview(buf):
                 b3 = buf[layer].reshape(H, self.n_pages, self.page)
@@ -228,27 +249,30 @@ class PagedKVCache:
                    ) -> "PagedKVCache":
         """Page-granular content copy (seq_cp support; table row updates are
         the caller's host-side job)."""
-        L, H = self.k.shape[:2]
+        H = self.k[0].shape[0]
 
-        def cp(buf, d):
-            b4 = buf.reshape(L, H, self.n_pages, self.page, d)
-            b4 = b4.at[:, :, dst_pages].set(b4[:, :, src_pages])
+        def cp(buf):  # [H, S_pool, D]
+            d = buf.shape[2]
+            b4 = buf.reshape(H, self.n_pages, self.page, d)
+            b4 = b4.at[:, dst_pages].set(b4[:, src_pages])
             return b4.reshape(buf.shape)
 
-        def cp3(buf):
-            b3 = buf.reshape(L, H, self.n_pages, self.page)
-            b3 = b3.at[:, :, dst_pages].set(b3[:, :, src_pages])
+        def cp3(buf):  # [H, S_pool]
+            b3 = buf.reshape(H, self.n_pages, self.page)
+            b3 = b3.at[:, dst_pages].set(b3[:, src_pages])
             return b3.reshape(buf.shape)
 
         pos2 = self.pos.reshape(self.n_pages, self.page)
         pos2 = pos2.at[dst_pages].set(pos2[src_pages])
         return replace(
             self,
-            k=cp(self.k, self.k.shape[3]),
-            v=cp(self.v, self.v.shape[3]),
+            k=tuple(cp(b) for b in self.k),
+            v=tuple(cp(b) for b in self.v),
             pos=pos2.reshape(-1),
-            k_scale=None if self.k_scale is None else cp3(self.k_scale),
-            v_scale=None if self.v_scale is None else cp3(self.v_scale),
+            k_scale=None if self.k_scale is None
+            else tuple(cp3(b) for b in self.k_scale),
+            v_scale=None if self.v_scale is None
+            else tuple(cp3(b) for b in self.v_scale),
         )
 
     def seq_add(self, seq: int, p0: int, p1: int, delta: int) -> "PagedKVCache":
@@ -289,21 +313,21 @@ class PagedKVCache:
         )
         delta = jnp.where(moved & (new_pos >= 0), -n_discard, 0)  # [S]
 
-        k_new = self.k[:, :, src_rows]  # [L, H, S, Dk]
-        v_new = self.v[:, :, src_rows]
-        if self.quantized:  # dequant -> rotate -> requant (K only)
-            k_new = (k_new.astype(jnp.float32)
-                     * self.k_scale[:, :, src_rows][..., None])
-        if cfg.rope_type != ROPE_TYPE_NONE:
-            # MLA caches rope only the TAIL rope_dims of each head (the k_pe
-            # channel, reference build_rope_shift on MLA caches); standard
-            # caches rope the head's leading rope_dims
-            mla = "kv_lora_rank" in cfg.extra
-            n_rot = cfg.rope_dims
-            rot = []
-            for il in range(k_new.shape[0]):
+        mla = "kv_lora_rank" in cfg.extra
+        n_rot = cfg.rope_dims
+        k_out, v_out, ks_out, vs_out = [], [], [], []
+        for il in range(self.n_layers):
+            k_new = self.k[il][:, src_rows]  # [H, S, Dk]
+            v_new = self.v[il][:, src_rows]
+            if self.quantized:  # dequant -> rotate -> requant (K only)
+                k_new = (k_new.astype(jnp.float32)
+                         * self.k_scale[il][:, src_rows][..., None])
+            if cfg.rope_type != ROPE_TYPE_NONE:
+                # MLA caches rope only the TAIL rope_dims of each head (the
+                # k_pe channel, reference build_rope_shift on MLA caches);
+                # standard caches rope the head's leading rope_dims
                 rp = _rope_params(cfg, il)
-                x = k_new[il].transpose(1, 0, 2)  # [S, H, D]
+                x = k_new.transpose(1, 0, 2)  # [S, H, D]
                 if mla:
                     from dataclasses import replace as _rp
 
@@ -312,26 +336,28 @@ class PagedKVCache:
                     x = jnp.concatenate([x[..., :-n_rot], tail], axis=-1)
                 else:
                     x = apply_rope(x, delta, rp)
-                rot.append(x.transpose(1, 0, 2))
-            k_new = jnp.stack(rot)
-        k_new = jnp.where((new_pos >= 0)[None, None, :, None], k_new, 0)
+                k_new = x.transpose(1, 0, 2)
+            k_new = jnp.where((new_pos >= 0)[None, :, None], k_new, 0)
 
-        if self.quantized:
-            k_q, k_s = _quant_rows(k_new)  # [L, H, S, D] -> q + [L, H, S]
-            return replace(
-                self,
-                k=self.k.at[:, :, rows].set(k_q),
-                v=self.v.at[:, :, rows].set(v_new),
-                pos=self.pos.at[rows].set(new_pos),
-                k_scale=self.k_scale.at[:, :, rows].set(k_s),
-                v_scale=self.v_scale.at[:, :, rows].set(
-                    self.v_scale[:, :, src_rows]),
-            )
+            if self.quantized:
+                k_q, k_s = _quant_rows(k_new)  # [H, S, D] -> q + [H, S]
+                k_out.append(self.k[il].at[:, rows].set(k_q))
+                v_out.append(self.v[il].at[:, rows].set(v_new))
+                ks_out.append(self.k_scale[il].at[:, rows].set(k_s))
+                vs_out.append(self.v_scale[il].at[:, rows].set(
+                    self.v_scale[il][:, src_rows]))
+            else:
+                k_out.append(self.k[il].at[:, rows].set(
+                    k_new.astype(self.k[il].dtype)))
+                v_out.append(self.v[il].at[:, rows].set(
+                    v_new.astype(self.v[il].dtype)))
         return replace(
             self,
-            k=self.k.at[:, :, rows].set(k_new.astype(self.k.dtype)),
-            v=self.v.at[:, :, rows].set(v_new.astype(self.v.dtype)),
+            k=tuple(k_out),
+            v=tuple(v_out),
             pos=self.pos.at[rows].set(new_pos),
+            k_scale=tuple(ks_out) if self.quantized else None,
+            v_scale=tuple(vs_out) if self.quantized else None,
         )
 
 

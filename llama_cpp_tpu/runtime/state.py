@@ -245,12 +245,14 @@ def _paged_extract(ctx, seq: int, prefix: str, kvc=None) -> dict:
     rows = rows[occ]
     out = {
         prefix + "positions": pos[occ],
-        prefix + "k": _pack(kvc.k[:, :, rows]),  # [L, H, n, Dk]
-        prefix + "v": _pack(kvc.v[:, :, rows]),
-    }
+        prefix + "k": _pack(jnp.stack([kl[:, rows] for kl in kvc.k])),
+        prefix + "v": _pack(jnp.stack([vl[:, rows] for vl in kvc.v])),
+    }  # [L, H, n, Dk]
     if kvc.quantized:
-        out[prefix + "k_scale"] = np.asarray(kvc.k_scale[:, :, rows])
-        out[prefix + "v_scale"] = np.asarray(kvc.v_scale[:, :, rows])
+        out[prefix + "k_scale"] = np.asarray(
+            jnp.stack([s[:, rows] for s in kvc.k_scale]))
+        out[prefix + "v_scale"] = np.asarray(
+            jnp.stack([s[:, rows] for s in kvc.v_scale]))
     return out
 
 
@@ -271,19 +273,25 @@ def _paged_inject(ctx, seq: int, z, prefix: str, kvc=None):
         kvc = ctx.kv.kv
     pg = ctx.alloc.table[seq, positions // kvc.page]
     slots = jnp.asarray(pg * kvc.page + positions % kvc.page, jnp.int32)
+    k_in = _unpack(z[prefix + "k"], kvc.k[0].dtype)  # [L, H, n, Dk]
+    v_in = _unpack(z[prefix + "v"], kvc.v[0].dtype)
     new = replace(
         kvc,
-        k=kvc.k.at[:, :, slots].set(_unpack(z[prefix + "k"], kvc.k.dtype)),
-        v=kvc.v.at[:, :, slots].set(_unpack(z[prefix + "v"], kvc.v.dtype)),
+        k=tuple(kl.at[:, slots].set(k_in[il])
+                for il, kl in enumerate(kvc.k)),
+        v=tuple(vl.at[:, slots].set(v_in[il])
+                for il, vl in enumerate(kvc.v)),
         pos=kvc.pos.at[slots].set(jnp.asarray(positions, jnp.int32)),
     )
     if kvc.quantized:
+        ks_in = jnp.asarray(z[prefix + "k_scale"])
+        vs_in = jnp.asarray(z[prefix + "v_scale"])
         new = replace(
             new,
-            k_scale=kvc.k_scale.at[:, :, slots].set(
-                jnp.asarray(z[prefix + "k_scale"])),
-            v_scale=kvc.v_scale.at[:, :, slots].set(
-                jnp.asarray(z[prefix + "v_scale"])),
+            k_scale=tuple(s.at[:, slots].set(ks_in[il])
+                          for il, s in enumerate(kvc.k_scale)),
+            v_scale=tuple(s.at[:, slots].set(vs_in[il])
+                          for il, s in enumerate(kvc.v_scale)),
         )
     return new
 

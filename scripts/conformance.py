@@ -206,9 +206,91 @@ def sweep_flash_paged_holes(rows, quick=False):
                      f"B{B}H{H}R{R}D{D}p{page}d{depth}", e, e < 5e-3))
 
 
+def _pack_halfsplit(u):
+    """[K, O] uint8 nibbles -> [K/2, O] packed: row k low, row k + K/2 high
+    (the ops/qtensor.QuantTensor packed pairing)."""
+    half = u.shape[0] // 2
+    return (u[:half] | (u[half:] << 4)).astype(np.uint8)
+
+
+def _hier_factor(rng, K, O, g, lo, hi, sgroup=256):
+    """Synth hierarchical scales: int8 sub x f32 per-superblock d, plus the
+    equivalent flat f32 plane for the oracle."""
+    sub = rng.integers(1, 64, size=(K // g, O)).astype(np.int8)
+    d = rng.uniform(lo, hi, size=(K // sgroup, O)).astype(np.float32)
+    flat = sub.astype(np.float32) * np.repeat(d, sgroup // g, axis=0)
+    return sub, d, flat
+
+
+def sweep_flash_paged_variants(rows, quick=False):
+    """Paged flash branch coverage the product actually ships: int8 KV with
+    per-row scales (the serving default), the MLA absorbed-latent shape
+    (Hkv=1, Dk=576, Dv=512 — reference deepseek2 MLA cache layout), and the
+    non-fold branch (KV page tile > the fold VMEM budget forces the
+    per-head grid, flash_attn.py `fold`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cpp_tpu.ops.pallas.flash_attn import flash_attention_paged
+
+    interp = jax.default_backend() not in ("tpu",)
+    rng = np.random.default_rng(11)
+    #       label            B  H   R  Dk   Dv  page np mp depth  int8
+    cases = [("int8-fold",    2, 8,  8, 128, 128, 256, 13, 6, 1200, True),
+             ("int8-nonfold", 1, 16, 8, 256, 256, 1024, 7, 4, 3000, True),
+             ("bf16-nonfold", 1, 8, 16, 256, 256, 1024, 7, 4, 3000, False),
+             ("mla-576",      2, 1, 16, 576, 512, 256, 13, 8, 1800, False),
+             ("mla-576-int8", 2, 1, 16, 576, 512, 256, 13, 8, 1800, True)]
+    if quick:
+        cases = cases[:2]
+    for label, B, H, R, Dk, Dv, page, npages, mp, depth, int8 in cases:
+        k4 = rng.standard_normal((H, npages, page, Dk)).astype(np.float32)
+        v4 = rng.standard_normal((H, npages, page, Dv)).astype(np.float32)
+        ks = vs = None
+        if int8:
+            ks = (np.abs(k4).max(-1) / 127.0).astype(np.float32)
+            vs = (np.abs(v4).max(-1) / 127.0).astype(np.float32)
+            k4 = np.round(k4 / ks[..., None]).astype(np.int8)
+            v4 = np.round(v4 / vs[..., None]).astype(np.int8)
+        pos2 = np.full((npages, page), -1, np.int32)
+        table = np.full((B, mp), npages - 1, np.int32)
+        perm = rng.permutation(npages - 1)
+        pi = 0
+        for b in range(B):
+            for j in range(-(-depth // page)):
+                pg = int(perm[pi]); pi += 1
+                table[b, j] = pg
+                n = min(page, depth - j * page)
+                pos2[pg, :n] = np.arange(j * page, j * page + n)
+        q = rng.standard_normal((B, H, R, Dk)).astype(np.float32)
+        row_pos = np.tile(np.arange(depth - R, depth, dtype=np.int32), (B, 1))
+        got = flash_attention_paged(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(k4), jnp.asarray(v4),
+            jnp.asarray(row_pos), jnp.asarray(pos2.reshape(npages, 1, page)),
+            jnp.asarray(table),
+            k_scale4=None if ks is None
+            else jnp.asarray(ks.reshape(H, npages, 1, page)),
+            v_scale4=None if vs is None
+            else jnp.asarray(vs.reshape(H, npages, 1, page)),
+            sm_scale=1.0 / Dk**0.5, page=page, interpret=interp)
+        kk = k4[:, table].transpose(1, 0, 2, 3, 4).reshape(B, H, mp * page, Dk)
+        vv = v4[:, table].transpose(1, 0, 2, 3, 4).reshape(B, H, mp * page, Dv)
+        cp = pos2[table].reshape(B, mp * page)
+        kse = vse = None
+        if int8:
+            kse = ks[:, table].transpose(1, 0, 2, 3).reshape(B, H, mp * page)
+            vse = vs[:, table].transpose(1, 0, 2, 3).reshape(B, H, mp * page)
+        want = ref_attention(q, kk, vv, row_pos, cp, 1.0 / Dk**0.5,
+                             k_scale=kse, v_scale=vse)
+        e = nmse(np.asarray(got), want)
+        rows.append(("flash_attn_paged", label, e, e < 5e-3))
+
+
 def sweep_qmm4(rows, quick=False):
     """Nibble-packed int4 kernel — the kernel the headline bench ships
-    (VERDICT r2 weak #4: previously interpret-validated only)."""
+    (VERDICT r2 weak #4: previously interpret-validated only). Covers the
+    half-split packing and the hierarchical (int8 sub-scales x superblock d)
+    variants for decode and prefill grids."""
     import jax
     import jax.numpy as jnp
 
@@ -216,41 +298,75 @@ def sweep_qmm4(rows, quick=False):
 
     interp = jax.default_backend() not in ("tpu",)
     rng = np.random.default_rng(5)
-    shapes = [(8, 512, 512, 32), (8, 1024, 256, 32), (16, 512, 256, 16)]
+    shapes = [(8, 512, 512, 32), (8, 1024, 256, 32), (16, 512, 256, 16),
+              (8, 4096, 1024, 32)]
     if quick:
         shapes = shapes[:1]
     for N, K, O, g in shapes:
         for mins in (False, True):
+            for hier in ((False, True) if K % 512 == 0 else (False,)):
+                u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
+                packed = _pack_halfsplit(u)
+                x = rng.standard_normal((N, K)).astype(np.float32)
+                if hier:
+                    sub, d, sc_flat = _hier_factor(rng, K, O, g, 0.001, 0.002)
+                    mn_args: tuple = (None, None, None)
+                    mn_flat = None
+                    if mins:
+                        subm, dm, mn_flat = _hier_factor(
+                            rng, K, O, g, -0.01, -0.002)
+                        mn_args = (jnp.asarray(subm), jnp.asarray(d),
+                                   jnp.asarray(dm))
+                    got = qmm4_planes(
+                        jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed),
+                        jnp.asarray(sub), mn_args[0], jnp.asarray(d),
+                        mn_args[2], group=g, interpret=interp)
+                    w = np.repeat(sc_flat, g, axis=0) * u
+                    if mn_flat is not None:
+                        w = w + np.repeat(mn_flat, g, axis=0)
+                else:
+                    sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(
+                        np.float32)
+                    mn = (rng.uniform(-0.1, 0.0, size=(K // g, O)).astype(
+                        np.float32) if mins else None)
+                    got = qmm4_planes(
+                        jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed),
+                        jnp.asarray(sc),
+                        None if mn is None else jnp.asarray(mn),
+                        group=g, interpret=interp)
+                    w = np.repeat(sc, g, axis=0) * u
+                    if mn is not None:
+                        w = w + np.repeat(mn, g, axis=0)
+                want = x @ w
+                e = nmse(np.asarray(got), want)
+                rows.append((
+                    "qmm4_planes",
+                    f"N{N}K{K}O{O}g{g}{'m' if mins else ''}"
+                    f"{'h' if hier else ''}", e, e < 5e-3))
+    # prefill-shaped dequant-hoisted variant (flat + hier)
+    for N, K, O, g in ([(512, 1024, 512, 32)] if quick
+                       else [(512, 1024, 512, 32), (1024, 4096, 512, 32)]):
+        for hier in (False, True):
             u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
-            packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
-            sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
-            mn = (rng.uniform(-0.1, 0.0, size=(K // g, O)).astype(np.float32)
-                  if mins else None)
+            packed = _pack_halfsplit(u)
             x = rng.standard_normal((N, K)).astype(np.float32)
-            got = qmm4_planes(jnp.asarray(x, jnp.bfloat16),
-                              jnp.asarray(packed), jnp.asarray(sc),
-                              None if mn is None else jnp.asarray(mn),
-                              group=g, interpret=interp)
-            w = np.repeat(sc, g, axis=0) * u
-            if mn is not None:
-                w = w + np.repeat(mn, g, axis=0)
-            want = x @ w
+            if hier:
+                sub, d, sc_flat = _hier_factor(rng, K, O, g, 0.001, 0.002)
+                got = qmm4_planes_prefill(
+                    jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed),
+                    jnp.asarray(sub), None, jnp.asarray(d),
+                    group=g, interpret=interp)
+            else:
+                sc_flat = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(
+                    np.float32)
+                got = qmm4_planes_prefill(
+                    jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed),
+                    jnp.asarray(sc_flat), None, group=g, interpret=interp)
+            want = x @ (np.repeat(sc_flat, g, axis=0) * u)
             e = nmse(np.asarray(got), want)
-            rows.append(("qmm4_planes",
-                         f"N{N}K{K}O{O}g{g}{'m' if mins else ''}",
+            rows.append(("qmm4_prefill",
+                         f"N{N}K{K}O{O}g{g}{'h' if hier else ''}",
                          e, e < 5e-3))
-    # prefill-shaped dequant-hoisted variant
-    N, K, O, g = (512, 1024, 512, 32)
-    u = rng.integers(0, 16, size=(K, O)).astype(np.uint8)
-    packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
-    sc = rng.uniform(0.005, 0.02, size=(K // g, O)).astype(np.float32)
-    x = rng.standard_normal((N, K)).astype(np.float32)
-    got = qmm4_planes_prefill(jnp.asarray(x, jnp.bfloat16),
-                              jnp.asarray(packed), jnp.asarray(sc), None,
-                              group=g, interpret=interp)
-    want = x @ (np.repeat(sc, g, axis=0) * u)
-    e = nmse(np.asarray(got), want)
-    rows.append(("qmm4_prefill", f"N{N}K{K}O{O}g{g}", e, e < 5e-3))
 
 
 def sweep_qmm_prefill(rows, quick=False):
@@ -284,6 +400,18 @@ def sweep_qmm_prefill(rows, quick=False):
             rows.append(("qmm_prefill",
                          f"N{N}K{K}O{O}g{g}{'m' if mins else ''}",
                          e, e < 5e-3))
+    # hierarchical-scales prefill (Q6_K-style group 16, no mins)
+    for N, K, O, g in ([(512, 1024, 256, 16)] if quick
+                       else [(512, 1024, 256, 16), (1024, 4096, 512, 16)]):
+        q = rng.integers(-32, 32, size=(K, O)).astype(np.int8)
+        sub, d, sc_flat = _hier_factor(rng, K, O, g, 0.0005, 0.001)
+        x = rng.standard_normal((N, K)).astype(np.float32)
+        got = qmm_planes_prefill(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(q), jnp.asarray(sub),
+            None, jnp.asarray(d), group=g, interpret=interp)
+        want = x @ (np.repeat(sc_flat, g, axis=0) * q)
+        e = nmse(np.asarray(got), want)
+        rows.append(("qmm_prefill", f"N{N}K{K}O{O}g{g}h", e, e < 5e-3))
 
 
 def sweep_qmm(rows, quick=False):
@@ -315,6 +443,20 @@ def sweep_qmm(rows, quick=False):
             e = nmse(np.asarray(got), want)
             rows.append(("qmm_planes", f"N{N}K{K}O{O}g{g}{'m' if mins else ''}",
                          e, e < 5e-3))
+    # hierarchical-scales decode GEMV (Q6_K-style group 16; the real 8B
+    # v/attn_output shapes stream through this path)
+    for N, K, O, g in ([(8, 512, 256, 16)] if quick
+                       else [(8, 512, 256, 16), (8, 4096, 1024, 16),
+                             (8, 14336, 512, 16)]):
+        q = rng.integers(-32, 32, size=(K, O)).astype(np.int8)
+        sub, d, sc_flat = _hier_factor(rng, K, O, g, 0.0005, 0.001)
+        x = rng.standard_normal((N, K)).astype(np.float32)
+        got = qmm_planes(jnp.asarray(x, jnp.bfloat16), jnp.asarray(q),
+                         jnp.asarray(sub), None, jnp.asarray(d),
+                         group=g, interpret=interp)
+        want = x @ (np.repeat(sc_flat, g, axis=0) * q)
+        e = nmse(np.asarray(got), want)
+        rows.append(("qmm_planes", f"N{N}K{K}O{O}g{g}h", e, e < 5e-3))
     # indexed-expert kernel
     E, K, O, g, Rr = 8, 512, 256, 32, 16
     q = rng.integers(-8, 8, size=(E, K, O)).astype(np.int8)
@@ -344,6 +486,7 @@ def main():
     sweep_flash(rows, args.quick)
     sweep_flash_paged(rows, args.quick)
     sweep_flash_paged_holes(rows, args.quick)
+    sweep_flash_paged_variants(rows, args.quick)
     sweep_qmm(rows, args.quick)
     sweep_qmm4(rows, args.quick)
     sweep_qmm_prefill(rows, args.quick)

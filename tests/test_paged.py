@@ -92,9 +92,9 @@ def test_kv_total_bounds_memory(model):
     exhaustion raises (reference FAILED_PREPARE analog)."""
     ctx = Context(model, n_ctx=128, n_seqs=8, kv_total=256)
     # pool rows = ceil(kv_total / page) pages + one trash page
-    assert ctx.kv.k.shape[2] == (-(-256 // ctx.page) + 1) * ctx.page
+    assert ctx.kv.k[0].shape[1] == (-(-256 // ctx.page) + 1) * ctx.page
     # far below the identity layout's n_seqs * n_slots rows
-    assert ctx.kv.k.shape[2] < 8 * ctx.n_slots
+    assert ctx.kv.k[0].shape[1] < 8 * ctx.n_slots
     ctx.prefill(list(range(1, 100)), seq=0)
     with pytest.raises(KVCacheFull):
         for s in range(1, 8):
