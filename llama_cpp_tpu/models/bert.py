@@ -194,9 +194,11 @@ def forward(
         up = matmul(x, lw["ffn_up"], dtype=jnp.float32)
         if "ffn_up_bias" in lw:
             up = up + lw["ffn_up_bias"]
-        if "ffn_gate" in lw:  # jina GLU variants
+        if "ffn_gate" in lw:
+            # gated-PAR variants: jina-v2 GEGLU (cfg.act gelu) and plain
+            # nomic-bert SiLU-PAR (bert.cpp:209-213 final else branch)
             gate = matmul(x, lw["ffn_gate"], dtype=jnp.float32)
-            h = jax.nn.gelu(gate, approximate=True) * up
+            h = act_fn(gate) * up
         elif cfg.n_ff and up.shape[-1] == 2 * cfg.n_ff:
             # jina-bert-v2 up-contains-gate GEGLU (bert.cpp:200
             # up_contains_gate: gelu(first half) * second half)

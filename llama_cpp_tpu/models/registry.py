@@ -605,9 +605,11 @@ def _modern_bert(cfg: ModelConfig, md) -> ModelConfig:
 
 @register("nomic-bert")
 def _nomic_bert(cfg: ModelConfig, md) -> ModelConfig:
+    """Plain nomic-bert: NEOX rope (bert.cpp:138) and a gated SiLU-PAR FFN
+    (bert.cpp:209-213 final else branch — NOT the BERT GELU path)."""
     cfg.extra["encoder"] = True
     return cfg.with_(rope_type=ROPE_TYPE_NEOX, use_rms_norm=False,
-                     act="gelu", glu=False)
+                     act="silu", glu=True)
 
 
 @register("rwkv6")

@@ -239,11 +239,12 @@ def sweep_flash_paged_variants(rows, quick=False):
     cases = [("int8-fold",    2, 8,  8, 128, 128, 256, 13, 6, 1200, True),
              ("int8-nonfold", 1, 16, 8, 256, 256, 1024, 7, 4, 3000, True),
              ("bf16-nonfold", 1, 8, 16, 256, 256, 1024, 7, 4, 3000, False),
-             ("mla-576",      2, 1, 16, 576, 512, 256, 13, 8, 1800, False),
-             ("mla-576-int8", 2, 1, 16, 576, 512, 256, 13, 8, 1800, True)]
+             ("mla-576",      2, 1, 16, 576, 512, 256, 17, 8, 1800, False),
+             ("mla-576-int8", 2, 1, 16, 576, 512, 256, 17, 8, 1800, True)]
     if quick:
         cases = cases[:2]
     for label, B, H, R, Dk, Dv, page, npages, mp, depth, int8 in cases:
+        assert B * -(-depth // page) <= npages - 1, (label, "pool too small")
         k4 = rng.standard_normal((H, npages, page, Dk)).astype(np.float32)
         v4 = rng.standard_normal((H, npages, page, Dv)).astype(np.float32)
         ks = vs = None
@@ -299,7 +300,7 @@ def sweep_qmm4(rows, quick=False):
     interp = jax.default_backend() not in ("tpu",)
     rng = np.random.default_rng(5)
     shapes = [(8, 512, 512, 32), (8, 1024, 256, 32), (16, 512, 256, 16),
-              (8, 4096, 1024, 32)]
+              (8, 4096, 1024, 32), (8, 2048, 512, 32)]
     if quick:
         shapes = shapes[:1]
     for N, K, O, g in shapes:
@@ -422,7 +423,8 @@ def sweep_qmm(rows, quick=False):
 
     interp = jax.default_backend() not in ("tpu",)
     rng = np.random.default_rng(2)
-    shapes = [(8, 512, 512, 32), (64, 1024, 512, 32), (8, 512, 256, 16)]
+    shapes = [(8, 512, 512, 32), (64, 1024, 512, 32), (8, 512, 256, 16),
+              (8, 2048, 1024, 32), (16, 4096, 512, 32)]
     if quick:
         shapes = shapes[:1]
     for N, K, O, g in shapes:
@@ -447,7 +449,8 @@ def sweep_qmm(rows, quick=False):
     # v/attn_output shapes stream through this path)
     for N, K, O, g in ([(8, 512, 256, 16)] if quick
                        else [(8, 512, 256, 16), (8, 4096, 1024, 16),
-                             (8, 14336, 512, 16)]):
+                             (8, 14336, 512, 16), (8, 1024, 512, 16),
+                             (16, 2048, 256, 16), (8, 4096, 4096, 32)]):
         q = rng.integers(-32, 32, size=(K, O)).astype(np.int8)
         sub, d, sc_flat = _hier_factor(rng, K, O, g, 0.0005, 0.001)
         x = rng.standard_normal((N, K)).astype(np.float32)

@@ -1262,3 +1262,96 @@ def test_nomic_bert_moe_numeric(tmp_path):
     want = x.mean(axis=0)
     got = ours_embed(p, toks)
     np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
+
+
+def test_dream_numeric(tmp_path):
+    # src/models/dream.cpp: qwen2-style graph (separate q/k/v with biases,
+    # NEOX rope, swiglu) with FULL bidirectional attention (diffusion LM,
+    # build_attn_inp_no_cache non-causal)
+    w = _writer("dream")
+    _common(w)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_norm.weight", E, ones=True)
+        emit(w, b + "attn_q.weight", H * HD, E)
+        emit(w, b + "attn_q.bias", H * HD, scale=0.05)
+        emit(w, b + "attn_k.weight", HKV * HD, E)
+        emit(w, b + "attn_k.bias", HKV * HD, scale=0.05)
+        emit(w, b + "attn_v.weight", HKV * HD, E)
+        emit(w, b + "attn_v.bias", HKV * HD, scale=0.05)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "ffn_norm.weight", E, ones=True)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    check(p, dense_forward(md, ws, TOKENS,
+                           {"rope": "neox", "causal": False}))
+
+
+def test_llada_numeric(tmp_path):
+    # src/models/llada.cpp: llama graph (separate q/k/v, no biases, NORM
+    # rope) with FULL bidirectional attention
+    w = _writer("llada")
+    _common(w)
+    for i, b in _dense_layers(w):
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    check(p, dense_forward(md, ws, TOKENS,
+                           {"rope": "norm", "causal": False}))
+
+
+def test_nomic_bert_numeric(tmp_path):
+    # src/models/bert.cpp plain NOMIC_BERT branches: fused qkv (no bias),
+    # NEOX rope (bert.cpp:138), LN post-norms, gated SiLU-PAR FFN
+    # (bert.cpp:209-213 final else), non-causal encoder
+    w = _writer("nomic-bert", extra_md={
+        "!tokenizer.ggml.token_type_count": np.uint32(2)})
+    qkv_n = H * HD + 2 * (HKV * HD)
+    emit(w, "token_embd.weight", V, E, scale=0.05)
+    emit(w, "token_types.weight", 2, E, scale=0.05)
+    emit(w, "token_embd_norm.weight", E, ones=True)
+    emit(w, "token_embd_norm.bias", E, scale=0.01)
+    for i in range(L):
+        b = f"blk.{i}."
+        emit(w, b + "attn_qkv.weight", qkv_n, E)
+        emit(w, b + "attn_output.weight", E, H * HD)
+        emit(w, b + "attn_output_norm.weight", E, ones=True)
+        emit(w, b + "attn_output_norm.bias", E, scale=0.01)
+        emit(w, b + "ffn_gate.weight", FF, E)
+        emit(w, b + "ffn_up.weight", FF, E)
+        emit(w, b + "ffn_down.weight", E, FF)
+        emit(w, b + "layer_output_norm.weight", E, ones=True)
+        emit(w, b + "layer_output_norm.bias", E, scale=0.01)
+    p = str(tmp_path / "m.gguf")
+    w.write(p)
+    md, ws = load_f64(p)
+    toks = TOKENS[:12]
+    pos = np.arange(len(toks))
+    x = ws["token_embd.weight"][toks] + ws["token_types.weight"][0]
+    x = orc.layer_norm(x, ws["token_embd_norm.weight"],
+                       ws["token_embd_norm.bias"])
+    for il in range(L):
+        b = f"blk.{il}."
+        q, k, v = qkv(x, ws, b, H, HKV, HD)
+        q = rope(q, pos, HD, "neox")
+        k = rope(k, pos, HD, "neox")
+        att = attention(q, k, v, scale=HD ** -0.5, n_head_kv=HKV,
+                        causal=False)
+        att = att @ ws[b + "attn_output.weight"].T
+        x = orc.layer_norm(att + x, ws[b + "attn_output_norm.weight"],
+                           ws[b + "attn_output_norm.bias"])
+        h = silu(x @ ws[b + "ffn_gate.weight"].T) * (
+            x @ ws[b + "ffn_up.weight"].T)
+        y = h @ ws[b + "ffn_down.weight"].T
+        x = orc.layer_norm(x + y, ws[b + "layer_output_norm.weight"],
+                           ws[b + "layer_output_norm.bias"])
+    want = x.mean(axis=0)
+    got = ours_embed(p, toks)
+    np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
