@@ -390,17 +390,38 @@ def load_model(
     fuse: bool = True,
 ) -> Model:
     """Load a GGUF model. `device_put(name, host_weight)` lets the parallel
-    layer inject shardings per tensor; default is plain device placement."""
+    layer inject shardings per tensor; default is plain device placement.
+
+    The load is transfer-pipelined: every host->device put and extract
+    program dispatches asynchronously (no per-tensor sync — the whole load
+    runs at host-link bandwidth), and the device repack programs compile on
+    a background thread ahead of the stream (scan of the tensor index)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    phase_log = log.info if _load_log_enabled() else (lambda *a: None)
     f = read_gguf(path)
     cfg = ModelConfig.from_gguf(f.metadata)
     cfg = apply_arch(cfg, f.metadata)
     cfg.compute_dtype = dense_dtype
+    phase_log("load: gguf index+metadata %.2fs", _time.perf_counter() - t0)
 
+    if device_put is None:
+        from ..quant.device_repack import precompile_extractors
+
+        precompile_thread = precompile_extractors(
+            f, prefer_quant=prefer_quant, dense_dtype=dense_dtype)
+    else:
+        precompile_thread = None
+
+    t1 = _time.perf_counter()
     tokenizer = None
     try:
         tokenizer = Tokenizer.from_gguf(f.metadata)
     except (ValueError, KeyError) as e:
         log.warning("no tokenizer loaded: %s", e)
+    phase_log("load: tokenizer %.2fs", _time.perf_counter() - t1)
+    t1 = _time.perf_counter()
 
     layers: list[dict[str, Weight]] = [dict() for _ in range(cfg.n_layers)]
     params: dict[str, Any] = {"layers": layers}
@@ -484,6 +505,14 @@ def load_model(
         n_done += 1
         if progress:
             progress(n_done / total)
+
+    phase_log("load: tensor stream (%d tensors, async) %.2fs",
+              n_done, _time.perf_counter() - t1)
+    t1 = _time.perf_counter()
+    # no join on the precompile thread: any extractor it hasn't finished was
+    # already dispatched lazily by the stream (jit's per-entry lock
+    # serializes the straggler), and the fuse/pad phase below overlaps it
+    del precompile_thread
 
     # nanbeige looped layers: only the physical stack carries tensors; the
     # trailing logical slots are filled by replication below
@@ -579,7 +608,16 @@ def load_model(
                 and hw.q.ndim == 2 and hw.q.shape[1] % 1024
                 and hw.q.shape[1] >= 16384):
             params[hk] = pad_out_features(hw)
+    phase_log("load: fuse/fold/pad %.2fs (total %.2fs; device work may "
+              "still be in flight)", _time.perf_counter() - t1,
+              _time.perf_counter() - t0)
     return Model(cfg, params, tokenizer, f)
+
+
+def _load_log_enabled() -> bool:
+    import os
+
+    return bool(os.environ.get("LLAMA_LOAD_LOG"))
 
 
 def _split_gateup_exps(w):

@@ -260,6 +260,15 @@ DEVICE_DENSE_TYPES = frozenset(
     {GGMLType.F32, GGMLType.F16, GGMLType.BF16} | DEVICE_QUANT_TYPES)
 
 
+def _hier_pack4(dtype: GGMLType, shape: tuple, pack4: bool) -> bool:
+    """Static (host-side) packing predicate for the hier extractor. MUST
+    stay host-computable: returning it from the jit would force a
+    device->host sync per tensor, which over the high-latency host link
+    serializes every transfer behind the previous extract (the round-4
+    175 s load regression — see scripts/profile_load.py)."""
+    return bool(pack4 and dtype in _PACK_OFF and shape[1] % 512 == 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("dtype", "shape", "pack4"),
 )
@@ -280,8 +289,7 @@ def _extract_hier_jit(raw: jnp.ndarray, *, dtype: GGMLType, shape: tuple,
     dT = jnp.broadcast_to(d.reshape(nb, 1), (nb, 1)).reshape(O, K // 256).T
     submT = None if subm is None else subm.reshape(O, K // g).astype(jnp.int8).T
     dmT = None if dm is None else dm.reshape(O, K // 256).T
-    packed = False
-    if pack4 and dtype in _PACK_OFF and K % 512 == 0:
+    if _hier_pack4(dtype, shape, pack4):
         off = _PACK_OFF[dtype]
         u = (qT + off).astype(jnp.uint8) if off else qT.astype(jnp.uint8)
         half = u.shape[0] // 2  # half-split pairing
@@ -290,8 +298,7 @@ def _extract_hier_jit(raw: jnp.ndarray, *, dtype: GGMLType, shape: tuple,
         if off:
             submT = subT
             dmT = -float(off) * dT
-        packed = True
-    return qT, subT, dT, submT, dmT, packed
+    return qT, subT, dT, submT, dmT
 
 
 @functools.partial(
@@ -346,6 +353,77 @@ def _dense_jit(raw: jnp.ndarray, *, dtype: GGMLType, shape: tuple, out_dtype):
     return w.reshape(shape).astype(out_dtype)
 
 
+def precompile_extractors(gguf_file, *, prefer_quant: bool, dense_dtype):
+    """Compile the extract programs for every distinct (dtype, shape) in the
+    file's tensor index on a background thread, ahead of the transfer
+    stream. Compiles are host-CPU work; the stream is link-bandwidth work —
+    overlapping them hides the cold-cache compile cost (~1 s per program).
+    Returns the started thread (join before touching the params pytree)."""
+    import threading
+
+    from ..ops.qtensor import _PACK4
+
+    if jax.default_backend() != "tpu":
+        t = threading.Thread(target=lambda: None)
+        t.start()
+        return t
+
+    seen = set()
+    jobs = []
+    for name, info in gguf_file.tensors.items():
+        dense = len(info.shape) == 1
+        try:
+            dtype = GGMLType(info.dtype)
+        except ValueError:
+            continue
+        shape = tuple(info.shape)
+        quant_ok = (prefer_quant and not dense and dtype in DEVICE_QUANT_TYPES
+                    and shape[-1] % 256 == 0)
+        transpose = not dense and len(shape) >= 2 and "embd" not in name
+        if quant_ok and transpose and len(shape) == 2 \
+                and shape[-1] % 512 == 0 and dtype in _EXTRACT_H:
+            key = ("h", dtype, shape)
+            fn, kw = _extract_hier_jit, dict(dtype=dtype, shape=shape,
+                                             pack4=_PACK4)
+        elif quant_ok:
+            do_pack = (_PACK4 and transpose and len(shape) == 2
+                       and dtype in _PACK_OFF and shape[-1] % 2 == 0)
+            key = ("x", dtype, shape, transpose, do_pack)
+            fn, kw = _extract_jit, dict(dtype=dtype, shape=shape,
+                                        transpose=transpose, pack4=do_pack)
+        elif dtype in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            key = ("d", dtype, shape)
+            fn, kw = _dense_jit, dict(dtype=dtype, shape=shape,
+                                      out_dtype=jnp.float32 if dense
+                                      else dense_dtype)
+        else:
+            continue
+        if key in seen:
+            continue
+        seen.add(key)
+        layout = GGML_BLOCK_LAYOUT.get(dtype)
+        if layout is not None:
+            n = 1
+            for s in shape:
+                n *= s
+            nbytes = n // layout.block_size * layout.type_size
+        else:
+            nbytes = 0
+        jobs.append((fn, nbytes, kw))
+
+    def run():
+        for fn, nbytes, kw in jobs:
+            try:
+                spec = jax.ShapeDtypeStruct((nbytes,), jnp.uint8)
+                fn.lower(spec, **kw).compile()
+            except Exception:  # best-effort: stream compiles lazily anyway
+                pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
 def device_load_weight(raw: np.ndarray, ggml_dtype: GGMLType,
                        shape: tuple[int, ...], *, prefer_quant: bool,
                        dense_dtype, transpose: bool, pack4: bool):
@@ -364,11 +442,12 @@ def device_load_weight(raw: np.ndarray, ggml_dtype: GGMLType,
     if (quant_ok and transpose and len(shape) == 2
             and shape[-1] % 512 == 0 and dtype in _EXTRACT_H):
         raw_d = jax.device_put(np.frombuffer(raw, dtype=np.uint8))
-        q, sub, d, subm, dm, packed = _extract_hier_jit(
+        q, sub, d, subm, dm = _extract_hier_jit(
             raw_d, dtype=dtype, shape=tuple(shape), pack4=pack4)
         return QuantTensor(q=q, scales=sub, mins=subm, group=_GROUP[dtype],
                            ggml_type=int(dtype), transposed=True,
-                           packed=bool(packed), d=d, dmin=dm, sgroup=256)
+                           packed=_hier_pack4(dtype, tuple(shape), pack4),
+                           d=d, dmin=dm, sgroup=256)
     if quant_ok:
         do_pack = (pack4 and transpose and len(shape) == 2
                    and dtype in _PACK_OFF and shape[-1] % 2 == 0)
