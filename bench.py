@@ -86,8 +86,8 @@ def main():
     pos = 2048
     kv, toks = fn(model.params, ctx.kv, jnp.int32(1), jnp.int32(pos),
                   jnp.int32(0), key)  # compile + warm
-    toks.block_until_ready()
-    ctx.kv = kv
+    np.asarray(toks)  # host transfer: block_until_ready alone can return
+    ctx.kv = kv       # early while the remote compile is still in flight
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

@@ -305,6 +305,49 @@ def flash_attention(
 # position mask is computed once per page instead of once per (head, page).
 
 
+def _allheads_update(q_ref, kget, vget, ksget, vsget, mask,
+                     m_ref, l_ref, acc_ref, *,
+                     sm_scale, softcap, quantized, bs, dv):
+    """One online-softmax tile update for every KV head (static unroll).
+    kget(h)/vget(h) -> [bs, D]/[bs, Dv]; ksget(h)/vsget(h) -> [bs] scales."""
+    n_h = q_ref.shape[1]
+    for h in range(n_h):
+        q = q_ref[0, h]  # [br, D]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), kget(h).astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [br, bs]
+        if quantized:
+            s = s * ksget(h)[None, :].astype(jnp.float32)
+        s = s * sm_scale
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_ref[h]  # [br, 128]
+        l_prev = l_ref[h]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - pltpu.repeat(m_next, bs // LANES, axis=1))
+        l_ref[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[h] = m_next
+
+        if quantized:
+            p = p * vsget(h)[None, :].astype(jnp.float32)
+        o_curr = jnp.dot(
+            p.astype(jnp.bfloat16),
+            vget(h).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)  # [br, Dv]
+
+        def _to_dv(stat128):
+            if dv >= LANES:
+                return pltpu.repeat(stat128, dv // LANES, axis=1)
+            return stat128[:, :dv]
+
+        acc_ref[h] = acc_ref[h] * _to_dv(alpha) + o_curr
+
+
 def _fa_kernel_allheads(
     lim_ref,
     q_ref,  # [1, Hkv, br, D]
@@ -320,22 +363,29 @@ def _fa_kernel_allheads(
     has_sinks: bool,
     bs: int,
     dv: int,
+    wbs: int = 0,  # decode-window tail width (0 = no window operands)
 ):
     idx = 0
     ks_ref = vs_ref = sinks_ref = None
+    wk_ref = wv_ref = wp_ref = wks_ref = wvs_ref = None
     if quantized:
         ks_ref, vs_ref = rest[idx], rest[idx + 1]  # [Hkv, 1, 1, page]
         idx += 2
     if has_sinks:
         sinks_ref = rest[idx]  # [Hkv, br, 1]
         idx += 1
+    if wbs:
+        wk_ref, wv_ref = rest[idx], rest[idx + 1]  # [1, Hkv, W, D]
+        wp_ref = rest[idx + 2]  # [1, 1, W]
+        idx += 3
+        if quantized:
+            wks_ref, wvs_ref = rest[idx], rest[idx + 1]  # [1, Hkv, 1, W]
+            idx += 2
     out_ref, m_ref, l_ref, acc_ref = (
         rest[idx], rest[idx + 1], rest[idx + 2], rest[idx + 3])
 
     s_idx = pl.program_id(2)
     n_s = pl.num_programs(2)
-    n_h = q_ref.shape[1]
-    br = q_ref.shape[2]
 
     @pl.when(s_idx == 0)
     def _init():
@@ -348,11 +398,13 @@ def _fa_kernel_allheads(
             l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # page steps: s_idx < lim <= n_pages; with a window tail the final grid
+    # step (s_idx == n_s - 1 == n_pages) is never a live page step
     live = s_idx < lim_ref[pl.program_id(0), pl.program_id(1)]
+    rp = rp_ref[0]  # [br, 1]
 
     @pl.when(live)
     def _tile():
-        rp = rp_ref[0]  # [br, 1]
         cp = cp_ref[0]  # [1, page]
         mask = (cp >= 0) & (cp <= rp)
         if window > 0:
@@ -360,42 +412,31 @@ def _fa_kernel_allheads(
 
         @pl.when(jnp.any(mask))
         def _inner():
-            for h in range(n_h):  # static unroll over KV heads
-                q = q_ref[0, h]  # [br, D]
-                k = k_ref[h, 0]  # [page, D]
-                s = jax.lax.dot_general(
-                    q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [br, page]
-                if quantized:
-                    s = s * ks_ref[h, 0, 0][None, :].astype(jnp.float32)
-                s = s * sm_scale
-                if softcap:
-                    s = softcap * jnp.tanh(s / softcap)
-                s = jnp.where(mask, s, MASK_VALUE)
+            _allheads_update(
+                q_ref, lambda h: k_ref[h, 0], lambda h: v_ref[h, 0],
+                lambda h: ks_ref[h, 0, 0] if quantized else None,
+                lambda h: vs_ref[h, 0, 0] if quantized else None,
+                mask, m_ref, l_ref, acc_ref,
+                sm_scale=sm_scale, softcap=softcap, quantized=quantized,
+                bs=bs, dv=dv)
 
-                m_prev = m_ref[h]  # [br, 128]
-                l_prev = l_ref[h]
-                m_curr = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - pltpu.repeat(m_next, bs // LANES, axis=1))
-                l_ref[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                m_ref[h] = m_next
+    if wbs:
+        @pl.when(s_idx == n_s - 1)
+        def _wtile():
+            wp = wp_ref[0]  # [1, W]
+            wmask = (wp >= 0) & (wp <= rp)
+            if window > 0:
+                wmask = wmask & (wp > rp - window)
 
-                if quantized:
-                    p = p * vs_ref[h, 0, 0][None, :].astype(jnp.float32)
-                o_curr = jnp.dot(
-                    p.astype(jnp.bfloat16),
-                    v_ref[h, 0].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)  # [br, Dv]
-
-                def _to_dv(stat128):
-                    if dv >= LANES:
-                        return pltpu.repeat(stat128, dv // LANES, axis=1)
-                    return stat128[:, :dv]
-
-                acc_ref[h] = acc_ref[h] * _to_dv(alpha) + o_curr
+            @pl.when(jnp.any(wmask))
+            def _winner():
+                _allheads_update(
+                    q_ref, lambda h: wk_ref[0, h], lambda h: wv_ref[0, h],
+                    lambda h: wks_ref[0, h, 0] if quantized else None,
+                    lambda h: wvs_ref[0, h, 0] if quantized else None,
+                    wmask, m_ref, l_ref, acc_ref,
+                    sm_scale=sm_scale, softcap=softcap, quantized=quantized,
+                    bs=wbs, dv=dv)
 
     def _to_dv(stat128):
         if dv >= LANES:
@@ -404,6 +445,7 @@ def _fa_kernel_allheads(
 
     @pl.when(s_idx == n_s - 1)
     def _store():
+        n_h = q_ref.shape[1]
         for h in range(n_h):
             l = l_ref[h]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -424,6 +466,11 @@ def flash_attention_paged(
     sinks: jnp.ndarray | None = None,  # [Hkv, R] f32
     k_scale4: jnp.ndarray | None = None,  # [Hkv, P, 1, page] f32
     v_scale4: jnp.ndarray | None = None,
+    wk: jnp.ndarray | None = None,  # [B, Hkv, W, D] decode-window tail
+    wv: jnp.ndarray | None = None,  # [B, Hkv, W, Dv]
+    wpos: jnp.ndarray | None = None,  # [B, W] int32 (-1 = unfilled)
+    wks: jnp.ndarray | None = None,  # [B, Hkv, W] f32
+    wvs: jnp.ndarray | None = None,
     *,
     sm_scale: float,
     window: int = 0,
@@ -454,6 +501,8 @@ def flash_attention_paged(
     rp3 = row_pos.reshape(B, Rp, 1)
     quantized = k_scale4 is not None
     has_sinks = sinks is not None
+    windowed = wk is not None
+    W = wk.shape[2] if windowed else 0
 
     # page table entries are position-ordered (table[b, j] covers positions
     # [j*page, (j+1)*page)), so the causal live-tile clamp applies unchanged
@@ -464,9 +513,13 @@ def flash_attention_paged(
     # (double-buffered); otherwise fall back to a per-head grid axis
     kv_tile = Hkv * page * (D + Dv) * k4.dtype.itemsize
     fold = kv_tile <= 4 * 1024 * 1024
+    assert not windowed or fold, "decode-window tail requires the fold path"
+    assert W % LANES == 0 or W == 0, W
 
     if fold:
-        grid = (B, Rp // br, MP)
+        # with a decode window, one extra grid step processes the window
+        # tail (the rows of the chunk in flight, not yet spliced into pages)
+        grid = (B, Rp // br, MP + (1 if windowed else 0))
 
         def kv_map(b, r, s, lim, tab):
             return (0, tab[b, jnp.minimum(s, lim[b, r] - 1)], 0, 0)
@@ -495,6 +548,18 @@ def flash_attention_paged(
             in_specs.append(
                 pl.BlockSpec((Hkv, br, 1), lambda b, r, s, lim, tab: (0, r, 0)))
             args.append(sinks.reshape(Hkv, Rp, 1).astype(jnp.float32))
+        if windowed:
+            wmap = lambda b, r, s, lim, tab: (b, 0, 0, 0)  # noqa: E731
+            in_specs.append(pl.BlockSpec((1, Hkv, W, D), wmap))
+            in_specs.append(pl.BlockSpec((1, Hkv, W, Dv), wmap))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, W), lambda b, r, s, lim, tab: (b, 0, 0)))
+            args += [wk, wv, wpos.reshape(B, 1, W)]
+            if quantized:
+                in_specs.append(pl.BlockSpec((1, Hkv, 1, W), wmap))
+                in_specs.append(pl.BlockSpec((1, Hkv, 1, W), wmap))
+                args += [wks.reshape(B, Hkv, 1, W),
+                         wvs.reshape(B, Hkv, 1, W)]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -514,7 +579,7 @@ def flash_attention_paged(
                 lim_ref, *refs,
                 sm_scale=float(sm_scale), window=int(window),
                 softcap=float(softcap), quantized=quantized,
-                has_sinks=has_sinks, bs=page, dv=Dv)
+                has_sinks=has_sinks, bs=page, dv=Dv, wbs=W)
 
         dims = ("parallel", "parallel", "arbitrary")
     else:
@@ -601,23 +666,32 @@ def mha_flash_paged(
     sinks: jnp.ndarray | None = None,  # [H]
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """GQA fold + pool views for the paged kernel -> [B, T, H*Dv]."""
+    """GQA fold + pool views for the paged kernel -> [B, T, H*Dv].
+    Accepts a runtime.decode_window.DecodeWindow facade: its window rows
+    ride as the kernel's tail tile, the pool stays read-only."""
+    win = getattr(kvc, "win", None)
+    pool = kvc.pool if win is not None else kvc
     B, T, H, Dk = q.shape
-    Hkv = kvc.k[0].shape[0]
-    Dv = kvc.v[0].shape[2]
+    Hkv = pool.k[0].shape[0]
+    Dv = pool.v[0].shape[2]
     G = H // Hkv
-    page, P = kvc.page, kvc.n_pages
-    # per-layer pool arrays: kvc.k[li] is a plain buffer reference (a
+    page, P = pool.page, pool.n_pages
+    # per-layer pool arrays: pool.k[li] is a plain buffer reference (a
     # stacked [L, ...] pool would materialize a pool-slice copy per layer
     # per step here — r4 trace, ~27 us x 2 x n_layers/token)
-    k4 = kvc.k[li].reshape(Hkv, P, page, Dk)
-    v4 = kvc.v[li].reshape(Hkv, P, page, Dv)
-    pos3 = kvc.pos.reshape(P, 1, page)
-    table_b = kvc.table[seq_idx]
+    k4 = pool.k[li].reshape(Hkv, P, page, Dk)
+    v4 = pool.v[li].reshape(Hkv, P, page, Dv)
+    pos3 = pool.pos.reshape(P, 1, page)
+    table_b = pool.table[seq_idx]
     ks = vs = None
-    if kvc.quantized:
-        ks = kvc.k_scale[li].reshape(Hkv, P, 1, page)
-        vs = kvc.v_scale[li].reshape(Hkv, P, 1, page)
+    if pool.quantized:
+        ks = pool.k_scale[li].reshape(Hkv, P, 1, page)
+        vs = pool.v_scale[li].reshape(Hkv, P, 1, page)
+    wkw = wvw = wposw = wksw = wvsw = None
+    if win is not None:
+        wkw, wvw, wposw = win.wk[li], win.wv[li], win.wpos
+        if pool.quantized:
+            wksw, wvsw = win.wks[li], win.wvs[li]
     qr = (q.reshape(B, T, Hkv, G, Dk).transpose(0, 2, 3, 1, 4)
           .reshape(B, Hkv, G * T, Dk))
     row_pos = jnp.tile(positions, (1, G))
@@ -627,6 +701,7 @@ def mha_flash_paged(
     out = flash_attention_paged(
         qr, k4, v4, row_pos, pos3, table_b,
         sinks=sink_rows, k_scale4=ks, v_scale4=vs,
+        wk=wkw, wv=wvw, wpos=wposw, wks=wksw, wvs=wvsw,
         sm_scale=sm_scale, window=window, softcap=softcap,
         page=page, interpret=interpret,
     )  # [B, Hkv, G*T, Dv]

@@ -660,8 +660,12 @@ def _qmm4_prefill_min_kernel(xe_ref, xo_ref, q_ref, sl_ref, sh_ref, ml_ref,
 # leave room for double-buffered x/q tiles and the f32 out tile)
 _PREFILL_SCRATCH_BYTES = 8 * 1024 * 1024
 # fused kernels see N tiles of at least this many rows before the
-# dequant-hoisted grid pays off (several i steps amortize one dequant)
-PREFILL_MIN_N = 512
+# dequant-hoisted grid pays off (several i steps amortize one dequant).
+# ALSO a correctness bound: the decode-GEMV tile policy targets few-row
+# shapes — at N >= 256 its f32 weight tiles blow the 16 MiB scoped-VMEM
+# limit (r5: jit(step) at [256, 28672] failed AOT compile), so mid-size
+# row counts must route to the scratch-bounded prefill variants
+PREFILL_MIN_N = 64
 
 
 @functools.partial(

@@ -746,24 +746,54 @@ class Context:
             fwd = self._fwd
             n_ctx = self.n_ctx
             trash = self.trash_slot
+            W = self._decode_window_width()
 
-            @partial(jax.jit, donate_argnums=(2,), static_argnums=())
-            def fn(params, t0_, kv, s, p0):
-                def body(carry, _):
-                    kv, t, p = carry
-                    pos = p[:, None]
-                    slots = jnp.where(
-                        pos >= 0, jnp.minimum(pos, n_ctx - 1), trash
-                    ).astype(jnp.int32)
-                    inputs = AttnInputs(seq_idx=s, slots=slots, positions=pos)
-                    logits, kv = fwd(params, cfg, t[:, None], inputs, kv,
-                                     jnp.arange(t.shape[0]))
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    return (kv, nxt, p + 1), nxt
+            if W:
+                from .decode_window import (DecodeWindow, make_window,
+                                            splice_window)
+                W = max(W, -(-n_steps // 128) * 128)
 
-                (kv, _, _), out = jax.lax.scan(
-                    body, (kv, t0_, p0), None, length=n_steps)
-                return out.T, kv  # [B, n_steps]
+                @partial(jax.jit, donate_argnums=(2,), static_argnums=())
+                def fn(params, t0_, kv, s, p0):
+                    win0 = make_window(kv, t0_.shape[0], W)
+
+                    def body(carry, _):
+                        win, t, p = carry
+                        wkv = DecodeWindow(pool=kv, win=win, seq_ids=s)
+                        pos = p[:, None]
+                        slots = jnp.where(
+                            pos >= 0, jnp.minimum(pos, n_ctx - 1), trash
+                        ).astype(jnp.int32)
+                        inputs = AttnInputs(seq_idx=s, slots=slots,
+                                            positions=pos)
+                        logits, wkv = fwd(params, cfg, t[:, None], inputs,
+                                          wkv, jnp.arange(t.shape[0]))
+                        win = wkv.advance().win
+                        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                        return (win, nxt, p + 1), nxt
+
+                    (win, _, _), out = jax.lax.scan(
+                        body, (win0, t0_, p0), None, length=n_steps)
+                    return out.T, splice_window(kv, win, s)  # [B, n_steps]
+            else:
+                @partial(jax.jit, donate_argnums=(2,), static_argnums=())
+                def fn(params, t0_, kv, s, p0):
+                    def body(carry, _):
+                        kv, t, p = carry
+                        pos = p[:, None]
+                        slots = jnp.where(
+                            pos >= 0, jnp.minimum(pos, n_ctx - 1), trash
+                        ).astype(jnp.int32)
+                        inputs = AttnInputs(seq_idx=s, slots=slots,
+                                            positions=pos)
+                        logits, kv = fwd(params, cfg, t[:, None], inputs, kv,
+                                         jnp.arange(t.shape[0]))
+                        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                        return (kv, nxt, p + 1), nxt
+
+                    (kv, _, _), out = jax.lax.scan(
+                        body, (kv, t0_, p0), None, length=n_steps)
+                    return out.T, kv  # [B, n_steps]
 
             self._steps[key] = fn
         out, self.kv = fn(self.model.params, jnp.asarray(toks), self.kv,
@@ -934,7 +964,32 @@ class Context:
     # sampling fused into the step (the reference is moving the same
     # direction with backend sampling, include/llama.h:1285; on TPU this
     # removes the per-token host round trip entirely).
+    #
+    # Plain paged caches take the WINDOWED scan (runtime/decode_window.py):
+    # the pool rides as a loop constant and only a small per-chunk KV window
+    # is carried — carrying the pool makes XLA clone pool-sized buffers
+    # every iteration (~2.4 GB/token on a 40k pool; r5 HLO + A/B).
     # ------------------------------------------------------------------
+    def _decode_window_width(self) -> int:
+        """Window width for windowed scan decode, or 0 when this memory /
+        model combination must carry the cache through the scan instead."""
+        from .decode_window import WINDOW
+        from .paged_kv import PagedKVCache
+
+        if type(self.kv) is not PagedKVCache:
+            return 0  # slot/ring/iSWA/hybrid/recurrent memories
+        cfg = self.cfg
+        if "kv_lora_rank" in cfg.extra or cfg.extra.get("msa"):
+            return 0  # MLA / MSA attention paths manage their own reads
+        pool = self.kv
+        Hkv, _, Dk = pool.k[0].shape
+        Dv = pool.v[0].shape[2]
+        # the kernel's window tail needs the fold (all-heads) path
+        if Hkv * pool.page * (Dk + Dv) * pool.k[0].dtype.itemsize \
+                > 4 * 1024 * 1024:
+            return 0
+        return WINDOW
+
     def _gen_chunk_fn(self, chunk: int, greedy: bool, temp: float, top_k: int):
         key3 = (chunk, greedy, round(temp, 4), top_k)
         fn = self._steps.get(key3)
@@ -953,6 +1008,40 @@ class Context:
                 kth = vals[-1]
                 scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
             return jax.random.categorical(rng, scaled).astype(jnp.int32)
+
+        W = self._decode_window_width()
+        if W:
+            from .decode_window import (DecodeWindow, make_window,
+                                        splice_window)
+            W = max(W, -(-chunk // 128) * 128)
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def gen_chunk(params, kv, first_token, pos0, seq, rng):
+                win0 = make_window(kv, 1, W)
+
+                def body(carry, _):
+                    win, tok, pos, rng = carry
+                    wkv = DecodeWindow(pool=kv, win=win, seq_ids=seq[None])
+                    slot = jnp.minimum(pos, n_ctx - 1)
+                    inputs = AttnInputs(
+                        seq_idx=seq[None],
+                        slots=slot[None, None],
+                        positions=pos[None, None],
+                    )
+                    logits, wkv = fwd(params, cfg, tok[None, None], inputs,
+                                      wkv)
+                    win = wkv.advance().win
+                    rng, sub = jax.random.split(rng)
+                    nxt = sample(logits[0], sub)
+                    return (win, nxt, pos + 1, rng), nxt
+
+                (win, _, _, _), toks = jax.lax.scan(
+                    body, (win0, first_token, pos0, rng), None, length=chunk
+                )
+                return splice_window(kv, win, seq[None]), toks
+
+            self._steps[key3] = gen_chunk
+            return gen_chunk
 
         @partial(jax.jit, donate_argnums=(1,))
         def gen_chunk(params, kv, first_token, pos0, seq, rng):

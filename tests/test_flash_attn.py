@@ -185,3 +185,76 @@ def test_head_dim_64_with_sinks_and_window():
     sinks = np.random.default_rng(9).standard_normal((2, 16)).astype(np.float32)
     got, ref = run_both(q, k, v, rp, cp, sm_scale=0.125, window=64, sinks=sinks)
     assert_close(got, ref)
+
+
+def test_paged_window_tail():
+    """Decode-window tail (runtime/decode_window.py): pool pages + window
+    rows in one kernel pass == dense reference over the concatenation.
+    Covers the windowed scan decode's attention read (both KV dtypes)."""
+    from llama_cpp_tpu.ops.pallas.flash_attn import flash_attention_paged
+
+    rng = np.random.default_rng(3)
+    B, Hkv, G, Dk, Dv = 2, 4, 2, 128, 128
+    page, P, W = 128, 8, 128
+
+    for quant in (False, True):
+        if quant:
+            k4 = rng.integers(-80, 80, (Hkv, P, page, Dk)).astype(np.int8)
+            v4 = rng.integers(-80, 80, (Hkv, P, page, Dv)).astype(np.int8)
+            ks4 = rng.random((Hkv, P, 1, page)).astype(np.float32) * 0.02
+            vs4 = rng.random((Hkv, P, 1, page)).astype(np.float32) * 0.02
+            wk = rng.integers(-80, 80, (B, Hkv, W, Dk)).astype(np.int8)
+            wv = rng.integers(-80, 80, (B, Hkv, W, Dv)).astype(np.int8)
+            wks = rng.random((B, Hkv, W)).astype(np.float32) * 0.02
+            wvs = rng.random((B, Hkv, W)).astype(np.float32) * 0.02
+        else:
+            k4 = rng.standard_normal((Hkv, P, page, Dk)).astype(np.float32) * 0.3
+            v4 = rng.standard_normal((Hkv, P, page, Dv)).astype(np.float32) * 0.3
+            ks4 = vs4 = wks = wvs = None
+            wk = rng.standard_normal((B, Hkv, W, Dk)).astype(np.float32) * 0.3
+            wv = rng.standard_normal((B, Hkv, W, Dv)).astype(np.float32) * 0.3
+        # seq 0: pages 0,1 depth 200; seq 1: pages 2,3 depth 150
+        table = np.array([[0, 1, P - 1, P - 1], [2, 3, P - 1, P - 1]], np.int32)
+        pos = np.full((P, 1, page), -1, np.int32)
+        pos[0, 0, :] = np.arange(128)
+        pos[1, 0, :72] = np.arange(128, 200)
+        pos[2, 0, :] = np.arange(128)
+        pos[3, 0, :22] = np.arange(128, 150)
+        depth = np.array([200, 150])
+        fill = 5  # 5 in-flight chunk rows per sequence
+        wpos = np.full((B, W), -1, np.int32)
+        for b in range(B):
+            wpos[b, :fill] = depth[b] + np.arange(fill)
+        q = rng.standard_normal((B, Hkv, G, Dk)).astype(np.float32) * 0.5
+        row_pos = np.stack(
+            [np.full(G, depth[b] + fill - 1) for b in range(B)]).astype(np.int32)
+
+        out = np.asarray(flash_attention_paged(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(k4), jnp.asarray(v4),
+            jnp.asarray(row_pos), jnp.asarray(pos), jnp.asarray(table),
+            k_scale4=None if not quant else jnp.asarray(ks4),
+            v_scale4=None if not quant else jnp.asarray(vs4),
+            wk=jnp.asarray(wk), wv=jnp.asarray(wv), wpos=jnp.asarray(wpos),
+            wks=None if not quant else jnp.asarray(wks),
+            wvs=None if not quant else jnp.asarray(wvs),
+            sm_scale=1 / np.sqrt(Dk), page=page, interpret=True))
+
+        for b in range(B):
+            tb = table[b]
+            kk = k4[:, tb].reshape(Hkv, -1, Dk).astype(np.float32)
+            vv = v4[:, tb].reshape(Hkv, -1, Dv).astype(np.float32)
+            if quant:
+                kk = kk * ks4[:, tb].reshape(Hkv, -1)[:, :, None]
+                vv = vv * vs4[:, tb].reshape(Hkv, -1)[:, :, None]
+            kwd = wk[b].astype(np.float32)
+            vwd = wv[b].astype(np.float32)
+            if quant:
+                kwd = kwd * wks[b][:, :, None]
+                vwd = vwd * wvs[b][:, :, None]
+            kk = np.concatenate([kk, kwd], axis=1)
+            vv = np.concatenate([vv, vwd], axis=1)
+            cp = np.concatenate([pos[tb].reshape(-1), wpos[b]])
+            ref = dense_ref(q[b][None], kk[None], vv[None],
+                            row_pos[b][None], cp[None],
+                            sm_scale=1 / np.sqrt(Dk))[0]
+            assert np.abs(out[b] - ref).max() < 0.03 * np.abs(ref).max() + 1e-3

@@ -257,3 +257,30 @@ def test_paged_iswa_full_cache(tmp_path):
     assert a == b
     ctx.seq_rm(1)
     assert int(ctx.seq_len[1]) == 0
+
+
+def test_windowed_scan_flash_parity(tmp_path):
+    """Windowed on-device scan decode (runtime/decode_window.py: frozen pool
+    + window tail through the paged kernel) == stepwise einsum decode."""
+    import jax.numpy as jnp
+
+    p = str(tmp_path / "win128.gguf")
+    make_tiny_llama_gguf(p, vocab_size=256, n_layers=2, n_embd=256,
+                         n_heads=2, n_kv_heads=2, n_ff=256, ftype="f32",
+                         n_ctx=1024)
+    # f32 compute: XLA:CPU can't run bf16 dots inside while-loops
+    model = load_model(p, prefer_quant=False, dense_dtype=jnp.float32)
+    set_force_flash(False)
+    try:
+        ref = Context(model, n_ctx=256, n_seqs=1).generate(
+            PROMPT, max_new_tokens=10)
+    finally:
+        set_force_flash(None)
+    set_force_flash(True)
+    try:
+        ctx = Context(model, n_ctx=256, n_seqs=1)
+        assert ctx._decode_window_width() > 0
+        got = ctx.generate_ondevice(PROMPT, max_new_tokens=10, chunk=4)
+    finally:
+        set_force_flash(None)
+    assert got == ref
