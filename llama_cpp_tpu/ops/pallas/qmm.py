@@ -734,7 +734,8 @@ def qmm_planes_prefill(
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "sgroup", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "sgroup", "interpret",
+                                             "tile_n", "tile_o", "tile_k"))
 def qmm4_planes_prefill(
     x: jnp.ndarray,  # [N, K]
     qp: jnp.ndarray,  # [K//2, O] nibble pairs
@@ -746,13 +747,16 @@ def qmm4_planes_prefill(
     group: int,
     sgroup: int = 256,
     interpret: bool = False,
+    tile_n: int = 0,
+    tile_o: int = 0,
+    tile_k: int = 0,
 ) -> jnp.ndarray:
     N, K = x.shape
     O = qp.shape[1]
     hier = dT is not None
-    tn = _pick_tile(N, (512, 256, 128, 64, 32, 16, 8))
-    to = _pick_tile(O, (256, 128, 512))
-    tk = _pick_tile(K, (1024, 512, 2048, 256))
+    tn = tile_n or _pick_tile(N, (512, 256, 128, 64, 32, 16, 8))
+    to = tile_o or _pick_tile(O, (256, 128, 512))
+    tk = tile_k or _pick_tile(K, (1024, 512, 2048, 256))
     grid = (O // to, N // tn, K // tk)
     nkt = K // tk
     dot_dtype = jnp.float32 if interpret else jnp.bfloat16
@@ -919,6 +923,15 @@ def qmm(x: jnp.ndarray, qt, interpret: bool = False) -> jnp.ndarray:
     return out.reshape(*lead, qt.out_features)
 
 
+# at or above this many activation rows the plain XLA dequant->bf16-dot
+# path beats the fused in-kernel-dequant GEMMs (r5 on-chip ablation,
+# scripts/bench_prefill.py: at N=2048 XLA reaches 87-146% of the fused
+# kernel's best across the 8B projections — the MXU runs unthrottled and
+# the one-shot dequant is amortized over the whole ubatch). Below it the
+# dequant round-trip through HBM dominates and the fused kernels win.
+XLA_PREFILL_MIN_N = 1024
+
+
 def pallas_qmm_dispatch(x, qt):
     """matmul() hook: fused kernel when the layout/shape is tileable."""
     if not qt.transposed or qt.q.ndim != 2:
@@ -926,6 +939,8 @@ def pallas_qmm_dispatch(x, qt):
     K, O = qt.q.shape
     if qt.packed:
         K *= 2
+    if x.size // K >= XLA_PREFILL_MIN_N:
+        return None  # large prefill ubatch: matmul()'s dequant+dot path
     if qt.hier and K % 512 != 0:
         return None  # hier d-blocks need tk >= 512 (load gates on this too)
     if K % 256 != 0 or O % 128 != 0 or (K // qt.group) % 8 != 0:
